@@ -1,0 +1,25 @@
+"""giga_spatial_spark — a from-scratch, PySpark-native spatial enrichment
+and zonal-aggregation engine.
+
+Reproduces the query semantics of unicef/giga-spatial (reference at
+/root/reference, v0.9.8) re-expressed Spark-first: DataFrame/SQL plans
+optimized by Catalyst/AQE, cell-cover equi-joins for spatial theta-joins,
+and vectorized Arrow (pandas) UDFs for the geometric refine kernels.
+No shapely/geopandas/h3 dependency — all geometry is pure numpy.
+
+Layout:
+  session      — SparkSession factory (AQE, Arrow, shuffle sizing)
+  geometry     — numpy geometry kernels (haversine, PIP, clip, area)
+  cells        — Web-Mercator tile / quadkey native column expressions,
+                 k-ring, polygon covers (analog of reference grid/ modules)
+  synth        — deterministic synthetic geocoding + admin/facility layers
+  operators/   — pip_join, zonal, knn, range_join, overlay, dedup,
+                 normalize, ann
+  functions/   — text (html→text, tokenize, lang-id, quality), hashing
+                 (minhash/simhash), vectors (cosine / dot)
+  sources/     — webpages generator, format-dispatch readers
+  plans/       — lineage checkpoint / resume manifests
+  streaming/   — structured-streaming pipelines over the events table
+"""
+
+__version__ = "0.1.0"

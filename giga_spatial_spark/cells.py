@@ -1,0 +1,195 @@
+"""Web-Mercator tile / quadkey cell index — native Spark column expressions.
+
+Reproduces the reference's MercatorTiles semantics
+(gigaspatial/grid/mercator_tiles.py:19-39, point→tile→quadkey :314-335,
+bbox→tiles :61-87) as pure integer/float column math — no UDF, fully inside
+whole-stage codegen. Every expression has a twin ANSI-SQL emitter so DuckDB
+oracles compute the identical value.
+
+tile id convention: a single BIGINT packing (zoom, x, y):
+  tile_id = (x << 32) | y     (zoom carried separately / fixed per query)
+Quadkey emitted as a string of digits (Bing Maps convention,
+digit_i = 2*y_bit + x_bit from the most significant level).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_MERC_LAT = 85.05112878
+
+
+# ---------------------------------------------------------------- Spark side
+def tile_x(lon: Column, zoom: int) -> Column:
+    """xtile = floor((lon+180)/360 * 2^zoom), clamped to [0, 2^zoom-1]."""
+    n = F.lit(float(2**zoom))
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(2**zoom - 1)).cast("bigint")
+
+
+def tile_y(lat: Column, zoom: int) -> Column:
+    """ytile = floor((1 - ln(tan(φ) + 1/cos(φ))/π)/2 * 2^zoom), clamped."""
+    n = F.lit(float(2**zoom))
+    phi = F.radians(F.least(F.greatest(lat, F.lit(-MAX_MERC_LAT)), F.lit(MAX_MERC_LAT)))
+    raw = F.floor(
+        (F.lit(1.0) - F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * n
+    )
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(2**zoom - 1)).cast("bigint")
+
+
+def tile_id(lon: Column, lat: Column, zoom: int) -> Column:
+    """Packed (x<<32)|y tile id at fixed zoom — the engine's cell key."""
+    return F.shiftleft(tile_x(lon, zoom), 32) + tile_y(lat, zoom)
+
+
+def quadkey(lon: Column, lat: Column, zoom: int) -> Column:
+    """Bing-Maps quadkey string (reference mercator_tiles.py:314-335)."""
+    x, y = tile_x(lon, zoom), tile_y(lat, zoom)
+    digits = []
+    for i in range(zoom):
+        shift = zoom - 1 - i
+        d = (F.shiftright(y, shift) % 2) * 2 + (F.shiftright(x, shift) % 2)
+        digits.append(d.cast("string"))
+    return F.concat(*digits)
+
+
+# ---------------------------------------------------------------- SQL twins
+def tile_x_sql(lon_sql: str, zoom: int) -> str:
+    n = 2**zoom
+    raw = f"floor(({lon_sql} + 180.0) / 360.0 * {float(n)})"
+    return f"cast(least(greatest({raw}, 0), {n - 1}) as bigint)"
+
+
+def tile_y_sql(lat_sql: str, zoom: int) -> str:
+    n = 2**zoom
+    phi = f"radians(least(greatest({lat_sql}, {-MAX_MERC_LAT}), {MAX_MERC_LAT}))"
+    raw = (
+        f"floor((1.0 - ln(tan({phi}) + 1.0/cos({phi})) / pi()) / 2.0 * {float(n)})"
+    )
+    return f"cast(least(greatest({raw}, 0), {n - 1}) as bigint)"
+
+
+def tile_id_sql(lon_sql: str, lat_sql: str, zoom: int) -> str:
+    return f"(({tile_x_sql(lon_sql, zoom)} * 4294967296) + {tile_y_sql(lat_sql, zoom)})"
+
+
+def quadkey_sql(lon_sql: str, lat_sql: str, zoom: int) -> str:
+    x = tile_x_sql(lon_sql, zoom)
+    y = tile_y_sql(lat_sql, zoom)
+    digits = []
+    for i in range(zoom):
+        shift = zoom - 1 - i
+        digits.append(
+            f"cast((({y} >> {shift}) % 2) * 2 + (({x} >> {shift}) % 2) as varchar)"
+        )
+    return "concat(" + ", ".join(digits) + ")"
+
+
+# ------------------------------------------------------------ driver helpers
+def tile_xy_np(lon: np.ndarray, lat: np.ndarray, zoom: int):
+    """Numpy twin of tile_x/tile_y for UDF-side and test-oracle use."""
+    n = float(2**zoom)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -MAX_MERC_LAT, MAX_MERC_LAT)
+    x = np.floor((lon + 180.0) / 360.0 * n)
+    phi = np.radians(lat)
+    y = np.floor((1.0 - np.log(np.tan(phi) + 1.0 / np.cos(phi)) / math.pi) / 2.0 * n)
+    x = np.clip(x, 0, 2**zoom - 1).astype(np.int64)
+    y = np.clip(y, 0, 2**zoom - 1).astype(np.int64)
+    return x, y
+
+
+def pack_tile(x, y):
+    return (np.int64(x) << np.int64(32)) + np.int64(y)
+
+
+def tile_bounds(x: int, y: int, zoom: int) -> tuple[float, float, float, float]:
+    """(min_lon, min_lat, max_lon, max_lat) of tile — mercator_tiles.py:290-302."""
+    n = 2.0**zoom
+    min_lon = x / n * 360.0 - 180.0
+    max_lon = (x + 1) / n * 360.0 - 180.0
+    max_lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n))))
+    min_lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 1) / n))))
+    return (min_lon, min_lat, max_lon, max_lat)
+
+
+def bbox_cover(
+    min_lon: float, min_lat: float, max_lon: float, max_lat: float, zoom: int
+) -> list[tuple[int, int]]:
+    """All (x, y) tiles intersecting a lon/lat bbox (reference
+    MercatorTiles.from_bounds, mercator_tiles.py:61-87). Driver-side: covers
+    are small (query geometries), matching the reference's driver-side
+    RegionCoverer usage."""
+    x0, y1 = tile_xy_np(np.array([min_lon]), np.array([min_lat]), zoom)
+    x1, y0 = tile_xy_np(np.array([max_lon]), np.array([max_lat]), zoom)
+    return [
+        (x, y)
+        for x in range(int(x0[0]), int(x1[0]) + 1)
+        for y in range(int(y0[0]), int(y1[0]) + 1)
+    ]
+
+
+def polygon_cover(poly: np.ndarray, zoom: int, exact: bool = True) -> list[tuple[int, int]]:
+    """Tiles intersecting a convex CCW polygon. bbox cover refined by a
+    box-vs-convex-polygon intersection test (separating-axis on polygon
+    edges + bbox sides) — analog of the reference's exact intersect filter
+    after RegionCoverer (grid/s2.py:133-187)."""
+    from .geometry import polygon_bbox
+
+    minx, miny, maxx, maxy = polygon_bbox(poly)
+    cand = bbox_cover(minx, miny, maxx, maxy, zoom)
+    if not exact:
+        return cand
+    out = []
+    n = len(poly)
+    for x, y in cand:
+        bminx, bminy, bmaxx, bmaxy = tile_bounds(x, y, zoom)
+        # SAT: polygon fully outside one of box's half-planes?
+        if (
+            poly[:, 0].max() < bminx
+            or poly[:, 0].min() > bmaxx
+            or poly[:, 1].max() < bminy
+            or poly[:, 1].min() > bmaxy
+        ):
+            continue
+        # SAT on polygon edges: box corners all strictly outside an edge?
+        corners_x = np.array([bminx, bmaxx, bmaxx, bminx])
+        corners_y = np.array([bminy, bminy, bmaxy, bmaxy])
+        separated = False
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            cross = (x2 - x1) * (corners_y - y1) - (y2 - y1) * (corners_x - x1)
+            if np.all(cross < 0):
+                separated = True
+                break
+        if not separated:
+            out.append((x, y))
+    return out
+
+
+def k_ring_offsets(k: int) -> list[tuple[int, int]]:
+    """Chebyshev-disk offsets (dx, dy) for |dx|<=k, |dy|<=k — the square-grid
+    analog of H3 grid_ring (reference grid/h3.py:371-393)."""
+    return [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+
+
+def ring_min_distance_m(lat: float, zoom: int, k: int) -> float:
+    """Lower bound on ground distance from a point in tile T to any tile
+    outside the k-ring of T. Used by the kNN expansion stopping rule:
+    if best_dist <= this bound, no closer neighbor can exist outside."""
+    # tile height in degrees at this latitude ~ tile width * cos adjustments;
+    # use the conservative min of lon/lat extents at the given latitude.
+    n = 2.0**zoom
+    tile_deg_lon = 360.0 / n
+    # ground meters per degree
+    m_per_deg_lat = 111_194.9  # pi*R/180 with R=6371e3
+    m_per_deg_lon = m_per_deg_lat * max(math.cos(math.radians(abs(lat) + tile_deg_lon)), 1e-6)
+    tile_m = min(tile_deg_lon * m_per_deg_lon, tile_deg_lon * m_per_deg_lat)
+    return k * tile_m

@@ -1,0 +1,228 @@
+"""Pure-numpy geometry kernels.
+
+The reference delegates geometry to shapely 2.x C kernels
+(gigaspatial/processing/geo.py, buildings_engine.py). This container has no
+shapely, so the engine implements the needed subset from scratch, fully
+vectorized with numpy so it runs efficiently inside Arrow-batched pandas
+UDFs (the Spark-side hot path).
+
+Conventions:
+  - polygons are (N,2) float64 arrays of (lon, lat) vertices, CCW, not
+    closed (first vertex not repeated).
+  - "contains" for convex polygons = all edge cross-products >= 0
+    (boundary-inclusive). This exact rule is also emitted as ANSI SQL by
+    synth.convex_contains_sql so DuckDB oracles match bit-for-bit.
+  - haversine matches the reference formula exactly:
+    gigaspatial/processing/geo.py:561-581 (R=6371e3, 2*R*asin(sqrt(a))).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_M = 6371e3
+
+
+def haversine_np(lat1, lon1, lat2, lon2, R: float = EARTH_RADIUS_M):
+    """Vectorized haversine distance in meters.
+
+    Formula parity with reference calculate_distance (geo.py:561-581).
+    """
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    a = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+    return R * (2 * np.arcsin(np.sqrt(a)))
+
+
+def convex_contains(poly: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boundary-inclusive containment of points in a CCW convex polygon.
+
+    Point p is inside iff for every directed edge (v_i -> v_{i+1}):
+      cross(v_{i+1}-v_i, p-v_i) >= 0.
+    Vectorized over points; loops over the (few) edges.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    inside = np.ones(x.shape, dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+        inside &= cross >= 0.0
+    return inside
+
+
+def point_in_polygon(poly: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """General simple-polygon containment via even-odd ray casting.
+
+    Equivalent output to shapely `contains` for points strictly inside /
+    outside (boundary points are implementation-defined, as in the
+    reference's sjoin predicate paths). Vectorized over points.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    inside = np.zeros(x.shape, dtype=bool)
+    n = len(poly)
+    px, py = poly[:, 0], poly[:, 1]
+    for i in range(n):
+        x1, y1 = px[i], py[i]
+        x2, y2 = px[(i + 1) % n], py[(i + 1) % n]
+        crosses = ((y1 > y) != (y2 > y)) & (
+            x < (x2 - x1) * (y - y1) / (y2 - y1 + np.where(y2 == y1, 1e-300, 0.0)) + x1
+        )
+        inside ^= crosses
+    return inside
+
+
+def polygon_area(poly: np.ndarray) -> float:
+    """Shoelace area (planar, in the polygon's coordinate units²)."""
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * float(np.abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def polygon_centroid(poly: np.ndarray) -> tuple[float, float]:
+    """Planar area-weighted centroid (matches shapely .centroid for simple
+    polygons; reference uses it for the admin tie-break, geo.py:848-866)."""
+    x, y = poly[:, 0], poly[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = cross.sum() / 2.0
+    if a == 0:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + xn) * cross).sum() / (6.0 * a)
+    cy = ((y + yn) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def polygon_bbox(poly: np.ndarray) -> tuple[float, float, float, float]:
+    return (
+        float(poly[:, 0].min()),
+        float(poly[:, 1].min()),
+        float(poly[:, 0].max()),
+        float(poly[:, 1].max()),
+    )
+
+
+def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman clip of `subject` polygon by CCW convex `clip`.
+
+    Returns the (possibly empty) intersection polygon. Used by the
+    fractional-overlay operator (reference _fractional_aggregation,
+    geo.py:1051-1116) to compute intersection areas without shapely.
+    """
+    output = [tuple(p) for p in subject]
+    n = len(clip)
+    for i in range(n):
+        if not output:
+            return np.empty((0, 2))
+        cx1, cy1 = clip[i]
+        cx2, cy2 = clip[(i + 1) % n]
+        input_pts = output
+        output = []
+
+        def side(px, py):
+            return (cx2 - cx1) * (py - cy1) - (cy2 - cy1) * (px - cx1)
+
+        for j in range(len(input_pts)):
+            curr = input_pts[j]
+            prev = input_pts[j - 1]
+            cs, ps = side(*curr), side(*prev)
+            if cs >= 0:
+                if ps < 0:
+                    output.append(_intersect_seg(prev, curr, (cx1, cy1), (cx2, cy2)))
+                output.append(curr)
+            elif ps >= 0:
+                output.append(_intersect_seg(prev, curr, (cx1, cy1), (cx2, cy2)))
+    return np.asarray(output, dtype=np.float64) if output else np.empty((0, 2))
+
+
+def _intersect_seg(p1, p2, q1, q2):
+    """Intersection of segment p1-p2 with infinite line q1-q2."""
+    x1, y1 = p1
+    x2, y2 = p2
+    x3, y3 = q1
+    x4, y4 = q2
+    denom = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    if denom == 0:
+        return p2
+    t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / denom
+    return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+
+
+def box_intersection_area(
+    ax1: np.ndarray, ay1: np.ndarray, ax2: np.ndarray, ay2: np.ndarray,
+    bx1: np.ndarray, by1: np.ndarray, bx2: np.ndarray, by2: np.ndarray,
+) -> np.ndarray:
+    """Vectorized axis-aligned box ∩ box area (exact arithmetic; the
+    SQL-oracle-friendly special case of the fractional overlay)."""
+    w = np.maximum(
+        0.0, np.minimum(ax2, bx2) - np.maximum(ax1, bx1)
+    )
+    h = np.maximum(
+        0.0, np.minimum(ay2, by2) - np.maximum(ay1, by1)
+    )
+    return w * h
+
+
+class GridIndex:
+    """A flat uniform-grid spatial index over polygons — the engine's
+    from-scratch stand-in for the reference's STRtree
+    (buildings_engine.py:202-206). Built once on the driver, broadcast to
+    executors, probed vectorized inside pandas UDFs.
+
+    cell → list of polygon ids whose bbox intersects the cell.
+    """
+
+    def __init__(self, polygons: dict[object, np.ndarray], cell_deg: float = 5.0):
+        self.polygons = {k: np.asarray(v, dtype=np.float64) for k, v in polygons.items()}
+        self.cell_deg = float(cell_deg)
+        self.buckets: dict[tuple[int, int], list] = {}
+        for pid, poly in self.polygons.items():
+            minx, miny, maxx, maxy = polygon_bbox(poly)
+            for cx in range(int(np.floor(minx / cell_deg)), int(np.floor(maxx / cell_deg)) + 1):
+                for cy in range(int(np.floor(miny / cell_deg)), int(np.floor(maxy / cell_deg)) + 1):
+                    self.buckets.setdefault((cx, cy), []).append(pid)
+
+    def query_points(self, x: np.ndarray, y: np.ndarray, convex: bool = True):
+        """Return (point_idx array, polygon_id array) of containment matches.
+
+        Groups points by candidate polygon so each polygon's containment
+        test runs once, vectorized over all its candidate points.
+        """
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        cx = np.floor(x / self.cell_deg).astype(np.int64)
+        cy = np.floor(y / self.cell_deg).astype(np.int64)
+        # candidate lists per point → invert to per-polygon point sets
+        per_poly: dict[object, list[int]] = {}
+        # group points by grid cell first to avoid per-point dict lookups
+        order = np.lexsort((cy, cx))
+        xs, ys = cx[order], cy[order]
+        boundaries = np.nonzero((np.diff(xs) != 0) | (np.diff(ys) != 0))[0] + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [len(order)]))
+        for s, e in zip(starts, ends):
+            key = (int(xs[s]), int(ys[s]))
+            pids = self.buckets.get(key)
+            if not pids:
+                continue
+            idxs = order[s:e]
+            for pid in pids:
+                per_poly.setdefault(pid, []).append(idxs)
+        test = convex_contains if convex else point_in_polygon
+        out_idx, out_pid = [], []
+        for pid, idx_chunks in per_poly.items():
+            idxs = np.concatenate(idx_chunks)
+            mask = test(self.polygons[pid], x[idxs], y[idxs])
+            hit = idxs[mask]
+            if len(hit):
+                out_idx.append(hit)
+                out_pid.extend([pid] * len(hit))
+        if not out_idx:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+        return np.concatenate(out_idx), np.asarray(out_pid, dtype=object)

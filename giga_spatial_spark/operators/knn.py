@@ -1,0 +1,256 @@
+"""k-nearest-neighbor joins (k=1 nearest facility, and top-k).
+
+Reference semantics: cKDTree(right).query(left, k=1) then exact haversine
+(PoiViewGenerator.map_nearest_points, generators/poi.py:287-391), with the
+shard-local min-merge (buildings_engine.py:226-316) and progressive radius
+expansion (poi.py:1217-1355).
+
+Spark-first design (SURVEY.md §2.4):
+  - ``knn_broadcast``: when the right side is a small dim (facilities),
+    broadcast its coordinate array and scan the big side once in
+    ``mapInPandas`` — zero shuffle, exact argmin per row via vectorized
+    haversine. This is THE plan for dim-sized right sides at 10^12 rows.
+  - ``knn_grid``: two-phase grid kNN for large right sides — candidates by
+    tile-id equi-join expanded over a k-ring (cells.k_ring_offsets), final
+    ``min_by`` aggregation; a driver loop widens the ring for the
+    unresolved frontier (reference's progressive radius, poi.py:1288) and
+    stops via the ring distance bound (cells.ring_min_distance_m).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import cells
+from ..geometry import haversine_np
+from ..synth import haversine_expr
+
+
+def ring_candidates(df: DataFrame, k: int, zoom: int, tile_col: str = "__ptile") -> DataFrame:
+    """Expand each row to its k-ring candidate tiles (__ctile), emitting each
+    candidate tile exactly once per row: lon offsets wrap mod n without
+    duplication (full coverage when 2k+1 >= n), lat offsets are filtered at
+    the poles rather than clamped (clamping would duplicate edge tiles and
+    inflate join pair counts)."""
+    n = 2**zoom
+    if 2 * k + 1 >= n:
+        dxs = list(range(n))  # all lon residues exactly once
+    else:
+        dxs = list(range(-k, k + 1))
+    dys = list(range(-k, k + 1))
+    offsets = [(dx, dy) for dx in dxs for dy in dys]
+    off_df = df.sparkSession.createDataFrame(offsets, "dx int, dy int")
+    px = F.shiftright(F.col(tile_col), 32)
+    py = F.col(tile_col) % F.lit(2**32)
+    ny = py + F.col("dy")
+    return (
+        df.crossJoin(F.broadcast(off_df))
+        .where((ny >= 0) & (ny < n))
+        .withColumn("__ctile", F.shiftleft(F.pmod(px + F.col("dx"), F.lit(n)), 32) + ny)
+        .drop("dx", "dy")
+    )
+
+
+def knn_broadcast(
+    points: DataFrame,
+    facilities: DataFrame,
+    point_id: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+    fac_id: str = "facility_id",
+    flon: str = "flon",
+    flat: str = "flat",
+    dist_col: str = "nearest_dist_m",
+) -> DataFrame:
+    """Exact nearest facility per point; facilities broadcast as numpy.
+
+    Tie-break on smallest facility id (deterministic, matching an
+    ORDER BY dist, id LIMIT 1 oracle).
+    """
+    # sorted by id so np.argmin's first-among-equals tie-break = smallest id
+    fac = facilities.select(fac_id, flon, flat).orderBy(fac_id).toPandas()
+    spark = points.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (
+            fac[fac_id].to_numpy(),
+            fac[flon].to_numpy(dtype=np.float64),
+            fac[flat].to_numpy(dtype=np.float64),
+        )
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    # copy — DataFrame.schema is cached; StructType.add mutates in place
+    out_schema = StructType(
+        list(points.schema.fields)
+        + [
+            StructField("nearest_facility_id", LongType()),
+            StructField(dist_col, DoubleType()),
+        ]
+    )
+    cols = points.columns
+
+    def kernel(batches):
+        ids, flons, flats = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            plat = pdf[lat].to_numpy(dtype=np.float64)
+            plon = pdf[lon].to_numpy(dtype=np.float64)
+            # (n_points, n_fac) distance matrix in manageable chunks
+            best_id = np.empty(len(pdf), dtype=np.int64)
+            best_d = np.empty(len(pdf), dtype=np.float64)
+            step = max(1, 2_000_000 // max(len(ids), 1))
+            for s in range(0, len(pdf), step):
+                e = min(s + step, len(pdf))
+                d = haversine_np(
+                    plat[s:e, None], plon[s:e, None], flats[None, :], flons[None, :]
+                )
+                # argmin with deterministic tie-break on facility id:
+                # lexsort-free trick — order facilities by id ascending once,
+                # np.argmin returns first (lowest id) among equals.
+                j = np.argmin(d, axis=1)
+                best_id[s:e] = ids[j]
+                best_d[s:e] = d[np.arange(e - s), j]
+            out = pdf.copy()
+            out["nearest_facility_id"] = best_id
+            out[dist_col] = best_d
+            yield out[cols + ["nearest_facility_id", dist_col]]
+
+    # facilities must be sorted by id so argmin tie-break = smallest id
+    return points.mapInPandas(kernel, schema=out_schema)
+
+
+def knn_grid(
+    points: DataFrame,
+    facilities: DataFrame,
+    point_id: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+    fac_id: str = "facility_id",
+    flon: str = "flon",
+    flat: str = "flat",
+    zoom: int = 5,
+    max_ring: int = 64,
+    dist_col: str = "nearest_dist_m",
+) -> DataFrame:
+    """Two-phase grid kNN: tile-cover candidate equi-join + min_by finalize,
+    driver loop widening the ring for unresolved points.
+
+    Scale shape: facilities indexed by tile once; each round shuffles only
+    the unresolved frontier (shrinks geometrically; AQE re-plans each pass).
+    """
+    fac_tiles = facilities.withColumn(
+        "__ftile", cells.tile_id(F.col(flon), F.col(flat), zoom)
+    )
+    pts = points.withColumn("__ptile", cells.tile_id(F.col(lon), F.col(lat), zoom))
+
+    n = 2**zoom
+    unresolved = pts
+    resolved_parts: list[DataFrame] = []
+    ring = 1
+    while ring <= max_ring:
+        cand_tiles = ring_candidates(unresolved, ring, zoom)
+        matched = cand_tiles.join(
+            fac_tiles, cand_tiles["__ctile"] == fac_tiles["__ftile"], "inner"
+        ).withColumn(
+            "__dist", haversine_expr(F.col(lat), F.col(lon), F.col(flat), F.col(flon))
+        )
+        best = (
+            matched.groupBy(point_id)
+            .agg(
+                F.min_by(F.col(fac_id), F.struct("__dist", fac_id)).alias(
+                    "nearest_facility_id"
+                ),
+                F.min("__dist").alias(dist_col),
+            )
+        )
+        # stopping rule: accept best if guaranteed no closer outside ring
+        pts_best = unresolved.join(best, point_id, "left")
+        bound = F.lit(0.0)
+        # conservative per-row bound via latitude
+        tile_deg = 360.0 / n
+        m_per_deg = 111194.9
+        bound = (
+            F.lit(float(ring))
+            * F.lit(tile_deg)
+            * F.lit(m_per_deg)
+            * F.least(
+                F.cos(F.radians(F.abs(F.col(lat)) + F.lit(tile_deg))), F.lit(1.0)
+            )
+        )
+        done = pts_best.where(
+            F.col(dist_col).isNotNull() & (F.col(dist_col) <= bound)
+        )
+        resolved_parts.append(done.drop("__ptile"))
+        unresolved = pts_best.where(
+            F.col(dist_col).isNull() | (F.col(dist_col) > bound)
+        ).drop("nearest_facility_id", dist_col)
+        if unresolved.isEmpty():
+            break
+        ring *= 2
+    else:
+        # fall back: exact broadcast for the stragglers
+        resolved_parts.append(
+            knn_broadcast(
+                unresolved.drop("__ptile"),
+                facilities,
+                point_id=point_id, lon=lon, lat=lat,
+                fac_id=fac_id, flon=flon, flat=flat, dist_col=dist_col,
+            )
+        )
+        unresolved = None
+    if unresolved is not None and not unresolved.isEmpty():
+        resolved_parts.append(
+            knn_broadcast(
+                unresolved.drop("__ptile"), facilities,
+                point_id=point_id, lon=lon, lat=lat,
+                fac_id=fac_id, flon=flon, flat=flat, dist_col=dist_col,
+            )
+        )
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def topk_neighbors(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    max_distance_m: float,
+    left_id: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+    right_id: str = "facility_id",
+    rlon: str = "flon",
+    rlat: str = "flat",
+    zoom: int = 4,
+) -> DataFrame:
+    """ε-bounded top-k neighbors per left row (reference build_distance_graph,
+    processing/algorithms.py:24-204): cell-cover candidates at a ring sized
+    to ε, haversine filter, row_number window top-k."""
+    from pyspark.sql.window import Window
+
+    n = 2**zoom
+    tile_deg = 360.0 / n
+    # ring count guaranteeing coverage of max_distance_m at any latitude the
+    # data can hold (worst case: lon-meters shrink by cos(lat) near poles;
+    # mercator lat clamp is ±85.05° → cos ≈ 0.086)
+    min_cos = 0.086
+    ring = int(np.ceil(max_distance_m / (tile_deg * 111194.9 * min_cos))) + 1
+    lt = left.withColumn("__ptile", cells.tile_id(F.col(lon), F.col(lat), zoom))
+    rt = right.withColumn("__rtile", cells.tile_id(F.col(rlon), F.col(rlat), zoom))
+    cand = (
+        ring_candidates(lt, ring, zoom)
+        .join(rt, F.col("__ctile") == F.col("__rtile"), "inner")
+        .withColumn(
+            "dist_m", haversine_expr(F.col(lat), F.col(lon), F.col(rlat), F.col(rlon))
+        )
+        .where(F.col("dist_m") <= F.lit(max_distance_m))
+        .drop("__ptile", "__rtile", "__ctile")
+    )
+    w = Window.partitionBy(left_id).orderBy(F.col("dist_m").asc(), F.col(right_id).asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
