@@ -1,0 +1,94 @@
+"""Benchmark harness — prints ONE JSON line the driver records as
+BENCH_r{N}.json.
+
+Headline: the flagship spatial-enrichment pipeline (html→text → geo-entity
+explode → tile assign → PIP join → salted zonal rollup) over the generated
+web-pages table, reported as docs/sec (the BASELINE.json metric), plus the
+headline operator queries over $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all), BENCH_PAGES (default 60000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from giga_spatial_spark import synth  # noqa: E402
+from giga_spatial_spark.pipeline import enrich  # noqa: E402
+from giga_spatial_spark.session import get_spark  # noqa: E402
+from giga_spatial_spark.sources.webpages import ensure_webpages_parquet  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+N_PAGES = int(os.environ.get("BENCH_PAGES", 60000))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    spark = get_spark("bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path = ensure_webpages_parquet(
+        spark, N_PAGES, os.path.join(CACHE, f"webpages_{N_PAGES}")
+    )
+    pages = spark.read.parquet(pages_path)
+    polys = synth.make_admin_polygons()
+
+    import __spark_entry__ as E
+
+    queries: dict[str, float] = {}
+
+    # headline: flagship pipeline docs/sec
+    t_pipe = timed(lambda: enrich(pages, polys).write.mode("overwrite").format("noop").save())
+    queries["flagship_enrich"] = t_pipe
+
+    Q = E.queries()
+    for name in [
+        "q_tile_assign",
+        "q_pip_tag",
+        "q_pip_tag_rtree",
+        "q_zonal_stats",
+        "q_knn_nearest",
+        "q_range_count",
+        "q_fractional_overlay",
+        "q_proximity_dedup",
+        "q1_pricing_summary",
+    ]:
+        queries[name] = timed(
+            lambda n=name: Q[n](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        )
+
+    total = round(sum(queries.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (flagship enrich + spatial operators)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "extras": {
+                    "flagship_docs_per_sec": round(N_PAGES / t_pipe, 1),
+                    "bench_pages": N_PAGES,
+                    "cores": CPUS,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""Text kernels over the web-pages table — all vectorized pandas UDFs
+(Arrow-batched; no per-row Python UDFs anywhere, per the input_hint).
+
+``extract_text`` is THE per-row invariant of the engine: byte-identical
+extracted text per url (BASELINE.json). It is deterministic pure-Python
+string processing — same bytes in, same str out, on any executor. The
+reference's analog stage is the EntityProcessor normalization pipeline
+(gigaspatial/processing/entity_processor.py:171-232, NFKC at :359-364);
+here the normalization domain is html instead of survey rows.
+
+Geo-entity extraction turns pages into points: documents embed
+"(lat, lon)" coordinate mentions; the UDF regex-extracts every pair,
+producing the point stream the spatial joins consume (the engine's
+web-scale replacement for the reference's file-based point ingest).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+import unicodedata
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_RE_SCRIPT = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_RE_COMMENT = re.compile(r"(?s)<!--.*?-->")
+_RE_BLOCK = re.compile(r"(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr)\s*>")
+_RE_TAG = re.compile(r"(?s)<[^>]*>")
+_RE_WS = re.compile(r"[ \t\r\f\v]+")
+_RE_NL = re.compile(r"\n\s*\n+")
+
+
+def extract_text_py(raw: bytes) -> str:
+    """Deterministic html→text. Order matters and is frozen:
+    strip script/style → strip comments → block tags to newline → strip all
+    tags → decode entities → NFKC → collapse spaces → collapse blank lines
+    → strip. Changing any step breaks the byte-identical invariant."""
+    s = raw.decode("utf-8", errors="replace")
+    s = _RE_SCRIPT.sub(" ", s)
+    s = _RE_COMMENT.sub(" ", s)
+    s = _RE_BLOCK.sub("\n", s)
+    s = _RE_TAG.sub(" ", s)
+    s = _htmllib.unescape(s)
+    s = unicodedata.normalize("NFKC", s)
+    s = _RE_WS.sub(" ", s)
+    s = _RE_NL.sub("\n", s)
+    s = "\n".join(line.strip() for line in s.split("\n"))
+    return s.strip()
+
+
+@F.pandas_udf(StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_py)
+
+
+_RE_COORD = re.compile(
+    r"\((-?\d{1,2}(?:\.\d+)?),\s*(-?\d{1,3}(?:\.\d+)?)\)"
+)
+
+_ENTITY_SCHEMA = ArrayType(
+    StructType(
+        [StructField("ent_lat", DoubleType()), StructField("ent_lon", DoubleType())]
+    )
+)
+
+
+def extract_geo_entities_py(text: str) -> list[tuple[float, float]]:
+    out = []
+    for m in _RE_COORD.finditer(text):
+        lat, lon = float(m.group(1)), float(m.group(2))
+        if -90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0:
+            out.append((lat, lon))
+    return out
+
+
+@F.pandas_udf(_ENTITY_SCHEMA)
+def extract_geo_entities(text: pd.Series) -> pd.Series:
+    return text.map(extract_geo_entities_py)
+
+
+# --------------------------------------------------------- text analytics
+TOKEN_RE = r"[A-Za-z0-9]+(?:'[A-Za-z]+)?"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "en"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def token_count_expr(text_col: str) -> "F.Column":
+    """Whitespace token count as a native expression (no UDF):
+    size(split(trim, '\\s+')), 0 for empty/blank strings."""
+    trimmed = F.trim(F.col(text_col))
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def token_count_sql(text_col: str) -> str:
+    return (
+        f"CASE WHEN length(trim({text_col})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({text_col}), '\\s+')) END"
+    )
+
+
+def stopword_hits_expr(text_col: str, lang: str) -> "F.Column":
+    """Count of stopword occurrences (word-boundary-free, substring ' w '
+    convention so the SQL twin is exact)."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    total = F.lit(0)
+    for w in STOPWORDS[lang]:
+        pat = f" {w} "
+        occurrences = (
+            F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))
+        ) / F.lit(len(pat))
+        total = total + occurrences
+    return total.cast("long")
+
+
+def stopword_hits_sql(text_col: str, lang: str) -> str:
+    padded = f"(' ' || {text_col} || ' ')"
+    terms = []
+    for w in STOPWORDS[lang]:
+        pat = f" {w} "
+        terms.append(
+            f"((length({padded}) - length(replace({padded}, '{pat}', ''))) / {len(pat)})"
+        )
+    return f"cast(({' + '.join(terms)}) as bigint)"
+
+
+def lang_score_exprs(text_col: str) -> dict[str, "F.Column"]:
+    return {lang: stopword_hits_expr(text_col, lang) for lang in STOPWORDS}
+
+
+def predicted_lang_expr(text_col: str) -> "F.Column":
+    """n-gram/stopword language-ID heuristic: argmax of per-language
+    stopword hits, ties broken by language code order; 'und' when all 0."""
+    scores = lang_score_exprs(text_col)
+    langs = sorted(scores)
+    pairs = [F.struct(scores[lg].alias("s"), F.lit(lg).alias("l")) for lg in langs]
+    # max_by over literal structs: greatest on (score, reversed-lang) —
+    # build with when-chains for exact tie semantics: first lang wins ties.
+    best = None
+    for lg in langs:
+        cond = None
+        for other in langs:
+            if other == lg:
+                continue
+            c = (
+                scores[lg] > scores[other]
+                if other < lg
+                else scores[lg] >= scores[other]
+            )
+            cond = c if cond is None else (cond & c)
+        best = (
+            F.when(cond & (scores[lg] > 0), F.lit(lg))
+            if best is None
+            else best.when(cond & (scores[lg] > 0), F.lit(lg))
+        )
+    return best.otherwise(F.lit("und"))
+
+
+def predicted_lang_sql(text_col: str) -> str:
+    langs = sorted(STOPWORDS)
+    scores = {lg: stopword_hits_sql(text_col, lg) for lg in langs}
+    whens = []
+    for lg in langs:
+        conds = []
+        for other in langs:
+            if other == lg:
+                continue
+            op = ">" if other < lg else ">="
+            conds.append(f"({scores[lg]} {op} {scores[other]})")
+        conds.append(f"({scores[lg]} > 0)")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+PUNCT_CHARS = ".,!?;:"
+
+
+def quality_exprs(text_col: str) -> dict[str, "F.Column"]:
+    """Quality-scoring signals: length, token count, punct ratio (over the
+    fixed class .,!?;:), mean token length — all native expressions."""
+    length = F.length(F.col(text_col))
+    tokens = token_count_expr(text_col)
+    stripped = F.col(text_col)
+    for ch in PUNCT_CHARS:
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    punct = length - F.length(stripped)
+    return {
+        "n_chars_extracted": length.cast("long"),
+        "n_tokens": tokens.cast("long"),
+        "punct_ratio": F.round(punct / F.greatest(length, F.lit(1)), 4),
+        "mean_token_len": F.round(
+            (length - tokens + 1) / F.greatest(tokens, F.lit(1)), 2
+        ),
+    }
+
+
+def quality_sqls(text_col: str) -> dict[str, str]:
+    length = f"length({text_col})"
+    tokens = token_count_sql(text_col)
+    stripped = text_col
+    for ch in PUNCT_CHARS:
+        stripped = f"replace({stripped}, '{ch}', '')"
+    punct = f"({length} - length({stripped}))"
+    return {
+        "n_chars_extracted": f"cast({length} as bigint)",
+        "n_tokens": f"cast({tokens} as bigint)",
+        "punct_ratio": f"round({punct} / greatest({length}, 1), 4)",
+        "mean_token_len": f"round(({length} - {tokens} + 1) / greatest({tokens}, 1), 2)",
+    }
