@@ -16,8 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giga_spatial_spark import cells, synth
+from giga_spatial_spark.functions import text as T
+from giga_spatial_spark.geometry import polygon_centroid
 from giga_spatial_spark.operators import zonal
+from giga_spatial_spark.operators.ann import cosine_topk_bruteforce, lsh_topk
+from giga_spatial_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
 from giga_spatial_spark.operators.knn import knn_broadcast, topk_neighbors
+from giga_spatial_spark.operators.normalize import clean_string_expr, clean_string_sql
 from giga_spatial_spark.operators.overlay import fractional_overlay_boxes
 from giga_spatial_spark.operators.pip_join import pip_join_native, pip_join_rtree
 from giga_spatial_spark.operators.range_join import proximity_dedup_exists
@@ -176,6 +185,119 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_admin_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admin annotation with tie-break (reference geo.py:746-870): points in
+    multiple overlapping zones resolved to the zone with the nearest
+    centroid — row_number window argmin (geo.py:848-866)."""
+    from pyspark.sql.window import Window
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    matches = pip_join_native(pts, ADMIN_POLYS, zoom=PIP_ZOOM)
+    cents = spark.createDataFrame(
+        [(zid, *polygon_centroid(poly)) for zid, poly in sorted(ADMIN_POLYS.items())],
+        "zone_id int, cx double, cy double",
+    )
+    j = matches.join(F.broadcast(cents), "zone_id").withColumn(
+        "cdist", synth.haversine_expr(F.col("lat"), F.col("lon"), F.col("cy"), F.col("cx"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cdist").asc(), F.col("zone_id").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "zone_id")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals per language — native expressions
+    only (integer outputs for exact cross-engine sums)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = T.quality_exprs("text")
+    per_doc = docs.select(
+        "lang",
+        q["n_tokens"].alias("n_tokens"),
+        (F.round(q["punct_ratio"] * 10000).cast("bigint")).alias("punct_bps"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n_tokens").alias("tokens_sum"),
+        F.sum("punct_bps").alias("punct_bps_sum"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-scoring language-ID heuristic: confusion counts of
+    (actual lang, predicted lang)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("predicted", T.predicted_lang_expr("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5(text): survivor id + duplicate count per digest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs verified by exact shingle Jaccard
+    (rows-only driver check; exact-Jaccard oracle in pytest)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_near_dup_pairs(docs, threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs, hamming ≤ 3 via pigeonhole banded join
+    (rows-only driver check; pytest verifies vs brute force)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-1: every vector vs the vec_id%10==0 candidate
+    subset — dot product as native F.aggregate/zip_with (no UDF)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 == 0)
+    out = cosine_topk_bruteforce(emb, corpus, k=1)
+    return out.select("qid", "cid", "cosine")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-1 within the embeddings table
+    (rows-only driver check; recall vs brute force asserted in pytest)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, dim=64, k=1, n_planes=10)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (batch view
+    of the streaming pipeline): per (hour, event_type) counts + value cents."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+
+
+def q_normalize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EntityProcessor-style string normalization (trim/lower/null-sentinel,
+    entity_processor.py:329-389) over customer segments."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        cust.withColumn("segment", clean_string_expr(F.col("c_mktsegment")))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIP-tag + tile assignment + zonal rollup at sf0.001."""
     pts = _docs_pts(spark, SF0001).select("doc_id", "lon", "lat")
@@ -199,6 +321,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fractional_overlay": q_fractional_overlay,
         "q_proximity_dedup": q_proximity_dedup,
         "q_bounds_filter": q_bounds_filter,
+        "q_admin_annotate": q_admin_annotate,
+        "q_token_stats": q_token_stats,
+        "q_lang_id": q_lang_id,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_near_dup": q_minhash_near_dup,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_ann_top1": q_ann_top1,
+        "q_ann_lsh": q_ann_lsh,
+        "q_events_hourly": q_events_hourly,
+        "q_normalize_strings": q_normalize_strings,
         "q1_pricing_summary": q1_pricing_summary,
     }
 
@@ -279,7 +411,75 @@ def oracle_sql() -> dict[str, str]:
         "FROM z LEFT JOIN a USING (zone_id)"
     )
 
+    cents = ", ".join(
+        f"({zid}, {cx!r}, {cy!r})"
+        for zid, (cx, cy) in (
+            (z, polygon_centroid(p)) for z, p in sorted(ADMIN_POLYS.items())
+        )
+    )
+    admin_annotate = (
+        f"WITH pip AS ({pip}), c(zone_id, cx, cy) AS (VALUES {cents}), "
+        "j AS (SELECT pip.doc_id, pip.zone_id, "
+        + synth.haversine_sql("pip.lat", "pip.lon", "c.cy", "c.cx")
+        + " AS cdist FROM pip JOIN c USING (zone_id)), "
+        "r AS (SELECT doc_id, zone_id, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY cdist, zone_id) AS rn FROM j) "
+        "SELECT doc_id, zone_id FROM r WHERE rn = 1"
+    )
+
+    qsql = T.quality_sqls("text")
+    token_stats = (
+        "WITH per_doc AS (SELECT lang, "
+        f"{qsql['n_tokens']} AS n_tokens, "
+        f"cast(round({qsql['punct_ratio']} * 10000, 0) as bigint) AS punct_bps "
+        "FROM documents) "
+        "SELECT lang, count(*) AS doc_count, sum(n_tokens) AS tokens_sum, "
+        "sum(punct_bps) AS punct_bps_sum FROM per_doc GROUP BY lang"
+    )
+
+    lang_id = (
+        f"SELECT lang, {T.predicted_lang_sql('text')} AS predicted, "
+        "count(*) AS doc_count FROM documents GROUP BY 1, 2"
+    )
+
+    dedup_exact = (
+        "SELECT md5(text) AS digest, min(doc_id) AS survivor_id, "
+        "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+    )
+
+    ann_top1 = (
+        "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings), "
+        "c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings "
+        "WHERE vec_id % 10 = 0), "
+        "pairs AS (SELECT qid, cid, "
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * "
+        "sqrt(list_dot_product(cv, cv))) AS cosine FROM q CROSS JOIN c "
+        "WHERE qid != cid), "
+        "r AS (SELECT qid, cid, cosine, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cosine DESC, cid) AS rn FROM pairs) "
+        "SELECT qid, cid, round(cosine, 4) AS cosine FROM r WHERE rn = 1"
+    )
+
+    events_hourly = (
+        "SELECT date_trunc('hour', ts) AS hour, event_type, "
+        "count(*) AS event_count, "
+        "sum(cast(round(value * 100, 0) as bigint)) AS value_cents "
+        "FROM events GROUP BY 1, 2"
+    )
+
+    normalize_strings = (
+        f"SELECT {clean_string_sql('c_mktsegment')} AS segment, "
+        "count(*) AS customer_count FROM customer GROUP BY 1"
+    )
+
     return {
+        "q_admin_annotate": admin_annotate,
+        "q_token_stats": token_stats,
+        "q_lang_id": lang_id,
+        "q_dedup_exact": dedup_exact,
+        "q_ann_top1": ann_top1,
+        "q_events_hourly": events_hourly,
+        "q_normalize_strings": normalize_strings,
         "q_tile_assign": tile_assign,
         "q_pip_tag": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_tag_rtree": f"SELECT doc_id, zone_id FROM ({pip})",
