@@ -298,6 +298,39 @@ def q_normalize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal raster statistics (reference tif_processor.py:1008-1089):
+    synthetic pixel table → nodata mask → PIP vs admin zones → per-zone
+    stats (integer-exact sum via decipixels; exact interpolating median)."""
+    from giga_spatial_spark.operators.raster import RasterMeta, synthetic_raster
+
+    pixels = synthetic_raster(spark, RasterMeta())
+    valid = pixels.where(F.col("value").isNotNull())
+    matches = pip_join_native(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    return matches.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("px_count"),
+        (F.sum(F.round(F.col("value") * 10).cast("bigint")) / 10.0).alias("v_sum"),
+        F.round(F.min("value"), 1).alias("v_min"),
+        F.round(F.max("value"), 1).alias("v_max"),
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 2).alias("v_median"),
+    )
+
+
+def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point sampling of the raster (reference tif_processor.py:958-1006):
+    doc points → containing-pixel equi-join."""
+    from giga_spatial_spark.operators.raster import (
+        RasterMeta,
+        sample_by_coordinates,
+        synthetic_raster,
+    )
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    pixels = synthetic_raster(spark, RasterMeta())
+    out = sample_by_coordinates(pts, pixels, RasterMeta())
+    return out.select("doc_id", F.round("pixel_value", 1).alias("pixel_value"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIP-tag + tile assignment + zonal rollup at sf0.001."""
     pts = _docs_pts(spark, SF0001).select("doc_id", "lon", "lat")
@@ -331,6 +364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_events_hourly": q_events_hourly,
         "q_normalize_strings": q_normalize_strings,
+        "q_zonal_raster": q_zonal_raster,
+        "q_raster_sample": q_raster_sample,
         "q1_pricing_summary": q1_pricing_summary,
     }
 
@@ -472,7 +507,38 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS customer_count FROM customer GROUP BY 1"
     )
 
+    from giga_spatial_spark.operators.raster import RasterMeta, synthetic_raster_sql
+
+    rmeta = RasterMeta()
+    raster = synthetic_raster_sql(rmeta)
+    zone_pip_clauses = []
+    for zid, poly in sorted(ADMIN_POLYS.items()):
+        pred = synth.convex_contains_sql(poly, "r.lon", "r.lat")
+        zone_pip_clauses.append(
+            f"SELECT {zid} AS zone_id, r.value FROM valid r WHERE {pred}"
+        )
+    zonal_raster = (
+        f"WITH raster AS ({raster}), valid AS (SELECT * FROM raster WHERE value IS NOT NULL), "
+        f"m AS ({' UNION ALL '.join(zone_pip_clauses)}) "
+        "SELECT zone_id, count(*) AS px_count, "
+        "sum(cast(round(value * 10, 0) as bigint)) / 10.0 AS v_sum, "
+        "round(min(value), 1) AS v_min, round(max(value), 1) AS v_max, "
+        "round(quantile_cont(value, 0.5), 2) AS v_median "
+        "FROM m GROUP BY zone_id"
+    )
+
+    raster_sample = (
+        f"WITH raster AS ({raster}), d AS ({docs}), "
+        "keyed AS (SELECT doc_id, "
+        f"cast(floor((lon - {rmeta.lon0}) / {rmeta.dx!r}) as bigint) AS px, "
+        f"cast(floor((lat - {rmeta.lat0}) / {rmeta.dy!r}) as bigint) AS py FROM d) "
+        "SELECT k.doc_id, round(r.value, 1) AS pixel_value "
+        "FROM keyed k LEFT JOIN raster r USING (px, py)"
+    )
+
     return {
+        "q_zonal_raster": zonal_raster,
+        "q_raster_sample": raster_sample,
         "q_admin_annotate": admin_annotate,
         "q_token_stats": token_stats,
         "q_lang_id": lang_id,

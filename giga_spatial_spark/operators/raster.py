@@ -1,0 +1,147 @@
+"""Raster path — pixel-table semantics of the reference TifProcessor.
+
+Reference: GeoTIFF → pixel dataframe `to_dataframe()`
+(gigaspatial/processing/tif_processor.py:587-637), zonal stats
+`sample_by_polygons` (:1008-1089), point sampling `sample_by_coordinates`
+(:958-1006), merge-mean (:434-502), nodata masks (:1737-1829).
+
+Spark design (SURVEY.md §2.1 row 4): a raster IS a table of pixels
+(band, px, py, lon, lat, value). The TIFF windowed decode would be a
+mapInPandas over block windows; rasterio is not in this container, so
+ingest is stubbed by a deterministic synthetic raster generated with pure
+integer arithmetic — which makes every raster operator ORACLE-CHECKABLE in
+DuckDB (the SQL twin generates the identical grid). All operator semantics
+(nodata masking, stat dispatch, NaN for empty zones, merge-mean) are real.
+
+Grid convention: W×H pixels covering [lon0,lon1]×[lat0,lat1], pixel center
+lon = lon0 + (px+0.5)*(lon1-lon0)/W (the reference's affine-transform pixel
+centers, tif_processor.py:1694-1726).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .zonal import _AGG_FNS
+
+
+@dataclass(frozen=True)
+class RasterMeta:
+    width: int = 360
+    height: int = 160
+    lon0: float = -180.0
+    lon1: float = 180.0
+    lat0: float = -80.0
+    lat1: float = 80.0
+
+    @property
+    def dx(self) -> float:
+        return (self.lon1 - self.lon0) / self.width
+
+    @property
+    def dy(self) -> float:
+        return (self.lat1 - self.lat0) / self.height
+
+
+def synthetic_raster(spark: SparkSession, meta: RasterMeta = RasterMeta(),
+                     band: int = 1) -> DataFrame:
+    """Deterministic pixel table: value = ((px*31 + py*17 + band) % 997)/10,
+    nodata (NULL) where (px*7 + py*13) % 23 == 0."""
+    px = F.col("id") % meta.width
+    py = F.floor(F.col("id") / meta.width).cast("bigint")
+    raw = ((px * 31 + py * 17 + F.lit(band)) % 997) / 10.0
+    value = F.when((px * 7 + py * 13) % 23 == 0, F.lit(None)).otherwise(raw)
+    return (
+        spark.range(meta.width * meta.height)
+        .select(
+            F.lit(band).alias("band"),
+            px.alias("px"),
+            py.alias("py"),
+            (F.lit(meta.lon0) + (px + 0.5) * meta.dx).alias("lon"),
+            (F.lit(meta.lat0) + (py + 0.5) * meta.dy).alias("lat"),
+            value.alias("value"),
+        )
+    )
+
+
+def synthetic_raster_sql(meta: RasterMeta = RasterMeta(), band: int = 1) -> str:
+    """DuckDB twin of synthetic_raster (range → identical arithmetic)."""
+    n = meta.width * meta.height
+    py = f"(i // {meta.width})"  # integer division — DuckDB cast() rounds!
+    return (
+        f"SELECT {band} AS band, (i % {meta.width}) AS px, "
+        f"{py} AS py, "
+        f"({meta.lon0} + ((i % {meta.width}) + 0.5) * {meta.dx!r}) AS lon, "
+        f"({meta.lat0} + ({py} + 0.5) * {meta.dy!r}) AS lat, "
+        f"CASE WHEN ((i % {meta.width}) * 7 + {py} * 13) % 23 = 0 "
+        f"THEN NULL ELSE (((i % {meta.width}) * 31 + {py} * 17 + {band}) % 997) / 10.0 END AS value "
+        f"FROM (SELECT unnest(range({n})) AS i)"
+    )
+
+
+def zonal_raster_stats(
+    pixels: DataFrame,
+    polys,
+    stats: list[str] = ("count", "sum", "mean", "min", "max", "median"),
+    zoom: int = 6,
+) -> DataFrame:
+    """Per-zone stats over valid (non-nodata) pixels — reference
+    sample_by_polygons semantics: nodata dropped first, NaN for zones with
+    no valid pixels, count = number of valid pixels (tif_processor.py:1043)."""
+    from .pip_join import pip_join_native
+
+    valid = pixels.where(F.col("value").isNotNull())
+    matches = pip_join_native(valid, polys, lon="lon", lat="lat", zoom=zoom)
+    exprs = []
+    for s in stats:
+        exprs.append(_AGG_FNS[s](F.col("value")).alias(f"value_{s}"))
+    return matches.groupBy("zone_id").agg(*exprs)
+
+
+def sample_by_coordinates(
+    points: DataFrame,
+    pixels: DataFrame,
+    meta: RasterMeta = RasterMeta(),
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Raster value at each point — nearest (containing) pixel equi-join
+    (reference :958-1006 reads the pixel under each coordinate)."""
+    px = F.floor((F.col(lon) - F.lit(meta.lon0)) / F.lit(meta.dx)).cast("bigint")
+    py = F.floor((F.col(lat) - F.lit(meta.lat0)) / F.lit(meta.dy)).cast("bigint")
+    keyed = points.withColumn("px", px).withColumn("py", py)
+    return keyed.join(
+        pixels.select("px", "py", F.col("value").alias("pixel_value")),
+        ["px", "py"],
+        "left",
+    )
+
+
+def merge_mean(rasters: list[DataFrame]) -> DataFrame:
+    """Overlapping-raster mean (reference _merge_with_mean :434-502):
+    union pixel tables → groupBy pixel → avg of valid values."""
+    u = rasters[0]
+    for r in rasters[1:]:
+        u = u.unionByName(r)
+    return (
+        u.where(F.col("value").isNotNull())
+        .groupBy("px", "py")
+        .agg(F.avg("value").alias("value_mean"), F.count(F.lit(1)).alias("n_rasters"))
+    )
+
+
+def raster_global_stats(pixels: DataFrame) -> DataFrame:
+    """Streaming per-block global stats (reference _get_basic_statistics
+    :1559-1692) — partial+final agg is native."""
+    v = F.col("value")
+    return pixels.where(v.isNotNull()).agg(
+        F.count(v).alias("count"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.avg(v).alias("mean"),
+        F.stddev(v).alias("std"),
+        F.sum(v).alias("sum"),
+    )

@@ -1,0 +1,137 @@
+"""View-generator API layer — the reference's user-facing surface.
+
+Mirrors PoiViewGenerator (gigaspatial/generators/poi.py) and
+ZonalViewGenerator (generators/zonal/base.py): a view accumulates
+enrichment columns keyed by poi_id / zone_id via left joins
+(_update_view poi.py:244-285, add_variable_to_view zonal/base.py:148-201),
+with map_* methods delegating to engine operators and save_view writing
+parquet. A user of the reference can port call-sites 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class PoiViewGenerator:
+    """points: DataFrame with (poi_id, lon, lat). Reference poi.py:63-232
+    normalizes inputs and checks duplicate ids; we do the same."""
+
+    def __init__(self, points: DataFrame, poi_id: str = "poi_id",
+                 lon: str = "lon", lat: str = "lat"):
+        dup = points.groupBy(poi_id).count().where(F.col("count") > 1)
+        if not dup.isEmpty():
+            raise ValueError("duplicate poi_id values in input points")
+        self.poi_id, self.lon, self.lat = poi_id, lon, lat
+        self.points = points
+        self._view = points
+
+    def _update_view(self, new_cols: DataFrame) -> None:
+        """Left-join enrichment keyed by poi_id (reference poi.py:244-285)."""
+        self._view = self._view.join(new_cols, self.poi_id, "left")
+
+    def map_nearest_points(self, facilities: DataFrame, prefix: str = "nearest",
+                           fac_id: str = "facility_id",
+                           flon: str = "flon", flat: str = "flat") -> "PoiViewGenerator":
+        """Reference map_nearest_points (poi.py:287-391): nearest facility id
+        + haversine distance per POI."""
+        from .operators.knn import knn_broadcast
+
+        out = knn_broadcast(
+            self.points.select(self.poi_id, self.lon, self.lat),
+            facilities, point_id=self.poi_id, lon=self.lon, lat=self.lat,
+            fac_id=fac_id, flon=flon, flat=flat,
+        ).select(
+            self.poi_id,
+            F.col("nearest_facility_id").alias(f"{prefix}_id"),
+            F.col("nearest_dist_m").alias(f"{prefix}_dist_m"),
+        )
+        self._update_view(out)
+        return self
+
+    def map_zonal_stats(self, polys, column_name: str = "zone_id",
+                        zoom: int = 6) -> "PoiViewGenerator":
+        """PIP-tag each POI with its admin zone (multi-match resolved by
+        lowest zone id for view uniqueness)."""
+        from .operators.pip_join import pip_join_rtree
+
+        tags = (
+            pip_join_rtree(
+                self.points.select(self.poi_id, self.lon, self.lat),
+                polys, lon=self.lon, lat=self.lat, zoom=zoom,
+            )
+            .groupBy(self.poi_id)
+            .agg(F.min("zone_id").alias(column_name))
+        )
+        self._update_view(tags)
+        return self
+
+    def chain_operations(self, ops: list) -> "PoiViewGenerator":
+        """Fluent pipeline (reference poi.py:1084-1110): each op is a
+        callable view_gen -> view_gen."""
+        gen = self
+        for op in ops:
+            gen = op(gen)
+        return gen
+
+    def to_dataframe(self) -> DataFrame:
+        return self._view
+
+    def save_view(self, path: str, fmt: str = "parquet") -> str:
+        self._view.write.mode("overwrite").format(fmt).save(path)
+        return path
+
+
+class ZonalViewGenerator:
+    """zones: DataFrame with zone_id (+ any zone attrs). Reference
+    zonal/base.py:104-133."""
+
+    def __init__(self, zones_dim: DataFrame, polys, zone_key: str = "zone_id"):
+        self.zones_dim = zones_dim
+        self.polys = polys
+        self.zone_key = zone_key
+        self._view = zones_dim
+
+    def add_variable_to_view(self, agged: DataFrame, fill_zero_cols=()) -> "ZonalViewGenerator":
+        """Reference add_variable_to_view (zonal/base.py:148-201): left join
+        keyed by zone, optional 0-fill for count-like columns."""
+        out = self._view.join(agged, self.zone_key, "left")
+        for c in fill_zero_cols:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+        self._view = out
+        return self
+
+    def map_points(self, points: DataFrame, aggregation="count",
+                   value_columns=None, zoom: int = 6) -> "ZonalViewGenerator":
+        """Reference map_points → aggregate_points_to_zones semantics
+        (fill 0 for counts, NULL otherwise)."""
+        from .operators.zonal import agg_exprs, aggregate_points_to_zones
+
+        out = aggregate_points_to_zones(
+            points, self.polys, self.zones_dim, aggregation, value_columns,
+            zoom=zoom,
+        )
+        self._view = self._view.join(
+            out.drop(*[c for c in self.zones_dim.columns if c != self.zone_key]),
+            self.zone_key,
+            "left",
+        )
+        return self
+
+    def map_rasters(self, pixels: DataFrame, stats=("count", "mean"),
+                    zoom: int = 6) -> "ZonalViewGenerator":
+        """Reference map_rasters → zonal raster stats."""
+        from .operators.raster import zonal_raster_stats
+
+        agged = zonal_raster_stats(pixels, self.polys, stats=list(stats), zoom=zoom)
+        return self.add_variable_to_view(
+            agged, fill_zero_cols=["value_count"] if "count" in stats else ()
+        )
+
+    def to_dataframe(self) -> DataFrame:
+        return self._view
+
+    def save_view(self, path: str, fmt: str = "parquet") -> str:
+        self._view.write.mode("overwrite").format(fmt).save(path)
+        return path

@@ -1,0 +1,106 @@
+"""Lineage kill-resume and streaming-vs-batch equivalence."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from giga_spatial_spark import synth
+from giga_spatial_spark.plans.lineage import LineageStage
+from giga_spatial_spark.streaming.pipeline import windowed_event_counts
+
+from .conftest import SF_DIR
+
+
+def test_lineage_kill_resume(spark):
+    tmp = tempfile.mkdtemp(prefix="lineage_")
+    try:
+        docs = synth.with_coords(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"), "doc_id"
+        ).withColumn("unit", (F.col("doc_id") % 4).cast("string"))
+
+        def transform(df):
+            return df.select("unit", "doc_id", (F.col("lat") + F.col("lon")).alias("v"))
+
+        stage = LineageStage(os.path.join(tmp, "stage1"))
+
+        # simulate a killed job: only half the units complete
+        first = stage.run(docs.where(F.col("unit").isin(["0", "1"])), transform)
+        assert first == 2
+        manifest_after_first = stage.completed_units()
+        data_files = {
+            os.path.join(root, f): os.path.getmtime(os.path.join(root, f))
+            for root, _, files in os.walk(os.path.join(tmp, "stage1", "data"))
+            for f in files
+            if f.endswith(".parquet")
+        }
+
+        # resume with the full input: only the missing units run
+        second = stage.run(docs, transform)
+        assert second == 2
+        # completed units were NOT recomputed: their manifest entries and
+        # parquet files are untouched
+        manifest_final = stage.completed_units()
+        for u in ["0", "1"]:
+            assert manifest_final[u] == manifest_after_first[u]
+        for root, _, files in os.walk(os.path.join(tmp, "stage1", "data")):
+            for f in files:
+                p = os.path.join(root, f)
+                if p in data_files:
+                    assert os.path.getmtime(p) == data_files[p]
+
+        # third run: fully resumed, zero work
+        assert stage.run(docs, transform) == 0
+
+        # read-back equals a direct computation
+        got = stage.read(spark).select("doc_id").toPandas()
+        expected = transform(docs).select("doc_id").toPandas()
+        assert sorted(got["doc_id"]) == sorted(expected["doc_id"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_window_equals_batch(spark):
+    tmp = tempfile.mkdtemp(prefix="stream_")
+    try:
+        # the file stream source needs a directory; stage the events parquet
+        src_dir = os.path.join(tmp, "events_src")
+        os.makedirs(src_dir)
+        shutil.copy(f"{SF_DIR}/events.parquet", src_dir)
+        schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+        stream = spark.readStream.schema(schema).format("parquet").load(src_dir)
+        out = windowed_event_counts(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ev_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from ev_counts").toPandas()
+
+        batch = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+            .groupBy("hour", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("event_count"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+            )
+            .toPandas()
+        )
+        for pdf in (got, batch):  # normalize tz-aware vs NTZ to naive
+            if getattr(pdf["hour"].dtype, "tz", None) is not None:
+                pdf["hour"] = pdf["hour"].dt.tz_localize(None)
+        key = ["hour", "event_type"]
+        g = got.sort_values(key).reset_index(drop=True)
+        b = batch.sort_values(key).reset_index(drop=True)
+        assert g[["hour", "event_type", "event_count", "value_cents"]].equals(
+            b[["hour", "event_type", "event_count", "value_cents"]]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
