@@ -331,6 +331,61 @@ def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("pixel_value", 1).alias("pixel_value"))
 
 
+def q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with broadcast dims + filtered agg —
+    relational breadth check (reference has only pandas merges, SURVEY §2.4)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    revenue_cents = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "bigint"
+        )
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg((revenue_cents / 100.0).alias("revenue"))
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k (reference pattern: top-k neighbors per left row,
+    algorithms.py:104-141): top-3 orders per customer by total price."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+GRID_FILTER_QUADKEYS = ["0231", "0320", "1202", "2130", "3021", "3102"]
+
+
+def q_grid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid membership semi-join (reference filter_quadkeys,
+    mercator_tiles.py:231-253): docs whose zoom-4 quadkey is in a cover set."""
+    pts = _docs_pts(spark, sf_dir)
+    qk = cells.quadkey(F.col("lon"), F.col("lat"), 4)
+    cover = spark.createDataFrame(
+        [(q,) for q in GRID_FILTER_QUADKEYS], "qk string"
+    )
+    tagged = pts.withColumn("qk", qk)
+    return (
+        tagged.join(F.broadcast(cover), "qk", "left_semi")
+        .groupBy("qk")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIP-tag + tile assignment + zonal rollup at sf0.001."""
     pts = _docs_pts(spark, SF0001).select("doc_id", "lon", "lat")
@@ -366,6 +421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_strings": q_normalize_strings,
         "q_zonal_raster": q_zonal_raster,
         "q_raster_sample": q_raster_sample,
+        "q3_shipping": q3_shipping,
+        "q_topk_orders": q_topk_orders,
+        "q_grid_filter": q_grid_filter,
         "q1_pricing_summary": q1_pricing_summary,
     }
 
@@ -536,7 +594,30 @@ def oracle_sql() -> dict[str, str]:
         "FROM keyed k LEFT JOIN raster r USING (px, py)"
     )
 
+    q3 = (
+        "SELECT o_orderkey, o_orderdate, "
+        "sum(cast(round(l_extendedprice * (1 - l_discount) * 100, 0) as bigint)) / 100.0 AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey, o_orderdate"
+    )
+    topk_orders = (
+        "SELECT o_custkey, o_orderkey, o_totalprice, rk FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+        "FROM orders) WHERE rk <= 3"
+    )
+    qk4 = cells.quadkey_sql("lon", "lat", 4)
+    covers = ", ".join(f"'{q}'" for q in GRID_FILTER_QUADKEYS)
+    grid_filter = (
+        f"WITH d AS ({docs}), t AS (SELECT {qk4} AS qk FROM d) "
+        f"SELECT qk, count(*) AS doc_count FROM t WHERE qk IN ({covers}) GROUP BY qk"
+    )
+
     return {
+        "q3_shipping": q3,
+        "q_topk_orders": topk_orders,
+        "q_grid_filter": grid_filter,
         "q_zonal_raster": zonal_raster,
         "q_raster_sample": raster_sample,
         "q_admin_annotate": admin_annotate,

@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from giga_spatial_spark import synth  # noqa: E402
-from giga_spatial_spark.pipeline import enrich  # noqa: E402
+from giga_spatial_spark.pipeline import enrich, enrich_fused  # noqa: E402
 from giga_spatial_spark.session import get_spark  # noqa: E402
 from giga_spatial_spark.sources.webpages import ensure_webpages_parquet  # noqa: E402
 
@@ -53,10 +53,14 @@ def main() -> None:
     # warmup: spin up JVM codegen + Python workers on a small slice so the
     # timed runs measure steady-state throughput, not process start-up
     enrich(pages.limit(2000), polys).write.mode("overwrite").format("noop").save()
+    enrich_fused(pages.limit(2000), polys).write.mode("overwrite").format("noop").save()
 
-    # headline: flagship pipeline docs/sec
-    t_pipe = timed(lambda: enrich(pages, polys).write.mode("overwrite").format("noop").save())
+    # headline: flagship pipeline docs/sec (fused single-python-pass variant)
+    t_pipe = timed(lambda: enrich_fused(pages, polys).write.mode("overwrite").format("noop").save())
     queries["flagship_enrich"] = t_pipe
+    queries["flagship_enrich_modular"] = timed(
+        lambda: enrich(pages, polys).write.mode("overwrite").format("noop").save()
+    )
 
     Q = E.queries()
     for name in [

@@ -174,6 +174,45 @@ def polygon_cover(poly: np.ndarray, zoom: int, exact: bool = True) -> list[tuple
     return out
 
 
+def quadkey_parent(qk: str, levels_up: int = 1) -> str:
+    """Parent quadkey (reference grid hierarchy ops, h3.py:414-466 /
+    mercator zoom-out): drop trailing digits."""
+    return qk[: max(len(qk) - levels_up, 0)]
+
+
+def quadkey_children(qk: str) -> list[str]:
+    """The 4 children one zoom finer."""
+    return [qk + d for d in "0123"]
+
+
+def compact_quadkeys(qks: set[str] | list[str]) -> list[str]:
+    """Multi-resolution compaction (reference h3.compact_cells usage,
+    grid/h3.py:395-412): replace any complete sibling set by its parent,
+    repeatedly. Driver-side (cover sets are small)."""
+    cells_set = set(qks)
+    changed = True
+    while changed:
+        changed = False
+        parents = {q[:-1] for q in cells_set if len(q) > 0}
+        for p in parents:
+            kids = {p + d for d in "0123"}
+            if kids <= cells_set:
+                cells_set -= kids
+                cells_set.add(p)
+                changed = True
+    return sorted(cells_set)
+
+
+def expand_quadkey(qk: str, zoom: int) -> list[str]:
+    """Inverse of compaction: all descendants of qk at `zoom`."""
+    if len(qk) >= zoom:
+        return [qk]
+    out = [qk]
+    for _ in range(zoom - len(qk)):
+        out = [q + d for q in out for d in "0123"]
+    return out
+
+
 def k_ring_offsets(k: int) -> list[tuple[int, int]]:
     """Chebyshev-disk offsets (dx, dy) for |dx|<=k, |dy|<=k — the square-grid
     analog of H3 grid_ring (reference grid/h3.py:371-393)."""

@@ -1,0 +1,150 @@
+"""S2-style hierarchical cell index — from-scratch numpy implementation.
+
+Reproduces the reference's S2Cells semantics (gigaspatial/grid/s2.py:21-34,
+point→cell :344-369, parent/children :371-455) without the s2sphere
+dependency: the standard public S2 scheme — unit-sphere → cube face →
+quadratic UV correction → leaf (i,j) on a 2^30 grid → Hilbert curve
+position packed into a 64-bit cell id (face ∙ 61-bit position ∙ trailing
+1-bit sentinel encoding the level).
+
+Vectorized over numpy arrays → used inside pandas UDFs (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEVEL = 30
+
+# Hilbert traversal lookup (public S2 constants): for each orientation
+# (swap/invert bits) and quadrant (i-bit, j-bit), the sub-quadrant order and
+# new orientation.
+_POS_TO_IJ = np.array(
+    [
+        [0, 1, 3, 2],  # orientation 0: (0,0) (0,1) (1,1) (1,0)
+        [0, 2, 3, 1],  # orientation 1 (swap)
+        [3, 2, 0, 1],  # orientation 2 (invert)
+        [3, 1, 0, 2],  # orientation 3 (swap+invert)
+    ],
+    dtype=np.int64,
+)
+_IJ_TO_POS = np.zeros((4, 4), dtype=np.int64)
+for _o in range(4):
+    for _p in range(4):
+        _IJ_TO_POS[_o, _POS_TO_IJ[_o, _p]] = _p
+_SWAP_MASK, _INVERT_MASK = 1, 2
+_POS_TO_ORIENTATION = np.array(
+    [_SWAP_MASK, 0, 0, _INVERT_MASK | _SWAP_MASK], dtype=np.int64
+)
+
+
+def _face_xyz(lat: np.ndarray, lon: np.ndarray):
+    """lat/lon degrees → (face, u, v) via largest-component cube projection."""
+    phi, theta = np.radians(lat), np.radians(lon)
+    x = np.cos(phi) * np.cos(theta)
+    y = np.cos(phi) * np.sin(theta)
+    z = np.sin(phi)
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az),
+        np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5)),
+    ).astype(np.int64)
+    # u, v per face (standard S2 face frames)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f, (ue, ve, de) in enumerate(
+        [
+            (lambda: y / x, lambda: z / x, None),
+            (lambda: -x / y, lambda: z / y, None),
+            (lambda: -x / z, lambda: -y / z, None),
+            (lambda: z / x, lambda: y / x, None),
+            (lambda: z / y, lambda: -x / y, None),
+            (lambda: -y / z, lambda: -x / z, None),
+        ]
+    ):
+        m = face == f
+        if m.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u[m] = ue()[m]
+                v[m] = ve()[m]
+    return face, u, v
+
+
+def _uv_to_st(u: np.ndarray) -> np.ndarray:
+    """S2 quadratic projection (the library default)."""
+    pos = 0.5 * np.sqrt(np.maximum(1 + 3 * u, 0.0))
+    neg = 1 - 0.5 * np.sqrt(np.maximum(1 - 3 * u, 0.0))
+    return np.where(u >= 0, pos, neg)
+
+
+def _st_to_ij(s: np.ndarray, level: int) -> np.ndarray:
+    n = 1 << level
+    return np.clip((s * n).astype(np.int64), 0, n - 1)
+
+
+def cell_id(lat, lon, level: int = 12) -> np.ndarray:
+    """Vectorized (lat, lon) → 64-bit S2-style cell id at `level`."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    face, u, v = _face_xyz(lat, lon)
+    i = _st_to_ij(_uv_to_st(u), MAX_LEVEL)
+    j = _st_to_ij(_uv_to_st(v), MAX_LEVEL)
+    # Hilbert: accumulate curve position MSB-first over MAX_LEVEL bits
+    pos = np.zeros(len(face), dtype=np.uint64)
+    orientation = np.where(face & 1, _SWAP_MASK, 0).astype(np.int64)
+    for k in range(MAX_LEVEL - 1, -1, -1):
+        ib = (i >> k) & 1
+        jb = (j >> k) & 1
+        quad = (ib << 1) | jb
+        p = _IJ_TO_POS[orientation, quad]
+        pos = (pos << np.uint64(2)) | p.astype(np.uint64)
+        orientation = orientation ^ _POS_TO_ORIENTATION[p]
+    # full 64-bit id: face(3) + pos(2*MAX_LEVEL) + sentinel 1
+    full = (
+        (face.astype(np.uint64) << np.uint64(2 * MAX_LEVEL + 1))
+        | (pos << np.uint64(1))
+        | np.uint64(1)
+    )
+    # truncate to `level`: zero low bits, set sentinel at the level boundary
+    shift = np.uint64(2 * (MAX_LEVEL - level))
+    lsb = np.uint64(1) << shift
+    truncated = (full & ~(lsb - np.uint64(1)) & ~lsb) | lsb
+    return truncated.astype(np.int64)
+
+
+def cell_level(cid) -> np.ndarray:
+    """Level from the trailing-bit sentinel."""
+    cid = np.asarray(cid, dtype=np.uint64)
+    lsb = cid & (~cid + np.uint64(1))
+    k = np.round(np.log2(lsb.astype(np.float64))).astype(np.int64)
+    return MAX_LEVEL - k // 2
+
+
+def parent(cid, level: int) -> np.ndarray:
+    """Ancestor cell at a coarser level (reference grid/s2.py parents)."""
+    cid = np.asarray(cid, dtype=np.uint64)
+    shift = np.uint64(2 * (MAX_LEVEL - level))
+    lsb = np.uint64(1) << shift
+    return ((cid & ~(lsb - np.uint64(1)) & ~lsb) | lsb).astype(np.int64)
+
+
+def children(cid) -> np.ndarray:
+    """The 4 child cells, one level finer. cid: scalar int."""
+    c = np.uint64(cid)
+    lsb = c & (~c + np.uint64(1))
+    child_lsb = lsb >> np.uint64(2)
+    base = c - lsb  # zero the sentinel
+    return np.array(
+        [
+            int(base + child_lsb + np.uint64(2 * q) * child_lsb)
+            for q in range(4)
+        ],
+        dtype=np.int64,
+    )
+
+
+def token(cid) -> str:
+    """Hex token with trailing zeros stripped (s2 convention)."""
+    h = format(int(np.uint64(cid)), "016x").rstrip("0")
+    return h or "0"

@@ -65,6 +65,60 @@ def enrich(pages: DataFrame, admin_polys, tile_zoom: int = TILE_ZOOM,
     return salted_count(tiled, ["zone_id", "tile"], "mention_count")
 
 
+def enrich_fused(pages: DataFrame, admin_polys, tile_zoom: int = TILE_ZOOM,
+                 pip_zoom: int = PIP_ZOOM) -> DataFrame:
+    """Single-Python-pass variant of :func:`enrich` — identical output.
+
+    The modular pipeline crosses the JVM↔Python boundary three times
+    (extract UDF, entity UDF, PIP refine). At 10^12 rows the Arrow
+    (de)serialization of the intermediate columns dominates, so the scale
+    path fuses html→text → entity regex → tile math → GridIndex PIP into
+    ONE mapInPandas kernel: scan → fused kernel → salted rollup. One python
+    exchange, no intermediate text column ever serialized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from . import cells as _cells
+    from .functions.text import extract_geo_entities_py, extract_text_py
+    from .geometry import GridIndex
+
+    spark = pages.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {int(k): np.asarray(v, dtype=np.float64) for k, v in admin_polys.items()}
+    )
+
+    def kernel(batches):
+        index = GridIndex(bc.value)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lats, lons = [], []
+            for h in pdf["html"]:
+                for la, lo in extract_geo_entities_py(extract_text_py(h)):
+                    lats.append(la)
+                    lons.append(lo)
+            if not lats:
+                continue
+            lat = np.asarray(lats)
+            lon = np.asarray(lons)
+            idx, pid = index.query_points(lon, lat, convex=True)
+            if not len(idx):
+                continue
+            tx, ty = _cells.tile_xy_np(lon[idx], lat[idx], tile_zoom)
+            yield pd.DataFrame(
+                {
+                    "zone_id": pid.astype(np.int64).astype(np.int32),
+                    "tile": _cells.pack_tile(tx, ty),
+                }
+            )
+
+    tagged = pages.select("html").mapInPandas(
+        kernel, schema="zone_id int, tile bigint"
+    )
+    return salted_count(tagged, ["zone_id", "tile"], "mention_count")
+
+
 def salted_count(df: DataFrame, keys: list[str], out_col: str,
                  buckets: int = SALT_BUCKETS) -> DataFrame:
     """Two-stage aggregation: partial count on (keys..., salt) — salt derived
