@@ -273,6 +273,27 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, dim=64, k=1, n_planes=10)
 
 
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH candidates + exact native cosine
+    verify; rows-only driver check, validity asserted in pytest)."""
+    from giga_spatial_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # synthetic embeddings are near-random (top-1 cosine ≈ 0.4-0.5), so the
+    # demo threshold sits below that to produce a non-empty pair set
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (rows-only; pytest brute-force
+    oracle covers the shared MinHash verify kernel)."""
+    from giga_spatial_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, threshold=0.4)
+    return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table (batch view
     of the streaming pipeline): per (hour, event_type) counts + value cents."""
@@ -417,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_ann_top1": q_ann_top1,
         "q_ann_lsh": q_ann_lsh,
+        "q_embed_near_dup": q_embed_near_dup,
+        "q_ngram_jaccard": q_ngram_jaccard,
         "q_events_hourly": q_events_hourly,
         "q_normalize_strings": q_normalize_strings,
         "q_zonal_raster": q_zonal_raster,

@@ -141,6 +141,52 @@ def minhash_near_dup_pairs(
     return pairs.mapInPandas(verify, schema=out_schema)
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 10,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH candidates
+    (same-bucket equi-join) verified by the exact native cosine — the
+    embedding analog of MinHash dedup. O(candidates), never O(n²)."""
+    from .ann import cosine_expr, lsh_bucket_table
+
+    buckets = lsh_bucket_table(vectors, dim, n_planes, n_tables, id_col, vec_col)
+    v = vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+    l = buckets.select(F.col("vec_id").alias("a"), "bucket")
+    r = buckets.select(F.col("vec_id").alias("b"), "bucket")
+    cand = (
+        l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    pairs = (
+        cand.join(v.withColumnRenamed("__vid", "a").withColumnRenamed("__vec", "va"), "a")
+        .join(v.withColumnRenamed("__vid", "b").withColumnRenamed("__vec", "vb"), "b")
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+    )
+    return pairs.where(F.col("cosine") >= threshold).select(
+        "a", "b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    k_shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """n-gram Jaccard similarity pairs via MinHash candidate generation +
+    exact verification at a different shingle width (word 3-grams)."""
+    return minhash_near_dup_pairs(
+        docs, threshold=threshold, id_col=id_col, text_col=text_col,
+        num_perm=64, bands=32, k_shingle=k_shingle,
+    )
+
+
 def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash, chunk0..chunk3) — 16-bit chunks for the pigeonhole
     banded join."""

@@ -142,13 +142,17 @@ def knn_grid(
     Scale shape: facilities indexed by tile once; each round shuffles only
     the unresolved frontier (shrinks geometrically; AQE re-plans each pass).
     """
+    n = 2**zoom
+    tile_deg = 360.0 / n
+    m_per_deg = 111194.9
     fac_tiles = facilities.withColumn(
         "__ftile", cells.tile_id(F.col(flon), F.col(flat), zoom)
     )
-    pts = points.withColumn("__ptile", cells.tile_id(F.col(lon), F.col(lat), zoom))
-
-    n = 2**zoom
-    unresolved = pts
+    # localCheckpoint the shrinking frontier each round — without it the
+    # iterative plan nests and task binaries blow up
+    unresolved = points.withColumn(
+        "__ptile", cells.tile_id(F.col(lon), F.col(lat), zoom)
+    ).localCheckpoint()
     resolved_parts: list[DataFrame] = []
     ring = 1
     while ring <= max_ring:
@@ -158,51 +162,36 @@ def knn_grid(
         ).withColumn(
             "__dist", haversine_expr(F.col(lat), F.col(lon), F.col(flat), F.col(flon))
         )
-        best = (
-            matched.groupBy(point_id)
-            .agg(
-                F.min_by(F.col(fac_id), F.struct("__dist", fac_id)).alias(
-                    "nearest_facility_id"
-                ),
-                F.min("__dist").alias(dist_col),
-            )
+        best = matched.groupBy(point_id).agg(
+            F.min_by(F.col(fac_id), F.struct("__dist", fac_id)).alias(
+                "nearest_facility_id"
+            ),
+            F.min("__dist").alias(dist_col),
         )
-        # stopping rule: accept best if guaranteed no closer outside ring
         pts_best = unresolved.join(best, point_id, "left")
-        bound = F.lit(0.0)
-        # conservative per-row bound via latitude
-        tile_deg = 360.0 / n
-        m_per_deg = 111194.9
+        # stopping rule: accept iff no facility outside the ring can be
+        # closer. Ground extent of a mercator tile shrinks ~cos(lat); take
+        # the worst case over the entire ring band (|lat| + (ring+1) tiles).
+        band_lat = F.least(
+            F.abs(F.col(lat)) + F.lit((ring + 1) * tile_deg), F.lit(85.06)
+        )
         bound = (
-            F.lit(float(ring))
-            * F.lit(tile_deg)
-            * F.lit(m_per_deg)
-            * F.least(
-                F.cos(F.radians(F.abs(F.col(lat)) + F.lit(tile_deg))), F.lit(1.0)
-            )
+            F.lit(float(ring)) * F.lit(tile_deg) * F.lit(m_per_deg)
+            * F.cos(F.radians(band_lat))
         )
-        done = pts_best.where(
-            F.col(dist_col).isNotNull() & (F.col(dist_col) <= bound)
+        done = pts_best.where(F.col(dist_col).isNotNull() & (F.col(dist_col) <= bound))
+        resolved_parts.append(done.drop("__ptile").localCheckpoint())
+        unresolved = (
+            pts_best.where(F.col(dist_col).isNull() | (F.col(dist_col) > bound))
+            .drop("nearest_facility_id", dist_col)
+            .localCheckpoint()
         )
-        resolved_parts.append(done.drop("__ptile"))
-        unresolved = pts_best.where(
-            F.col(dist_col).isNull() | (F.col(dist_col) > bound)
-        ).drop("nearest_facility_id", dist_col)
         if unresolved.isEmpty():
+            unresolved = None
             break
         ring *= 2
-    else:
-        # fall back: exact broadcast for the stragglers
-        resolved_parts.append(
-            knn_broadcast(
-                unresolved.drop("__ptile"),
-                facilities,
-                point_id=point_id, lon=lon, lat=lat,
-                fac_id=fac_id, flon=flon, flat=flat, dist_col=dist_col,
-            )
-        )
-        unresolved = None
-    if unresolved is not None and not unresolved.isEmpty():
+    if unresolved is not None:
+        # stragglers (sparse regions / poles): exact broadcast kernel
         resolved_parts.append(
             knn_broadcast(
                 unresolved.drop("__ptile"), facilities,

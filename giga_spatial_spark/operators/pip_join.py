@@ -45,6 +45,23 @@ def zone_cover_df(spark, polys: dict[int, np.ndarray], zoom: int) -> DataFrame:
     return spark.createDataFrame(rows, "tile bigint, zone_id int")
 
 
+def convex_contains_expr(poly: np.ndarray, lon: str, lat: str):
+    """Native-column containment predicate for one CCW convex polygon:
+    AND over edges of cross(v2-v1, p-v1) >= 0 — the same arithmetic as
+    geometry.convex_contains and synth.convex_contains_sql."""
+    pred = None
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        cross = F.lit(float(x2 - x1)) * (F.col(lat) - F.lit(float(y1))) - F.lit(
+            float(y2 - y1)
+        ) * (F.col(lon) - F.lit(float(x1)))
+        term = cross >= 0.0
+        pred = term if pred is None else (pred & term)
+    return pred
+
+
 def pip_join_native(
     points: DataFrame,
     polys: dict[int, np.ndarray],
@@ -52,37 +69,28 @@ def pip_join_native(
     lat: str = "lat",
     zoom: int = 7,
 ) -> DataFrame:
-    """Broadcast cover join + native edge-refine. Output: points columns +
-    zone_id (inner join; multi-zone points duplicate, like sjoin)."""
+    """Broadcast cover join + literal-predicate refine. Output: points
+    columns + zone_id (inner join; multi-zone points duplicate, like sjoin).
+
+    The polygon layer is a small literal dim, so the exact containment test
+    compiles to a per-zone CASE of edge cross-products — the whole operator
+    is scan → broadcast hash join → filter, zero shuffles of the point side
+    and fully inside whole-stage codegen (verified via .explain)."""
     spark = points.sparkSession
     cover = zone_cover_df(spark, polys, zoom)
-    edges = []
-    for zid, poly in polys.items():
-        n = len(poly)
-        for i in range(n):
-            x1, y1 = poly[i]
-            x2, y2 = poly[(i + 1) % n]
-            edges.append((int(zid), float(x1), float(y1), float(x2), float(y2)))
-    edges_df = spark.createDataFrame(
-        edges, "zone_id int, x1 double, y1 double, x2 double, y2 double"
-    )
-
     pts = points.withColumn("__tile", cells.tile_id(F.col(lon), F.col(lat), zoom))
     cand = pts.join(F.broadcast(cover), pts["__tile"] == cover["tile"], "inner").drop(
         "tile", "__tile"
     )
-    # refine: inside ⇔ min over edges of cross(v2-v1, p-v1) >= 0
-    cross = (F.col("x2") - F.col("x1")) * (F.col(lat) - F.col("y1")) - (
-        F.col("y2") - F.col("y1")
-    ) * (F.col(lon) - F.col("x1"))
-    refined = (
-        cand.join(F.broadcast(edges_df), "zone_id")
-        .groupBy(*points.columns, "zone_id")
-        .agg(F.min(cross).alias("__min_cross"))
-        .where(F.col("__min_cross") >= 0.0)
-        .drop("__min_cross")
-    )
-    return refined
+    refine = None
+    for zid, poly in sorted(polys.items()):
+        contains = convex_contains_expr(poly, lon, lat)
+        branch = F.when(F.col("zone_id") == int(zid), contains)
+        refine = branch if refine is None else refine.when(
+            F.col("zone_id") == int(zid), contains
+        )
+    refine = refine.otherwise(F.lit(False))
+    return cand.where(refine)
 
 
 def pip_join_rtree(
