@@ -294,6 +294,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the applyInPandasWithState
+    streaming operator, streaming/sessionize.py): per-user 30-min-gap
+    sessions."""
+    from giga_spatial_spark.streaming.sessionize import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table (batch view
     of the streaming pipeline): per (hour, event_type) counts + value cents."""
@@ -441,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_near_dup": q_embed_near_dup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_events_hourly": q_events_hourly,
+        "q_sessionize": q_sessionize,
         "q_normalize_strings": q_normalize_strings,
         "q_zonal_raster": q_zonal_raster,
         "q_raster_sample": q_raster_sample,
@@ -576,6 +587,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT qid, cid, round(cosine, 4) AS cosine FROM r WHERE rn = 1"
     )
 
+    sessionize = (
+        "WITH m AS (SELECT user_id, ts, event_id, CASE WHEN "
+        "lag(ts) OVER w IS NULL OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 "
+        "THEN 1 ELSE 0 END AS new_sess FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT *, sum(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+        "AS sess_id FROM m) "
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+        "count(*) AS event_count FROM s GROUP BY user_id, sess_id"
+    )
+
     events_hourly = (
         "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "count(*) AS event_count, "
@@ -649,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": dedup_exact,
         "q_ann_top1": ann_top1,
         "q_events_hourly": events_hourly,
+        "q_sessionize": sessionize,
         "q_normalize_strings": normalize_strings,
         "q_tile_assign": tile_assign,
         "q_pip_tag": f"SELECT doc_id, zone_id FROM ({pip})",

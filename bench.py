@@ -72,7 +72,7 @@ def main() -> None:
     # warmup: spin up JVM codegen + Python workers on a small slice so the
     # timed runs measure steady-state throughput, not process start-up
     enrich(pages.limit(2000), polys).write.mode("overwrite").format("noop").save()
-    enrich_fused(pages.limit(2000), polys).write.mode("overwrite").format("noop").save()
+    enrich_fused(pages.limit(50000), polys).write.mode("overwrite").format("noop").save()
 
     # headline: flagship pipeline docs/sec (fused single-python-pass variant;
     # the modular composition is correctness-tested in tests/, not timed here)

@@ -1,0 +1,123 @@
+"""Custom stateful streaming operator: event sessionization.
+
+The reference has no streaming (SURVEY.md §2.10); this is the engine's
+`applyInPandasWithState` showcase — per-user session windows with a gap
+timeout, the canonical custom stateful operator the build brief calls for.
+A batch twin (`sessionize_batch`, plain window functions) exists so the
+stateful path is verifiable against a deterministic oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("event_count", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("count", LongType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization with processing-time timeout: a session
+    closes (and is emitted) when no event arrives for `gap_minutes`."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (start_us, end_us, count) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "event_count": [count],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts_us = rows["ts"].astype("int64") // 1000
+        lo, hi, n = int(ts_us.min()), int(ts_us.max()), len(rows)
+        if state.exists:
+            (start_us, end_us, count) = state.get
+            lo, hi, n = min(lo, start_us), max(hi, end_us), n + count
+        state.update((lo, hi, n))
+        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start": pd.Series([], dtype="datetime64[ns]"),
+                "session_end": pd.Series([], dtype="datetime64[ns]"),
+                "event_count": pd.Series([], dtype="int64"),
+            }
+        )
+
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch twin: gap-based sessions via lag + cumulative session ids —
+    the deterministic oracle for the stateful operator."""
+    from pyspark.sql.window import Window
+
+    gap_s = gap_minutes * 60
+    # secondary key stabilizes ordering under equal timestamps
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        events.withColumn("__prev", F.lag("ts").over(w))
+        .withColumn(
+            "__new_sess",
+            (
+                F.col("__prev").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("__prev")
+                    > F.lit(gap_s)
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "__sess_id",
+            F.sum("__new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return marked.groupBy("user_id", "__sess_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("event_count"),
+    ).drop("__sess_id")
