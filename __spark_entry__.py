@@ -208,19 +208,64 @@ def q_admin_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STAR_POLY = synth.make_star_polygon()
+
+
+def q_pip_nonconvex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General (non-convex) polygon PIP via the grid-index ray-cast path —
+    docs inside a star polygon (oracle: even-odd arithmetic in SQL)."""
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    out = pip_join_rtree(pts, {99: STAR_POLY}, zoom=PIP_ZOOM, convex=False)
+    return out.select("doc_id", "zone_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (Rabin–Karp min-hash winnowing
+    style) + duplicate grouping (rows-only; pytest oracle)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from giga_spatial_spark.functions.hashing import rolling_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("fingerprint", LongType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fingerprint": [
+                        rolling_fingerprint(t) % (1 << 62) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    fp = docs.select("doc_id", "text").mapInPandas(kernel, schema=schema)
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality signals per language — native expressions
     only (integer outputs for exact cross-engine sums)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     q = T.quality_exprs("text")
+    # BPE-ish regex tokenization alongside whitespace tokens
+    regex_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(T.TOKEN_RE), 0))
     per_doc = docs.select(
         "lang",
         q["n_tokens"].alias("n_tokens"),
+        regex_tokens.cast("bigint").alias("n_regex_tokens"),
         (F.round(q["punct_ratio"] * 10000).cast("bigint")).alias("punct_bps"),
     )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("doc_count"),
         F.sum("n_tokens").alias("tokens_sum"),
+        F.sum("n_regex_tokens").alias("regex_tokens_sum"),
         F.sum("punct_bps").alias("punct_bps_sum"),
     )
 
@@ -441,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_proximity_dedup": q_proximity_dedup,
         "q_bounds_filter": q_bounds_filter,
         "q_admin_annotate": q_admin_annotate,
+        "q_pip_nonconvex": q_pip_nonconvex,
+        "q_fingerprint": q_fingerprint,
         "q_token_stats": q_token_stats,
         "q_lang_id": q_lang_id,
         "q_dedup_exact": q_dedup_exact,
@@ -558,10 +605,17 @@ def oracle_sql() -> dict[str, str]:
     token_stats = (
         "WITH per_doc AS (SELECT lang, "
         f"{qsql['n_tokens']} AS n_tokens, "
+        f"cast(len(regexp_extract_all(text, '{T.TOKEN_RE.replace(chr(39), chr(39) * 2)}')) as bigint) AS n_regex_tokens, "
         f"cast(round({qsql['punct_ratio']} * 10000, 0) as bigint) AS punct_bps "
         "FROM documents) "
         "SELECT lang, count(*) AS doc_count, sum(n_tokens) AS tokens_sum, "
+        "sum(n_regex_tokens) AS regex_tokens_sum, "
         "sum(punct_bps) AS punct_bps_sum FROM per_doc GROUP BY lang"
+    )
+
+    pip_nonconvex = (
+        f"SELECT doc_id, 99 AS zone_id FROM ({docs}) d "
+        f"WHERE {synth.raycast_contains_sql(STAR_POLY, 'd.lon', 'd.lat')}"
     )
 
     lang_id = (
@@ -667,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zonal_raster": zonal_raster,
         "q_raster_sample": raster_sample,
         "q_admin_annotate": admin_annotate,
+        "q_pip_nonconvex": pip_nonconvex,
         "q_token_stats": token_stats,
         "q_lang_id": lang_id,
         "q_dedup_exact": dedup_exact,

@@ -90,6 +90,32 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def rolling_fingerprint(text: str, window: int = 16, mod: int = (1 << 61) - 1,
+                        base: int = 257) -> int:
+    """Document fingerprint: minimum polynomial rolling hash over all
+    `window`-byte substrings (Rabin–Karp / winnowing-style). Deterministic,
+    O(len) via the rolling update."""
+    data = text.encode("utf-8")
+    n = len(data)
+    if n == 0:
+        return 0
+    if n <= window:
+        h = 0
+        for b in data:
+            h = (h * base + b) % mod
+        return h
+    pow_w = pow(base, window - 1, mod)
+    h = 0
+    for b in data[:window]:
+        h = (h * base + b) % mod
+    best = h
+    for i in range(window, n):
+        h = ((h - data[i - window] * pow_w) * base + data[i]) % mod
+        if h < best:
+            best = h
+    return best
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard of two sorted-unique shingle-hash sets."""
     if len(a) == 0 and len(b) == 0:

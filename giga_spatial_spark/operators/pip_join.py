@@ -35,12 +35,15 @@ from .. import cells
 from ..geometry import GridIndex
 
 
-def zone_cover_df(spark, polys: dict[int, np.ndarray], zoom: int) -> DataFrame:
+def zone_cover_df(spark, polys: dict[int, np.ndarray], zoom: int,
+                  exact: bool = True) -> DataFrame:
     """(tile, zone_id) cover table — driver-computed (covers are small, as in
-    the reference's driver-side RegionCoverer, grid/s2.py:133-187)."""
+    the reference's driver-side RegionCoverer, grid/s2.py:133-187).
+    exact=True applies the SAT refine — valid ONLY for convex polygons;
+    non-convex zones must use the (conservative) bbox cover."""
     rows = []
     for zid, poly in polys.items():
-        for x, y in cells.polygon_cover(poly, zoom):
+        for x, y in cells.polygon_cover(poly, zoom, exact=exact):
             rows.append((int(cells.pack_tile(x, y)), int(zid)))
     return spark.createDataFrame(rows, "tile bigint, zone_id int")
 
@@ -108,7 +111,7 @@ def pip_join_rtree(
     the engine's own "broadcast R-tree per partition".
     """
     spark = points.sparkSession
-    cover = zone_cover_df(spark, polys, zoom)
+    cover = zone_cover_df(spark, polys, zoom, exact=convex)
     pts = points.withColumn("__tile", cells.tile_id(F.col(lon), F.col(lat), zoom))
     cand = (
         pts.join(F.broadcast(cover), pts["__tile"] == cover["tile"], "left_semi")

@@ -142,6 +142,35 @@ def zones_with_centroids(polys: dict[int, np.ndarray]) -> list[tuple[int, float,
     ]
 
 
+def make_star_polygon(cx: float = 20.0, cy: float = 10.0, r_outer: float = 30.0,
+                      r_inner: float = 12.0, points: int = 5) -> np.ndarray:
+    """Deterministic non-convex (star) polygon for the general-PIP path."""
+    verts = []
+    for i in range(points * 2):
+        r = r_outer if i % 2 == 0 else r_inner
+        a = math.pi * i / points
+        verts.append((cx + r * math.cos(a), cy + 0.8 * r * math.sin(a)))
+    return np.round(np.asarray(verts, dtype=np.float64), 4)
+
+
+def raycast_contains_sql(poly: np.ndarray, x_sql: str, y_sql: str) -> str:
+    """Even-odd ray-cast containment as plain SQL arithmetic for a literal
+    simple polygon — twin of geometry.point_in_polygon: odd number of edges
+    where ((y1>py) != (y2>py)) AND px < (x2-x1)*(py-y1)/(y2-y1) + x1."""
+    n = len(poly)
+    terms = []
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        crossing = (
+            f"CASE WHEN (({y1!r} > ({y_sql})) != ({y2!r} > ({y_sql}))) AND "
+            f"(({x_sql}) < ({x2!r} - {x1!r}) * (({y_sql}) - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}) "
+            "THEN 1 ELSE 0 END"
+        )
+        terms.append(crossing)
+    return f"((({' + '.join(terms)}) % 2) = 1)"
+
+
 # ------------------------------------------------------------- facilities
 def facilities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facility point layer derived from the supplier table (deterministic
