@@ -130,6 +130,26 @@ def q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("facility_id").agg(F.count(F.lit(1)).alias("doc_count"))
 
 
+def q_polygon_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple (non-fractional) polygon→zone aggregation (reference
+    _simple_aggregation, geo.py:1119-1157): parcels intersecting each box
+    zone, count + integer-cents value sum."""
+    parcels = synth.parcels_df(spark, sf_dir)
+    zones = synth.box_zones_df(spark)
+    j = parcels.join(
+        F.broadcast(zones),
+        (F.col("pminx") < F.col("zmaxx"))
+        & (F.col("pmaxx") > F.col("zminx"))
+        & (F.col("pminy") < F.col("zmaxy"))
+        & (F.col("pmaxy") > F.col("zminy")),
+        "inner",
+    )
+    return j.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("parcel_count"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("value_sum"),
+    )
+
+
 def q_fractional_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Area-weighted overlay aggregation (reference geo.py:1051-1116) on box
     parcels × box zones — exact closed-form areas."""
@@ -482,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zonal_stats": q_zonal_stats,
         "q_knn_nearest": q_knn_nearest,
         "q_range_count": q_range_count,
+        "q_polygon_agg": q_polygon_agg,
         "q_fractional_overlay": q_fractional_overlay,
         "q_proximity_dedup": q_proximity_dedup,
         "q_bounds_filter": q_bounds_filter,
@@ -566,6 +587,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM p JOIN z ON pminx < zmaxx AND pmaxx > zminx AND pminy < zmaxy AND pmaxy > zminy) "
         "SELECT zone_id, round(sum(wv), 1) AS wsum, count(*) AS parcel_count "
         "FROM j GROUP BY zone_id"
+    )
+
+    polygon_agg = (
+        f"WITH p AS ({synth.PARCELS_SQL}), z AS (SELECT * FROM {synth.box_zones_sql()}) "
+        "SELECT z.zone_id, count(*) AS parcel_count, "
+        "sum(cast(round(p.value * 100, 0) as bigint)) / 100.0 AS value_sum "
+        "FROM p JOIN z ON pminx < zmaxx AND pmaxx > zminx AND pminy < zmaxy "
+        "AND pmaxy > zminy GROUP BY z.zone_id"
     )
 
     dedup = (
@@ -741,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zonal_stats": zonal_stats,
         "q_knn_nearest": knn,
         "q_range_count": range_count,
+        "q_polygon_agg": polygon_agg,
         "q_fractional_overlay": overlay,
         "q_proximity_dedup": dedup,
         "q_bounds_filter": (

@@ -97,6 +97,32 @@ def test_lsh_ann_vs_bruteforce(spark):
     assert approx["cosine"].mean() > 0.15
 
 
+def test_rolling_fingerprint_matches_naive(docs_pdf):
+    from giga_spatial_spark.functions.hashing import rolling_fingerprint
+
+    MOD, BASE, W = (1 << 61) - 1, 257, 16
+
+    def naive(text):
+        data = text.encode("utf-8")
+        if not data:
+            return 0
+        if len(data) <= W:
+            h = 0
+            for b in data:
+                h = (h * BASE + b) % MOD
+            return h
+        best = None
+        for i in range(len(data) - W + 1):
+            h = 0
+            for b in data[i : i + W]:
+                h = (h * BASE + b) % MOD
+            best = h if best is None else min(best, h)
+        return best
+
+    for t in list(docs_pdf["text"].head(20)) + ["", "short", "x" * 16, "y" * 17]:
+        assert rolling_fingerprint(t) == naive(t)
+
+
 def test_greedy_proximity_dedup_matches_reference_replay(spark, docs_pdf):
     from giga_spatial_spark import synth
 
