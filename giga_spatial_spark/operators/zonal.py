@@ -70,7 +70,8 @@ def aggregate_matches_to_zones(
     the reference's fill rules (0 for count, NULL otherwise)."""
     exprs, meta = agg_exprs(aggregation, value_columns, suffix)
     agged = matches.groupBy(zone_key).agg(*exprs)
-    out = zones_dim.join(agged, zone_key, "left")
+    # agged is |zones|-sized — broadcast it so the re-attach never SMJs
+    out = zones_dim.join(F.broadcast(agged), zone_key, "left")
     for name, fn in meta:
         if fn == "count":
             out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)).cast("long"))
