@@ -427,6 +427,53 @@ def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("pixel_value", 1).alias("pixel_value"))
 
 
+def q_s2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style cell assignment (from-scratch Hilbert implementation,
+    cells_s2.py) at level 6 — per-cell doc counts (rows-only driver check;
+    hierarchy invariants are pytest-verified)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from giga_spatial_spark import cells_s2
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("s2_cell", LongType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "s2_cell": cells_s2.cell_id(
+                        pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), level=6
+                    ),
+                }
+            )
+
+    return (
+        pts.mapInPandas(kernel, schema=schema)
+        .groupBy("s2_cell")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+def q_extract_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row byte-identical invariant (BASELINE.json), self-checked on
+    a deterministic generated web-pages slice: rows where
+    extract_text(html) != text — MUST be empty."""
+    from giga_spatial_spark.pipeline import extract_stage
+    from giga_spatial_spark.sources.webpages import webpages_df
+
+    pages = webpages_df(spark, 2000)
+    return (
+        extract_stage(pages)
+        .where(F.col("extracted") != F.col("text"))
+        .select("url", "lang")
+    )
+
+
 def q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join with broadcast dims + filtered agg —
     relational breadth check (reference has only pandas merges, SURVEY §2.4)."""
@@ -523,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_strings": q_normalize_strings,
         "q_zonal_raster": q_zonal_raster,
         "q_raster_sample": q_raster_sample,
+        "q_s2_assign": q_s2_assign,
+        "q_extract_invariant": q_extract_invariant,
         "q3_shipping": q3_shipping,
         "q_topk_orders": q_topk_orders,
         "q_grid_filter": q_grid_filter,
