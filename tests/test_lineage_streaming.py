@@ -62,6 +62,55 @@ def test_lineage_kill_resume(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_enrich_equals_batch(spark):
+    """The flagship enrichment as a stream (file source over generated
+    pages) must produce the same per-zone tag multiset as the batch path."""
+    from giga_spatial_spark import synth
+    from giga_spatial_spark.pipeline import entity_points, extract_stage
+    from giga_spatial_spark.operators.pip_join import pip_join_rtree
+    from giga_spatial_spark.sources.webpages import webpages_df
+    from giga_spatial_spark.streaming.pipeline import streaming_enrich
+
+    tmp = tempfile.mkdtemp(prefix="senrich_")
+    try:
+        src = os.path.join(tmp, "pages")
+        webpages_df(spark, 400).write.parquet(src)
+        polys = synth.make_admin_polygons()
+
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        q = (
+            streaming_enrich(stream, polys)
+            .writeStream.format("memory")
+            .queryName("enrich_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = (
+            spark.sql("select zone_id, count(*) n from enrich_out group by zone_id")
+            .toPandas()
+            .sort_values("zone_id")
+            .reset_index(drop=True)
+        )
+
+        pages = spark.read.parquet(src)
+        batch = (
+            pip_join_rtree(entity_points(extract_stage(pages)), polys, zoom=6)
+            .groupBy("zone_id")
+            .count()
+            .withColumnRenamed("count", "n")
+            .toPandas()
+            .sort_values("zone_id")
+            .reset_index(drop=True)
+        )
+        assert got.astype("int64").equals(batch.astype("int64"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_window_equals_batch(spark):
     tmp = tempfile.mkdtemp(prefix="stream_")
     try:
