@@ -88,11 +88,18 @@ def main() -> None:
         "q_tile_assign",
         "q_pip_tag",
         "q_pip_tag_rtree",
+        "q_pip_nonconvex",
         "q_zonal_stats",
+        "q_zonal_raster",
         "q_knn_nearest",
         "q_range_count",
         "q_fractional_overlay",
         "q_proximity_dedup",
+        "q_dedup_exact",
+        "q_minhash_near_dup",
+        "q_ann_top1",
+        "q_token_stats",
+        "q_sessionize",
         "q1_pricing_summary",
     ]:
         queries[name] = timed(

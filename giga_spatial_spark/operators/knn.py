@@ -72,6 +72,13 @@ def knn_broadcast(
     """
     # sorted by id so np.argmin's first-among-equals tie-break = smallest id
     fac = facilities.select(fac_id, flon, flat).orderBy(fac_id).toPandas()
+    if len(fac) == 0:
+        # no facilities: every point resolves to NULL neighbor / NULL dist
+        from pyspark.sql.types import DoubleType, LongType
+
+        return points.withColumn(
+            "nearest_facility_id", F.lit(None).cast(LongType())
+        ).withColumn(dist_col, F.lit(None).cast(DoubleType()))
     spark = points.sparkSession
     bc = spark.sparkContext.broadcast(
         (

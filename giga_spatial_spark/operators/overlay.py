@@ -79,7 +79,11 @@ def fractional_overlay_convex(
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                poly = np.asarray(row[vertices_col], dtype=np.float64)
+                # Arrow hands array<array<double>> as an object array of
+                # ndarrays — stack explicitly
+                poly = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in row[vertices_col]]
+                )
                 total = polygon_area(poly)
                 if total <= 0:
                     continue

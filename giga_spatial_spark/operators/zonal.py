@@ -78,6 +78,32 @@ def aggregate_matches_to_zones(
     return out
 
 
+def aggregate_custom_stat(
+    matches: DataFrame,
+    zones_dim: DataFrame,
+    stat_fn,
+    value_col: str,
+    out_col: str,
+    zone_key: str = "zone_id",
+) -> DataFrame:
+    """Custom aggregation callable per zone (reference sample_by_polygons
+    stat=callable, tif_processor.py:1029-1046) — applyInPandas grouped
+    kernel; stat_fn: np.ndarray -> float."""
+    import pandas as pd
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                zone_key: [pdf[zone_key].iloc[0]],
+                out_col: [float(stat_fn(pdf[value_col].to_numpy()))],
+            }
+        )
+
+    schema = f"{zone_key} int, {out_col} double"
+    agged = matches.groupBy(zone_key).applyInPandas(agg, schema=schema)
+    return zones_dim.join(F.broadcast(agged), zone_key, "left")
+
+
 def aggregate_points_to_zones(
     points: DataFrame,
     polys,

@@ -1,0 +1,135 @@
+"""Edge cases (empty inputs), convex fractional overlay operator,
+custom grouped stats, chained view operations, entity gold flow."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from giga_spatial_spark import synth
+from giga_spatial_spark.entity import (
+    standard_point_constraints,
+    validate,
+    with_entity_id,
+)
+from giga_spatial_spark.geometry import clip_polygon_convex, polygon_area
+from giga_spatial_spark.operators.knn import knn_broadcast
+from giga_spatial_spark.operators.normalize import normalize_table
+from giga_spatial_spark.operators.overlay import fractional_overlay_convex
+from giga_spatial_spark.operators.pip_join import pip_join_rtree
+from giga_spatial_spark.operators.zonal import aggregate_custom_stat
+from giga_spatial_spark.views import PoiViewGenerator
+
+from .conftest import SF_DIR
+
+
+def test_knn_empty_facilities(spark):
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lon double, lat double")
+    fac = spark.createDataFrame(
+        [], "facility_id long, flon double, flat double"
+    )
+    out = knn_broadcast(pts, fac, point_id="id").toPandas()
+    assert len(out) == 1
+    assert out["nearest_facility_id"].isna().all()
+
+
+def test_pip_empty_points(spark):
+    pts = spark.createDataFrame([], "doc_id long, lon double, lat double")
+    out = pip_join_rtree(pts, synth.make_admin_polygons(), zoom=5)
+    assert out.count() == 0
+
+
+def test_fractional_overlay_convex_vs_python(spark):
+    """Box parcels carried as vertex arrays × convex zones — operator result
+    must equal a pure-python clip replay."""
+    polys = synth.make_admin_polygons(n_zones=4)
+    rows = []
+    for pid in range(30):
+        cx = (pid * 37) % 300 - 150.0
+        cy = (pid * 23) % 100 - 50.0
+        w = 4.0 + pid % 7
+        verts = [
+            [cx - w, cy - w], [cx + w, cy - w], [cx + w, cy + w], [cx - w, cy + w]
+        ]
+        rows.append((pid, verts, 10.0 + pid))
+    pdf = pd.DataFrame(rows, columns=["parcel_id", "vertices", "value"])
+    df = spark.createDataFrame(
+        pdf, "parcel_id long, vertices array<array<double>>, value double"
+    )
+    got = (
+        fractional_overlay_convex(df, polys)
+        .toPandas()
+        .set_index("zone_id")
+        .sort_index()
+    )
+    # python replay
+    expected = {}
+    for pid, verts, val in rows:
+        poly = np.asarray(verts, dtype=np.float64)
+        total = polygon_area(poly)
+        for zid, zpoly in polys.items():
+            inter = clip_polygon_convex(poly, zpoly)
+            if len(inter) >= 3 and polygon_area(inter) > 0:
+                w = polygon_area(inter) / total * val
+                expected[zid] = expected.get(zid, 0.0) + w
+    assert set(got.index) == set(expected)
+    for zid, w in expected.items():
+        assert abs(got.loc[zid, "value_weighted_sum"] - w) < 1e-9
+
+
+def test_custom_grouped_stat(spark):
+    polys = synth.make_admin_polygons()
+    zones_dim = spark.createDataFrame([(z,) for z in sorted(polys)], "zone_id int")
+    pts = synth.with_coords(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), "doc_id"
+    ).select("doc_id", "lon", "lat", "n_chars")
+    from giga_spatial_spark.operators.pip_join import pip_join_native
+
+    matches = pip_join_native(pts, polys, zoom=6)
+    gmean = lambda a: float(np.exp(np.log(np.maximum(a, 1)).mean()))  # noqa: E731
+    out = aggregate_custom_stat(
+        matches, zones_dim, gmean, "n_chars", "n_chars_gmean"
+    ).toPandas()
+    m = matches.toPandas()
+    for zid, g in m.groupby("zone_id"):
+        want = gmean(g["n_chars"].to_numpy())
+        gotv = out.set_index("zone_id").loc[zid, "n_chars_gmean"]
+        assert abs(gotv - want) < 1e-9
+
+
+def test_view_chain_operations(spark):
+    pts = synth.with_coords(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), "doc_id"
+    ).select(F.col("doc_id").alias("poi_id"), "lon", "lat")
+    fac = synth.facilities_df(spark, SF_DIR)
+    polys = synth.make_admin_polygons()
+    view = (
+        PoiViewGenerator(pts)
+        .chain_operations(
+            [
+                lambda g: g.map_nearest_points(fac),
+                lambda g: g.map_zonal_stats(polys),
+            ]
+        )
+        .to_dataframe()
+    )
+    assert {"nearest_id", "zone_id"} <= set(view.columns)
+
+
+def test_entity_gold_flow(spark):
+    """Silver→Gold: normalize strings → validate coords → deterministic ids
+    → dedup — the EntityProcessor composition (SURVEY §3.3)."""
+    raw = spark.createDataFrame(
+        [
+            (" Site A ", "NA", 10.0, 20.0),
+            ("site a", "school", 10.0, 20.0),
+            ("Bad", "x", 200.0, 5.0),
+        ],
+        "name string, kind string, lon double, lat double",
+    )
+    norm = normalize_table(raw, ["name", "kind"])
+    valid, quarantine = validate(norm, standard_point_constraints())
+    gold = with_entity_id(valid, ["name", "lon", "lat"]).dropDuplicates(["entity_id"])
+    g = gold.toPandas()
+    assert quarantine.count() == 1          # lon 200 quarantined
+    assert len(g) == 1                      # "site a" deduped by identical id
+    assert g["kind"].iloc[0] in (None, "school")
