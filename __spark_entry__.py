@@ -164,6 +164,19 @@ def q_fractional_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distance_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-distance graph edge list (reference build_distance_graph,
+    algorithms.py:24-204): directed doc→doc edges within 500 km, excluding
+    self-pairs."""
+    from giga_spatial_spark.operators.range_join import self_range_edges
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    edges = self_range_edges(
+        pts, max_distance_m=500_000.0, id_col="doc_id", zoom=5
+    )
+    return edges.select("src", "dst", F.round("dist_m", 1).alias("dist_m"))
+
+
 def q_proximity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity dedup, single-pass 'no lower-id neighbor within ε' variant
     (SQL-expressible; greedy reference variant is pytest-verified)."""
@@ -551,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_count": q_range_count,
         "q_polygon_agg": q_polygon_agg,
         "q_fractional_overlay": q_fractional_overlay,
+        "q_distance_graph": q_distance_graph,
         "q_proximity_dedup": q_proximity_dedup,
         "q_bounds_filter": q_bounds_filter,
         "q_admin_annotate": q_admin_annotate,
@@ -644,6 +658,15 @@ def oracle_sql() -> dict[str, str]:
         "sum(cast(round(p.value * 100, 0) as bigint)) / 100.0 AS value_sum "
         "FROM p JOIN z ON pminx < zmaxx AND pmaxx > zminx AND pminy < zmaxy "
         "AND pmaxy > zminy GROUP BY z.zone_id"
+    )
+
+    distance_graph = (
+        f"WITH d AS ({docs}) "
+        "SELECT a.doc_id AS src, b.doc_id AS dst, round("
+        + synth.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+        + ", 1) AS dist_m FROM d a CROSS JOIN d b WHERE a.doc_id != b.doc_id AND "
+        + synth.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+        + " <= 500000.0"
     )
 
     dedup = (
@@ -821,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "q_range_count": range_count,
         "q_polygon_agg": polygon_agg,
         "q_fractional_overlay": overlay,
+        "q_distance_graph": distance_graph,
         "q_proximity_dedup": dedup,
         "q_bounds_filter": (
             f"SELECT lang, count(*) AS doc_count FROM ({docs}) "
