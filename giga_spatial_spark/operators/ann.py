@@ -51,11 +51,24 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k most-similar corpus vector per query vector (excluding
     self-matches on id). Corpus broadcast; cosine fully native."""
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    # norms projected once per side — computing them inside the pair
+    # expression would redo each row's norm |other side| times
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cnorm"),
+    )
     pairs = (
         q.join(F.broadcast(c), F.col("qid") != F.col("cid"))
-        .withColumn("cosine", cosine_expr(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
