@@ -135,42 +135,53 @@ def bbox_cover(
     ]
 
 
+_cover_cache: dict = {}
+
+
 def polygon_cover(poly: np.ndarray, zoom: int, exact: bool = True) -> list[tuple[int, int]]:
     """Tiles intersecting a convex CCW polygon. bbox cover refined by a
     box-vs-convex-polygon intersection test (separating-axis on polygon
     edges + bbox sides) — analog of the reference's exact intersect filter
-    after RegionCoverer (grid/s2.py:133-187)."""
+    after RegionCoverer (grid/s2.py:133-187). Vectorized over candidate
+    tiles and memoized (covers are re-requested per query plan build)."""
+    key = (poly.tobytes(), zoom, exact)
+    hit = _cover_cache.get(key)
+    if hit is not None:
+        return hit
     from .geometry import polygon_bbox
 
     minx, miny, maxx, maxy = polygon_bbox(poly)
     cand = bbox_cover(minx, miny, maxx, maxy, zoom)
     if not exact:
+        _cover_cache[key] = cand
         return cand
-    out = []
-    n = len(poly)
-    for x, y in cand:
-        bminx, bminy, bmaxx, bmaxy = tile_bounds(x, y, zoom)
-        # SAT: polygon fully outside one of box's half-planes?
-        if (
-            poly[:, 0].max() < bminx
-            or poly[:, 0].min() > bmaxx
-            or poly[:, 1].max() < bminy
-            or poly[:, 1].min() > bmaxy
-        ):
-            continue
-        # SAT on polygon edges: box corners all strictly outside an edge?
-        corners_x = np.array([bminx, bmaxx, bmaxx, bminx])
-        corners_y = np.array([bminy, bminy, bmaxy, bmaxy])
-        separated = False
-        for i in range(n):
-            x1, y1 = poly[i]
-            x2, y2 = poly[(i + 1) % n]
-            cross = (x2 - x1) * (corners_y - y1) - (y2 - y1) * (corners_x - x1)
-            if np.all(cross < 0):
-                separated = True
-                break
-        if not separated:
-            out.append((x, y))
+    xs = np.array([c[0] for c in cand], dtype=np.int64)
+    ys = np.array([c[1] for c in cand], dtype=np.int64)
+    n_grid = 2.0**zoom
+    bminx = xs / n_grid * 360.0 - 180.0
+    bmaxx = (xs + 1) / n_grid * 360.0 - 180.0
+    bmaxy = np.degrees(np.arctan(np.sinh(math.pi * (1 - 2 * ys / n_grid))))
+    bminy = np.degrees(np.arctan(np.sinh(math.pi * (1 - 2 * (ys + 1) / n_grid))))
+    keep = np.ones(len(cand), dtype=bool)
+    # bbox separation
+    keep &= ~(
+        (poly[:, 0].max() < bminx)
+        | (poly[:, 0].min() > bmaxx)
+        | (poly[:, 1].max() < bminy)
+        | (poly[:, 1].min() > bmaxy)
+    )
+    # SAT on polygon edges: all 4 box corners strictly outside one edge
+    nv = len(poly)
+    for i in range(nv):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % nv]
+        ex, ey = x2 - x1, y2 - y1
+        sep = np.ones(len(cand), dtype=bool)
+        for cx, cy in ((bminx, bminy), (bmaxx, bminy), (bmaxx, bmaxy), (bminx, bmaxy)):
+            sep &= (ex * (cy - y1) - ey * (cx - x1)) < 0
+        keep &= ~sep
+    out = [(int(x), int(y)) for x, y in zip(xs[keep], ys[keep])]
+    _cover_cache[key] = out
     return out
 
 

@@ -101,32 +101,53 @@ def knn_broadcast(
 
     def kernel(batches):
         ids, flons, flats = bc.value
+        # great-circle argmin == argmax of unit-vector dot products
+        # (haversine distance is monotone decreasing in the dot product),
+        # so the (n_points × n_fac) sweep is one BLAS dgemm instead of
+        # six trig kernels on (n, m) temporaries — ~20× less memory
+        # traffic. Exact haversine is evaluated only for the winner.
+        frad_lat = np.radians(flats)
+        frad_lon = np.radians(flons)
+        fvec = np.stack(
+            [
+                np.cos(frad_lat) * np.cos(frad_lon),
+                np.cos(frad_lat) * np.sin(frad_lon),
+                np.sin(frad_lat),
+            ],
+            axis=1,
+        )  # (m, 3)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             plat = pdf[lat].to_numpy(dtype=np.float64)
             plon = pdf[lon].to_numpy(dtype=np.float64)
-            # (n_points, n_fac) distance matrix in manageable chunks
+            prad_lat = np.radians(plat)
+            prad_lon = np.radians(plon)
+            pvec = np.stack(
+                [
+                    np.cos(prad_lat) * np.cos(prad_lon),
+                    np.cos(prad_lat) * np.sin(prad_lon),
+                    np.sin(prad_lat),
+                ],
+                axis=1,
+            )  # (n, 3)
             best_id = np.empty(len(pdf), dtype=np.int64)
-            best_d = np.empty(len(pdf), dtype=np.float64)
-            step = max(1, 2_000_000 // max(len(ids), 1))
+            best_j = np.empty(len(pdf), dtype=np.int64)
+            step = max(1, 4_000_000 // max(len(ids), 1))
             for s in range(0, len(pdf), step):
                 e = min(s + step, len(pdf))
-                d = haversine_np(
-                    plat[s:e, None], plon[s:e, None], flats[None, :], flons[None, :]
-                )
-                # argmin with deterministic tie-break on facility id:
-                # lexsort-free trick — order facilities by id ascending once,
-                # np.argmin returns first (lowest id) among equals.
-                j = np.argmin(d, axis=1)
-                best_id[s:e] = ids[j]
-                best_d[s:e] = d[np.arange(e - s), j]
+                dots = pvec[s:e] @ fvec.T
+                # first-max tie-break = lowest facility id (ids sorted)
+                j = np.argmax(dots, axis=1)
+                best_j[s:e] = j
+            best_id[:] = ids[best_j]
+            best_d = haversine_np(plat, plon, flats[best_j], flons[best_j])
             out = pdf.copy()
             out["nearest_facility_id"] = best_id
             out[dist_col] = best_d
             yield out[cols + ["nearest_facility_id", dist_col]]
 
-    # facilities must be sorted by id so argmin tie-break = smallest id
+    # facilities must be sorted by id so argmax tie-break = smallest id
     return points.mapInPandas(kernel, schema=out_schema)
 
 
