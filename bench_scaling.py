@@ -64,14 +64,19 @@ def child(cores: int, n_pages: int) -> None:
     noop(enrich_fused(pages.limit(20000), polys))  # warmup
     t_enrich = _best_of(lambda: noop(enrich_fused(pages, polys)))
 
-    # --- kNN nearest facility: 40M points vs 1000 facilities (points/sec)
-    # numeric-only columns + large Arrow batches: the job is the dgemm
-    # kernel, not serialization
-    n_pts = 40_000_000
+    # --- kNN nearest facility: 10M points vs 10k facilities (points/sec).
+    # Sized compute-dominant: the mapInPandas Arrow round-trip has a ~10s
+    # non-scaling floor in local mode for 40M rows (measured with an
+    # identity kernel), so the honest scaling signal needs kernel work ≫
+    # transfer: 10M×10k unit-vector dgemm ≈ 600 GFLOP vs a ~2.5s transfer.
+    n_pts = 10_000_000
     pts_m = synth.with_coords(
         spark.range(0, n_pts, 1, 8 * cores).withColumnRenamed("id", "pid"), "pid"
     )
-    fac = synth.facilities_df(spark, "/root/testdata/sf0.1")
+    fac = synth.with_coords(
+        spark.range(0, 10_000).withColumnRenamed("id", "facility_id"),
+        "facility_id", lon="flon", lat="flat",
+    )
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
     noop(knn_broadcast(pts_m.limit(10000), fac, point_id="pid"))
     t_knn = _best_of(lambda: noop(knn_broadcast(pts_m, fac, point_id="pid")))
@@ -156,8 +161,8 @@ def main() -> None:
             "shuffle partitions = 2×cores, BLAS pinned to 1 thread/worker,\n"
             "best of 3 after warmup.\n"
             f"Inputs: {n_pages:,} generated web pages (~30% hot-cluster\n"
-            "skew); kNN: 40M synthetic points vs the 1000-facility sf0.1\n"
-            "layer; zonal raster stats over a 66M-pixel grid vs 12\n"
+            "skew); kNN: 10M synthetic points vs 10k synthetic facilities\n"
+            "(unit-vector dgemm); zonal raster stats over a 66M-pixel grid vs 12\n"
             "admin zones.\n\n"
             "## N=4 → 4N=16 (each level leaves spare hardware — closest\n"
             "analog of independent executors that don't share a memory bus)\n\n"

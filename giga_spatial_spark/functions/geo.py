@@ -54,6 +54,20 @@ def buffer_bbox_deg(lat: float, radius_m: float) -> tuple[float, float]:
     return dlon, dlat
 
 
+def polygon_area_m2(poly: np.ndarray) -> float:
+    """Geodesic-approximate polygon area in m² (reference add_area_in_meters,
+    geo.py:438-477, does a UTM round-trip): shoelace in a local
+    equirectangular frame anchored at the centroid latitude — within ~0.1%
+    of the UTM answer for the admin-zone-sized polygons this engine joins."""
+    lat0 = float(np.mean(poly[:, 1]))
+    m_per_deg = 111_194.9
+    x = poly[:, 0] * m_per_deg * math.cos(math.radians(lat0))
+    y = poly[:, 1] * m_per_deg
+    return 0.5 * float(
+        abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    )
+
+
 def simplify_polyline(points: np.ndarray, tolerance: float) -> np.ndarray:
     """Douglas–Peucker simplification (reference simplify_geometries,
     geo.py:480-520 wraps shapely.simplify). Iterative stack implementation."""

@@ -133,16 +133,29 @@ def knn_broadcast(
             )  # (n, 3)
             best_id = np.empty(len(pdf), dtype=np.int64)
             best_j = np.empty(len(pdf), dtype=np.int64)
-            # chunk so the (step × m) dot block stays cache-resident —
-            # the block is written+read once per chunk and dominates DRAM
-            # traffic at large n×m
-            step = max(256, 4_000_000 // max(len(ids), 1))
-            for s in range(0, len(pdf), step):
-                e = min(s + step, len(pdf))
-                dots = pvec[s:e] @ fvec.T
-                # first-max tie-break = lowest facility id (ids sorted)
-                j = np.argmax(dots, axis=1)
-                best_j[s:e] = j
+            # two-level blocking with a running argmax: the (points ×
+            # facilities) dot matrix is never materialized beyond one
+            # cache-sized block, so the sweep stays compute-bound instead
+            # of DRAM-bound under many concurrent workers. Strict > keeps
+            # the FIRST maximum → lowest facility id on ties (ids sorted).
+            m = len(ids)
+            p_step = 4096
+            f_step = max(64, min(m, (1 << 21) // (8 * p_step) or 64))
+            fvec_t = np.ascontiguousarray(fvec.T)
+            for s in range(0, len(pdf), p_step):
+                e = min(s + p_step, len(pdf))
+                blk = pvec[s:e]
+                run_val = np.full(e - s, -2.0)
+                run_j = np.zeros(e - s, dtype=np.int64)
+                for fs in range(0, m, f_step):
+                    fe = min(fs + f_step, m)
+                    dots = blk @ fvec_t[:, fs:fe]
+                    j = np.argmax(dots, axis=1)
+                    v = dots[np.arange(e - s), j]
+                    upd = v > run_val
+                    run_val[upd] = v[upd]
+                    run_j[upd] = j[upd] + fs
+                best_j[s:e] = run_j
             best_id[:] = ids[best_j]
             best_d = haversine_np(plat, plon, flats[best_j], flons[best_j])
             out = pdf.copy()

@@ -47,15 +47,21 @@ class RasterMeta:
 
 
 def synthetic_raster(spark: SparkSession, meta: RasterMeta = RasterMeta(),
-                     band: int = 1) -> DataFrame:
+                     band: int = 1, partitions: int | None = None) -> DataFrame:
     """Deterministic pixel table: value = ((px*31 + py*17 + band) % 997)/10,
-    nodata (NULL) where (px*7 + py*13) % 23 == 0."""
+    nodata (NULL) where (px*7 + py*13) % 23 == 0.
+
+    partitions defaults to 8×parallelism: pixel ids are contiguous scan
+    ranges, and downstream zone filters cluster in latitude bands — coarse
+    partitions would leave a few tasks owning all the matching pixels."""
+    if partitions is None:
+        partitions = 8 * spark.sparkContext.defaultParallelism
     px = F.col("id") % meta.width
     py = F.floor(F.col("id") / meta.width).cast("bigint")
     raw = ((px * 31 + py * 17 + F.lit(band)) % 997) / 10.0
     value = F.when((px * 7 + py * 13) % 23 == 0, F.lit(None)).otherwise(raw)
     return (
-        spark.range(meta.width * meta.height)
+        spark.range(0, meta.width * meta.height, 1, partitions)
         .select(
             F.lit(band).alias("band"),
             px.alias("px"),

@@ -1,5 +1,7 @@
 """S2-lite cells, geo scalar functions, entity validation layer."""
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -73,6 +75,19 @@ def test_spatial_jitter_only_moves_duplicates(spark):
     assert not moved[2]
     # all coordinates distinct afterwards
     assert len(set(zip(out["lon"], out["lat"]))) == 3
+
+
+def test_polygon_area_m2():
+    from giga_spatial_spark.functions.geo import polygon_area_m2
+
+    # 1°×1° box at the equator ≈ 111.195 km × 111.195 km
+    box = np.array([[0, -0.5], [1, -0.5], [1, 0.5], [0, 0.5]], dtype=float)
+    got = polygon_area_m2(box)
+    want = 111_194.9**2
+    assert abs(got - want) / want < 1e-4
+    # at 60°N the east-west extent halves
+    box60 = box + np.array([0.0, 60.0])
+    assert abs(polygon_area_m2(box60) - want * math.cos(math.radians(60.0))) / want < 2e-3
 
 
 def test_simplify_polyline():
