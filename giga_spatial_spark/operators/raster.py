@@ -55,7 +55,13 @@ def synthetic_raster(spark: SparkSession, meta: RasterMeta = RasterMeta(),
     ranges, and downstream zone filters cluster in latitude bands — coarse
     partitions would leave a few tasks owning all the matching pixels."""
     if partitions is None:
-        partitions = 8 * spark.sparkContext.defaultParallelism
+        # ~500k pixels per task, capped at 8×parallelism (small rasters
+        # shouldn't pay 100s of empty-task overheads)
+        n_total = meta.width * meta.height
+        partitions = max(
+            1,
+            min(8 * spark.sparkContext.defaultParallelism, n_total // 500_000 + 1),
+        )
     px = F.col("id") % meta.width
     py = F.floor(F.col("id") / meta.width).cast("bigint")
     raw = ((px * 31 + py * 17 + F.lit(band)) % 997) / 10.0
