@@ -1,0 +1,40 @@
+"""Bucketed (co-located) tables for repeated tile-keyed joins.
+
+SURVEY.md §4 / build brief: "repartition/bucketing for co-located joins".
+When two large tables are repeatedly joined on the tile key (e.g. entity
+points vs a large facility layer at the same zoom), bucketing both by that
+key at write time removes the shuffle from EVERY subsequent join — the
+Iceberg equivalent is a bucket partition transform.
+
+Local catalog note: `bucketBy` requires `saveAsTable` (bucket metadata
+lives in the session catalog); the parquet lands under spark-warehouse/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "tile",
+    n_buckets: int = 16,
+    sort: bool = True,
+) -> str:
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.format("parquet").saveAsTable(table)
+    return table
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def join_is_shuffle_free(joined: DataFrame) -> bool:
+    """True when the physical plan contains no shuffle exchange — the
+    bucketing evidence the tests assert on."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" not in plan
