@@ -744,7 +744,7 @@ def oracle_sql() -> dict[str, str]:
 
     sessionize = (
         "WITH m AS (SELECT user_id, ts, event_id, CASE WHEN "
-        "lag(ts) OVER w IS NULL OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 "
+        "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
         "THEN 1 ELSE 0 END AS new_sess FROM events "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
         "s AS (SELECT *, sum(new_sess) OVER "

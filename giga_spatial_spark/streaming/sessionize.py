@@ -94,8 +94,9 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the deterministic oracle for the stateful operator."""
     from pyspark.sql.window import Window
 
-    gap_s = gap_minutes * 60
-    # secondary key stabilizes ordering under equal timestamps
+    # secondary key stabilizes ordering under equal timestamps; interval
+    # comparison (not unix_timestamp) keeps the gap test independent of the
+    # session timezone for TIMESTAMP_NTZ inputs
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = (
         events.withColumn("__prev", F.lag("ts").over(w))
@@ -104,8 +105,8 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             (
                 F.col("__prev").isNull()
                 | (
-                    F.unix_timestamp("ts") - F.unix_timestamp("__prev")
-                    > F.lit(gap_s)
+                    F.col("ts") - F.col("__prev")
+                    > F.expr(f"INTERVAL {gap_minutes} MINUTES")
                 )
             ).cast("int"),
         )
