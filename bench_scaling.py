@@ -43,7 +43,7 @@ def child(cores: int, n_pages: int) -> None:
 
     from giga_spatial_spark import synth
     from giga_spatial_spark.operators.knn import knn_broadcast
-    from giga_spatial_spark.operators.pip_join import pip_join_native
+    from giga_spatial_spark.operators.pip_join import pip_join_rtree
     from giga_spatial_spark.operators.raster import RasterMeta, synthetic_raster
     from giga_spatial_spark.pipeline import enrich_fused, entity_points, extract_stage
     from giga_spatial_spark.session import get_spark
@@ -88,8 +88,8 @@ def child(cores: int, n_pages: int) -> None:
     n_px = meta.width * meta.height
 
     def zonal_run():
-        valid = pixels.where(F.col("value").isNotNull())
-        m = pip_join_native(valid, polys, lon="lon", lat="lat", zoom=6)
+        valid = pixels.where(F.col("value").isNotNull()).select("lon", "lat", "value")
+        m = pip_join_rtree(valid, polys, lon="lon", lat="lat", zoom=6)
         noop(m.groupBy("zone_id").agg(F.count(F.lit(1)).alias("c"),
                                       F.avg("value").alias("m")))
 

@@ -99,14 +99,21 @@ def zonal_raster_stats(
     polys,
     stats: list[str] = ("count", "sum", "mean", "min", "max", "median"),
     zoom: int = 6,
+    strategy: str = "rtree",
 ) -> DataFrame:
     """Per-zone stats over valid (non-nodata) pixels — reference
     sample_by_polygons semantics: nodata dropped first, NaN for zones with
-    no valid pixels, count = number of valid pixels (tif_processor.py:1043)."""
-    from .pip_join import pip_join_native
+    no valid pixels, count = number of valid pixels (tif_processor.py:1043).
 
+    Default strategy is the Arrow grid-index refine: at 66M pixels it
+    measured 10× faster than the literal-predicate refine (zones×edges
+    composite predicates fall out of whole-stage codegen and evaluate
+    interpreted — see docs/SCALE.md)."""
+    from .pip_join import pip_join_native, pip_join_rtree
+
+    join = pip_join_native if strategy == "native" else pip_join_rtree
     valid = pixels.where(F.col("value").isNotNull())
-    matches = pip_join_native(valid, polys, lon="lon", lat="lat", zoom=zoom)
+    matches = join(valid, polys, lon="lon", lat="lat", zoom=zoom)
     exprs = []
     for s in stats:
         exprs.append(_AGG_FNS[s](F.col("value")).alias(f"value_{s}"))
