@@ -709,9 +709,12 @@ def oracle_sql() -> dict[str, str]:
         f"cast(len(regexp_extract_all(text, '{T.TOKEN_RE.replace(chr(39), chr(39) * 2)}')) as bigint) AS n_regex_tokens, "
         f"cast(round({qsql['punct_ratio']} * 10000, 0) as bigint) AS punct_bps "
         "FROM documents) "
-        "SELECT lang, count(*) AS doc_count, sum(n_tokens) AS tokens_sum, "
-        "sum(n_regex_tokens) AS regex_tokens_sum, "
-        "sum(punct_bps) AS punct_bps_sum FROM per_doc GROUP BY lang"
+        "SELECT lang, count(*) AS doc_count, "
+        # DuckDB sum(BIGINT) yields HUGEINT which reaches the comparator as
+        # float; cast back so both engines emit int64
+        "cast(sum(n_tokens) as bigint) AS tokens_sum, "
+        "cast(sum(n_regex_tokens) as bigint) AS regex_tokens_sum, "
+        "cast(sum(punct_bps) as bigint) AS punct_bps_sum FROM per_doc GROUP BY lang"
     )
 
     pip_nonconvex = (
@@ -757,7 +760,7 @@ def oracle_sql() -> dict[str, str]:
     events_hourly = (
         "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "count(*) AS event_count, "
-        "sum(cast(round(value * 100, 0) as bigint)) AS value_cents "
+        "cast(sum(cast(round(value * 100, 0) as bigint)) as bigint) AS value_cents "
         "FROM events GROUP BY 1, 2"
     )
 
@@ -815,8 +818,17 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT qk, count(*) AS doc_count FROM t WHERE qk IN ({covers}) GROUP BY qk"
     )
 
+    # the extraction invariant is a must-be-empty contract: the Spark query
+    # returns rows where extract_text(html) != text, which MUST be none; the
+    # oracle is the empty relation with the same schema
+    extract_invariant = (
+        "SELECT CAST(NULL AS VARCHAR) AS url, CAST(NULL AS VARCHAR) AS lang "
+        "WHERE 1 = 0"
+    )
+
     return {
         "q3_shipping": q3,
+        "q_extract_invariant": extract_invariant,
         "q_topk_orders": topk_orders,
         "q_grid_filter": grid_filter,
         "q_zonal_raster": zonal_raster,

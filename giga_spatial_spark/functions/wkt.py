@@ -13,7 +13,9 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
-_POINT_RE = re.compile(r"^\s*POINT\s*\(\s*(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s*\)\s*$", re.I)
+# numbers may carry an exponent ('POINT (1e-05 40.7127)')
+_NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_POINT_RE = re.compile(rf"^\s*POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)\s*$", re.I)
 _POLY_RE = re.compile(r"^\s*POLYGON\s*\(\(\s*(.*?)\s*\)\)\s*$", re.I | re.S)
 
 
@@ -38,13 +40,19 @@ def parse_polygon(wkt: str) -> np.ndarray | None:
     return np.asarray(pts, dtype=np.float64) if len(pts) >= 3 else None
 
 
+def _fmt(v: float) -> str:
+    """Full-precision coordinate text: repr round-trips float64 exactly
+    (shapely WKT parity; %g truncates to 6 significant digits)."""
+    return repr(float(v))
+
+
 def point_wkt(lon: float, lat: float) -> str:
-    return f"POINT ({lon:g} {lat:g})"
+    return f"POINT ({_fmt(lon)} {_fmt(lat)})"
 
 
 def polygon_wkt(poly: np.ndarray) -> str:
-    ring = ", ".join(f"{x:g} {y:g}" for x, y in poly)
-    first = f"{poly[0][0]:g} {poly[0][1]:g}"
+    ring = ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in poly)
+    first = f"{_fmt(poly[0][0])} {_fmt(poly[0][1])}"
     return f"POLYGON (({ring}, {first}))"
 
 

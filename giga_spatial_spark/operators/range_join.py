@@ -103,31 +103,50 @@ def proximity_dedup_greedy(
         "src", "dst"
     )
     # undirected → keep both directions (self_range_edges already emits both)
-    # connected components by iterative min-label propagation
+    # connected components: one-hop min-label propagation + pointer jumping
+    # (comp <- comp[comp]) per round — the jump halves remaining chain length,
+    # giving O(log diameter) rounds instead of O(diameter) for long ε-chains
     labels = points.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
-    edges_c = edges.cache()
+    edges_c = edges.localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             edges_c.join(labels, edges_c["dst"] == labels["node"], "inner")
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        hop = (
             labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
             )
         )
-        changed = (
+        parent = hop.select(F.col("node").alias("pnode"), F.col("comp").alias("pcomp"))
+        new_labels = (
+            hop.join(parent, hop["comp"] == parent["pnode"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("pcomp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()  # truncate lineage: iterative plans otherwise grow
+        )
+        converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.comp") != F.col("o.comp"))
             .isEmpty()
         )
-        labels = new_labels.cache()
-        if changed:
+        labels = new_labels
+        if converged:
             break
+    if not converged:
+        # never exit silently with split components — the greedy replay below
+        # would keep rows the reference greedy suppresses
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} rounds; "
+            "raise max_iter (chains longer than 2^max_iter hops)"
+        )
     pts_comp = points.join(
         labels.withColumnRenamed("node", id_col), id_col, "inner"
     )

@@ -46,6 +46,15 @@ def agg_exprs(
         meta.append((f"point_count{suffix}", "count"))
         return exprs, meta
     if isinstance(aggregation, str):
+        if aggregation not in _AGG_FNS:
+            raise ValueError(
+                f"invalid aggregation {aggregation!r}; expected one of {sorted(_AGG_FNS)}"
+            )
+        if value_columns is None:
+            raise ValueError(
+                f"value_columns required for aggregation {aggregation!r} "
+                "(only 'count' aggregates without a value column)"
+            )
         cols = [value_columns] if isinstance(value_columns, str) else list(value_columns)
         aggregation = {c: aggregation for c in cols}
     for col, fns in aggregation.items():

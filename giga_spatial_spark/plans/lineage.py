@@ -83,11 +83,22 @@ class LineageStage:
             return 0
         pending = source.where(F.col(unit).isin(todo_units))
         result = transform(pending)
-        (
-            result.write.mode("append")
-            .partitionBy(unit)
-            .parquet(self.data_dir)
-        )
+        # Idempotent unit write: a kill between the parquet job commit and
+        # _append_manifest leaves committed-but-unmanifested data; the resumed
+        # run re-executes the unit, and dynamic partition overwrite REPLACES
+        # (not appends to) exactly the unit partitions it recomputes, so
+        # read() never serves duplicated rows (exactly-once kill-resume).
+        spark = result.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                result.write.mode("overwrite")
+                .partitionBy(unit)
+                .parquet(self.data_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         # lineage facts from what was just written (read-back = what a
         # resumed job would see)
         written = (

@@ -12,7 +12,21 @@ lives in the session catalog); the parquet lands under spark-warehouse/.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """Drop the catalog entry AND any orphaned warehouse directory. A fresh
+    derby metastore does not know about tables a previous session wrote, but
+    their parquet locations survive on disk — saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS. Idempotent writes must clear both."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = urlparse(warehouse).path or warehouse
+    shutil.rmtree(f"{path}/{table.lower()}", ignore_errors=True)
 
 
 def write_bucketed(
@@ -22,6 +36,7 @@ def write_bucketed(
     n_buckets: int = 16,
     sort: bool = True,
 ) -> str:
+    _drop_table_and_location(df.sparkSession, table)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)

@@ -1,0 +1,111 @@
+"""Driver-style oracle check: run each queries() entry on Spark and its
+oracle_sql() twin on DuckDB at the same sf dir, then compare row count,
+column names, and a type-sensitive value hash (columns sorted by name, rows
+sorted by all columns; ints must be ints — 4070.0 != 4070).
+
+Run: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as E  # noqa: E402
+from giga_spatial_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(pdf: pd.DataFrame) -> tuple[list[str], str]:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    cells = []
+    for c in pdf.columns:
+        col = pdf[c]
+        vals = []
+        for v in col:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                vals.append("NULL")
+            elif isinstance(v, (bool, np.bool_)):
+                vals.append(str(bool(v)))
+            elif isinstance(v, (int, np.integer)):
+                vals.append(f"i:{int(v)}")
+            elif isinstance(v, (float, np.floating)):
+                vals.append(f"f:{float(v)!r}")
+            else:
+                vals.append(f"s:{v}")
+        cells.append(vals)
+    rows = sorted(zip(*cells)) if cells and len(cells[0]) else []
+    h = hashlib.md5()
+    for r in rows:
+        h.update(("|".join(r) + "\n").encode())
+    return list(pdf.columns), h.hexdigest()
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    spark = get_spark("oracle-check", cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, oracles = E.queries(), E.oracle_sql()
+    todo = names or list(qs)
+    fails = []
+    for name in todo:
+        if name not in qs:
+            print(f"{name}: UNKNOWN QUERY")
+            continue
+        if name not in oracles:
+            print(f"{name}: no_oracle")
+            continue
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+            odf = con.execute(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            fails.append(name)
+            continue
+        scols, shash = canon(sdf)
+        ocols, ohash = canon(odf)
+        ok_rows = len(sdf) == len(odf)
+        ok_cols = scols == ocols
+        ok_hash = shash == ohash
+        status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        if status == "FAIL":
+            fails.append(name)
+        print(
+            f"{name}: {status} rows={len(sdf)}/{len(odf)} "
+            f"cols={'ok' if ok_cols else f'{scols} vs {ocols}'} hash={'ok' if ok_hash else 'MISMATCH'}"
+        )
+        if not ok_hash and ok_rows and ok_cols and len(sdf):
+            s = sdf[sorted(sdf.columns)].sort_values(sorted(sdf.columns)).head(3)
+            o = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).head(3)
+            print("  spark:", s.to_dict("records"))
+            print("  duck :", o.to_dict("records"))
+            print("  spark dtypes:", dict(s.dtypes.astype(str)))
+            print("  duck  dtypes:", dict(o.dtypes.astype(str)))
+    print(f"\n{len(todo) - len(fails)}/{len(todo)} pass")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
