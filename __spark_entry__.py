@@ -321,11 +321,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs verified by exact shingle Jaccard
-    (rows-only driver check; exact-Jaccard oracle in pytest)."""
+    """MinHash+LSH near-duplicate pairs verified by exact shingle Jaccard.
+
+    Oracle: brute-force exact shingle-Jaccard in DuckDB. The comparison is
+    exact because (a) verification recomputes the true Jaccard on candidates
+    and (b) 32 bands × 2 rows gives miss probability (1 - j²)³² < 1e-20 at
+    the corpus's lowest true-pair Jaccard (0.875; nothing sits in
+    (0.07, 0.875), measured) — so the candidate stage loses no true pair.
+    Jaccard is emitted unrounded: both engines divide the same exact
+    integers, giving bit-identical doubles (rounding would reintroduce
+    HALF_UP-vs-HALF_EVEN mismatch on exact 5-decimal boundaries)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = minhash_near_dup_pairs(docs, threshold=0.5)
-    return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    out = minhash_near_dup_pairs(docs, threshold=0.5, bands=32)
+    return out.select("a", "b", "jaccard")
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,13 +371,14 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs (rows-only; pytest brute-force
-    oracle covers the shared MinHash verify kernel)."""
+    """Word-3-gram Jaccard near-dup pairs, oracle-checked against a DuckDB
+    brute-force exact-Jaccard (recall argument as in q_minhash_near_dup:
+    lowest true pair 0.9, 32×2 banding miss < 1e-23)."""
     from giga_spatial_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = ngram_jaccard_pairs(docs, threshold=0.4)
-    return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    return out.select("a", "b", "jaccard")
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,9 +835,15 @@ def oracle_sql() -> dict[str, str]:
         "WHERE 1 = 0"
     )
 
+    from giga_spatial_spark.functions import hashing_sql as HS
+
     return {
         "q3_shipping": q3,
         "q_extract_invariant": extract_invariant,
+        "q_minhash_near_dup": HS.shingle_jaccard_pairs_sql(5, 0.5),
+        "q_ngram_jaccard": HS.shingle_jaccard_pairs_sql(3, 0.4),
+        "q_simhash_near_dup": HS.simhash_pairs_sql(3),
+        "q_fingerprint": HS.fingerprint_groups_sql(),
         "q_topk_orders": topk_orders,
         "q_grid_filter": grid_filter,
         "q_zonal_raster": zonal_raster,

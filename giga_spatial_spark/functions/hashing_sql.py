@@ -1,0 +1,151 @@
+"""DuckDB oracle-SQL generators for the dedup/fingerprint operators.
+
+Each function returns ANSI-ish SQL (DuckDB dialect: list comprehensions,
+list_reduce, HUGEINT) that recomputes the *verified* output of the matching
+Spark operator from the raw ``documents`` table, so the driver can
+hash-compare the two engines.
+
+Cross-engine parity notes (all verified on the synthetic corpus):
+  - tokenization: ``regexp_extract_all(lower(text), '[a-z0-9]+')`` matches
+    Python ``re.findall(r'[a-z0-9]+', text.lower())`` exactly for this
+    corpus (pure ASCII — checked; non-ASCII lowercasing can diverge).
+  - exact Jaccard is computed over shingle *strings* here vs shingle
+    *64-bit hashes* in the Spark kernel — identical sets absent hash
+    collisions (P < 1e-10 at these corpus sizes), and identical doubles
+    because both divide the same exact integers.
+  - the FNV-1a/rolling-hash oracles fold over code points; the Python
+    kernels fold over UTF-8 bytes. Equal for ASCII corpora (asserted in
+    tests); the kernels remain the general path.
+"""
+
+from __future__ import annotations
+
+_FNV_OFFSET = 1469598103934665603
+_FNV_PRIME = 1099511628211
+_M64 = 1 << 64
+_MERSENNE61 = (1 << 61) - 1
+
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') "
+    "AS tok FROM documents)"
+)
+
+
+def shingle_jaccard_pairs_sql(k: int, threshold: float) -> str:
+    """Exact k-token-shingle Jaccard pairs (a < b) with jaccard >= threshold.
+
+    Mirrors hashing.shingle_hashes semantics: docs with fewer than k tokens
+    are padded to exactly one shingle (pad marker '#', never a token char).
+    """
+    pad = ", ".join(["'#'"] * (k - 1))
+    return f"""
+WITH {TOKS_CTE},
+padded AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) >= {k} THEN tok
+         ELSE list_concat(tok, [{pad}][1:greatest({k} - len(tok), 0)]) END AS tok
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+      unnest([array_to_string(tok[i : i + {k - 1}], ' ')
+              for i in range(1, len(tok) - {k} + 2)]) AS s
+    FROM padded
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+  FROM sh sa JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT inter.a, inter.b, inter.i / (na.n + nb.n - inter.i) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = inter.a
+  JOIN sizes nb ON nb.doc_id = inter.b
+)
+SELECT a, b, jaccard FROM j WHERE jaccard >= {threshold!r}
+"""
+
+
+def _fnv_expr(tok: str) -> str:
+    """HUGEINT FNV-1a of an ASCII token column, bit-exact with hashing._fnv
+    (xor touches only the low 7 bits because code points < 128)."""
+    return (
+        "list_reduce("
+        f"list_prepend({_FNV_OFFSET}::HUGEINT, "
+        f"[ord(substr({tok}, i, 1))::HUGEINT for i in range(1, length({tok}) + 1)]), "
+        "(h, c) -> ((h - (h % 128) + xor((h % 128)::BIGINT, c::BIGINT)::HUGEINT) "
+        f"* {_FNV_PRIME}::HUGEINT) % {_M64}::HUGEINT)"
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Brute-force SimHash pairs with hamming <= max_hamming — the exact
+    semantics of the pigeonhole banded join (hamming < 4 implies a shared
+    16-bit chunk, so the banded join loses nothing)."""
+    # per-bit sign accumulators; Python masks to 63 bits (& (1<<63)-1),
+    # so only bits 0..62 survive
+    accs = []
+    for j in range(63):
+        src = f"(lo >> {j}) & 1" if j < 32 else f"(hi >> {j - 32}) & 1"
+        accs.append(f"sum(CASE WHEN ({src}) = 1 THEN 1 ELSE -1 END) AS a{j}")
+    acc_cols = ", ".join(accs)
+    value = " + ".join(f"(CASE WHEN a{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(63))
+    return f"""
+WITH toke AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT DISTINCT tok FROM toke),
+th AS (SELECT tok, {_fnv_expr('tok')} AS h FROM vocab),
+tt AS (
+  SELECT doc_id, (h % 4294967296)::BIGINT AS lo, (h // 4294967296)::BIGINT AS hi
+  FROM toke JOIN th USING (tok)
+),
+acc AS (SELECT doc_id, {acc_cols} FROM tt GROUP BY doc_id),
+sh AS (
+  -- docs with zero tokens get all-NULL accumulators; NULL > 0 is false so
+  -- every CASE yields 0 and s = 0, matching the Python kernel's empty-doc 0
+  SELECT d.doc_id, {value} AS s
+  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN acc USING (doc_id)
+)
+SELECT sa.doc_id AS a, sb.doc_id AS b,
+       cast(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming
+FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+WHERE bit_count(xor(sa.s, sb.s)) <= {max_hamming}
+"""
+
+
+def fingerprint_groups_sql(window: int = 16, base: int = 257, mod: int = _MERSENNE61) -> str:
+    """Per-document min rolling polynomial hash over `window`-byte substrings
+    (hashing.rolling_fingerprint), grouped into duplicate clusters.
+
+    ASCII corpora only: folds code points where the kernel folds UTF-8 bytes.
+    """
+    pows = [pow(base, window - 1 - j, mod) for j in range(window)]
+    terms = " + ".join(
+        f"ord(substr(text, i + {j}, 1))::HUGEINT * {p}" for j, p in enumerate(pows)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+long_h AS (
+  SELECT doc_id, unnest([({terms}) % {mod}::HUGEINT
+                         for i in range(1, n - {window} + 2)]) AS h
+  FROM d WHERE n > {window}
+),
+short_h AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        [ord(substr(text, i, 1))::HUGEINT for i in range(1, n + 1)]),
+      (h, c) -> (h * {base} + c) % {mod}::HUGEINT) AS h
+  FROM d WHERE n <= {window}
+),
+allh AS (SELECT * FROM long_h UNION ALL SELECT * FROM short_h),
+f AS (SELECT doc_id, min(h)::BIGINT AS fingerprint FROM allh GROUP BY doc_id)
+SELECT fingerprint, min(doc_id) AS survivor_id, count(*) AS n_docs
+FROM f GROUP BY fingerprint
+"""
