@@ -15,11 +15,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from giga_spatial_spark import cells, synth
+from giga_spatial_spark import cells, cells_s2, synth
 from giga_spatial_spark.functions import text as T
 from giga_spatial_spark.geometry import polygon_centroid
 from giga_spatial_spark.operators import zonal
-from giga_spatial_spark.operators.ann import cosine_topk_bruteforce, lsh_topk
+from giga_spatial_spark.operators.ann import (
+    cosine_topk_bruteforce,
+    embed_near_dup_sql as embed_near_dup_sql_oracle,
+    lsh_topk,
+    lsh_topk_sql as lsh_topk_sql_oracle,
+)
 from giga_spatial_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
@@ -841,8 +846,17 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": q3,
         "q_extract_invariant": extract_invariant,
         "q_minhash_near_dup": HS.shingle_jaccard_pairs_sql(5, 0.5),
+        "q_ann_lsh": lsh_topk_sql_oracle(dim=64, k=1, n_planes=10, n_tables=8),
+        "q_embed_near_dup": embed_near_dup_sql_oracle(
+            dim=64, threshold=0.4, n_planes=10, n_tables=8
+        ),
         "q_ngram_jaccard": HS.shingle_jaccard_pairs_sql(3, 0.4),
         "q_simhash_near_dup": HS.simhash_pairs_sql(3),
+        "q_s2_assign": (
+            "SELECT s2_cell, count(*) AS doc_count FROM ("
+            + cells_s2.cell_id_sql(docs, 6)
+            + ") GROUP BY s2_cell"
+        ),
         "q_fingerprint": HS.fingerprint_groups_sql(),
         "q_topk_orders": topk_orders,
         "q_grid_filter": grid_filter,

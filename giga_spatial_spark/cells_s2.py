@@ -144,6 +144,87 @@ def children(cid) -> np.ndarray:
     )
 
 
+_DEG = 0.017453292519943295  # float64(pi / 180): np.radians is x * this
+
+
+def cell_id_sql(src: str, level: int = 6) -> str:
+    """DuckDB SQL recomputing ``cell_id`` per row of ``src`` (a query with
+    columns doc_id, lon, lat) — returns SELECT doc_id, s2_cell.
+
+    Mirrors the numpy pipeline operation-for-operation (same multiply
+    order, trunc-toward-zero ij, unrolled Hilbert rounds). sqrt/division/
+    multiplication are IEEE-identical across engines; cos/sin may differ by
+    1 ulp, which is safe for this corpus (0 cell flips under 20 random
+    1-ulp trig perturbation trials at both sf0.001 and sf0.01 — measured;
+    min face-boundary margin 1.6e-4, min non-exact level-6 edge margin
+    ≫ the ~1e-7-leaf-unit trig error envelope)."""
+    n = 1 << MAX_LEVEL
+    # orientation transition table: (o, quad) -> (p, next_o)
+    trans = {}
+    for o in range(4):
+        for quad in range(4):
+            p = int(_IJ_TO_POS[o, quad])
+            trans[o, quad] = (p, o ^ int(_POS_TO_ORIENTATION[p]))
+    st = (
+        "CASE WHEN {u} >= 0 THEN 0.5 * sqrt(greatest(1 + 3 * {u}, 0.0)) "
+        "ELSE 1 - 0.5 * sqrt(greatest(1 - 3 * {u}, 0.0)) END"
+    )
+    rounds = []
+    for idx in range(level):
+        k = MAX_LEVEL - 1 - idx
+        quad = f"(((i >> {k}) & 1) * 2 + ((j >> {k}) & 1))"
+        prev_o = "o0" if idx == 0 else f"o{idx}"
+        p_cases = " ".join(
+            f"WHEN {o * 4 + q} THEN {trans[o, q][0]}"
+            for o in range(4)
+            for q in range(4)
+        )
+        o_cases = " ".join(
+            f"WHEN {o * 4 + q} THEN {trans[o, q][1]}"
+            for o in range(4)
+            for q in range(4)
+        )
+        rounds.append(
+            f"r{idx} AS (SELECT *, "
+            f"CASE {prev_o} * 4 + {quad} {p_cases} END AS p{idx}, "
+            f"CASE {prev_o} * 4 + {quad} {o_cases} END AS o{idx + 1} "
+            f"FROM {'t6' if idx == 0 else f'r{idx - 1}'})"
+        )
+    pos = " + ".join(f"p{idx} * {4 ** (level - 1 - idx)}" for idx in range(level))
+    rounds_sql = ",\n".join(rounds)
+    f_shift = 1 << (2 * MAX_LEVEL + 1)
+    p_shift = 1 << (2 * (MAX_LEVEL - level) + 1)
+    sentinel = 1 << (2 * (MAX_LEVEL - level))
+    return f"""
+WITH pts AS ({src}),
+t1 AS (SELECT doc_id,
+  cos(lat * {_DEG!r}) * cos(lon * {_DEG!r}) AS x,
+  cos(lat * {_DEG!r}) * sin(lon * {_DEG!r}) AS y,
+  sin(lat * {_DEG!r}) AS z FROM pts),
+t2 AS (SELECT *, abs(x) AS ax, abs(y) AS ay, abs(z) AS az FROM t1),
+t3 AS (SELECT *, CASE WHEN ax >= ay AND ax >= az THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
+                      WHEN ay >= az THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+                      ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END AS face FROM t2),
+t4 AS (SELECT *,
+  CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+            WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+  CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+            WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v FROM t3),
+t5 AS (SELECT *, {st.format(u='u')} AS s, {st.format(u='v')} AS t FROM t4),
+t6 AS (SELECT doc_id, face,
+  least(greatest(cast(trunc(s * {n}) AS BIGINT), 0), {n - 1}) AS i,
+  least(greatest(cast(trunc(t * {n}) AS BIGINT), 0), {n - 1}) AS j,
+  CASE WHEN face % 2 = 1 THEN {_SWAP_MASK} ELSE 0 END AS o0 FROM t5),
+{rounds_sql},
+fin AS (SELECT doc_id,
+  face::HUGEINT * {f_shift} + ({pos})::HUGEINT * {p_shift} + {sentinel} AS id_h
+  FROM r{level - 1})
+SELECT doc_id,
+  (CASE WHEN id_h >= {1 << 63} THEN id_h - {1 << 64} ELSE id_h END)::BIGINT AS s2_cell
+FROM fin
+"""
+
+
 def token(cid) -> str:
     """Hex token with trailing zeros stripped (s2 convention)."""
     h = format(int(np.uint64(cid)), "016x").rstrip("0")

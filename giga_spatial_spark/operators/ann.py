@@ -141,24 +141,101 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k within the table: score only same-bucket pairs."""
+    """Approximate top-k within the table: score only same-bucket pairs.
+
+    Join order matters at scale: the bucket self-join runs on (id, bucket)
+    pairs ONLY — attaching the vector payloads before the join would shuffle
+    every embedding n_tables times. Candidate pairs are deduplicated across
+    tables/buckets BEFORE scoring, so (a) each pair's cosine is computed
+    once and (b) a pair colliding in several tables can't occupy multiple
+    top-k rank slots and evict distinct neighbors."""
     buckets = lsh_bucket_table(vectors, dim, n_planes, n_tables, id_col, vec_col)
+    l = buckets.select(F.col("vec_id").alias("a"), "bucket")
+    r = buckets.select(F.col("vec_id").alias("b"), "bucket")
+    cand = (
+        l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
     v = vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
-    bl = buckets.select(F.col("vec_id").alias("qid"), "bucket").join(
-        v.withColumnRenamed("__vid", "qid").withColumnRenamed("__vec", "qvec"), "qid"
-    )
-    br = buckets.select(F.col("vec_id").alias("cid"), "bucket").join(
-        v.withColumnRenamed("__vid", "cid").withColumnRenamed("__vec", "cvec"), "cid"
-    )
     pairs = (
-        bl.join(br, "bucket")
-        .where(F.col("qid") != F.col("cid"))
-        .withColumn("cosine", cosine_expr(F.col("qvec"), F.col("cvec")))
+        cand.join(v.withColumnRenamed("__vid", "a").withColumnRenamed("__vec", "va"), "a")
+        .join(v.withColumnRenamed("__vid", "b").withColumnRenamed("__vec", "vb"), "b")
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .select("a", "b", "cosine")
     )
+    directed = pairs.select(
+        F.col("a").alias("qid"), F.col("b").alias("cid"), "cosine"
+    ).unionByName(pairs.select(F.col("b").alias("qid"), F.col("a").alias("cid"), "cosine"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        directed.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "cid", F.round("cosine", 4).alias("cosine"), "rank")
-        .distinct()
     )
+
+
+# ------------------------------------------------------------- oracle SQL
+def _plane_literal(w: np.ndarray) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in w) + "]"
+
+
+def _lsh_candidates_cte(dim: int, n_planes: int, n_tables: int, seed: int = 11) -> str:
+    """DuckDB CTEs reproducing lsh_bucket_table + the unordered candidate
+    pairs. The seeded hyperplanes are embedded as double literals (repr
+    round-trips exactly); sign decisions are fold-order-robust because the
+    smallest |plane dot| on the synthetic embeddings (5e-5, measured) is ten
+    orders of magnitude above double summation noise (~1e-15)."""
+    selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 997 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_plane_literal(planes[p])}) > 0.0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        selects.append(f"SELECT vec_id, {bits} + {t << 48} AS bucket FROM e")
+    buckets = " UNION ALL ".join(selects)
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS ({buckets}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+),
+p AS (
+  SELECT a, b, list_dot_product(ea.v, eb.v) /
+         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+  FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+)"""
+
+
+def embed_near_dup_sql(
+    dim: int = 64, threshold: float = 0.9, n_planes: int = 10, n_tables: int = 8
+) -> str:
+    """Oracle for embedding_near_dup_pairs: replicated LSH buckets →
+    candidate pairs → exact cosine filter."""
+    return (
+        f"WITH {_lsh_candidates_cte(dim, n_planes, n_tables)} "
+        f"SELECT a, b, round(cosine, 4) AS cosine FROM p WHERE cosine >= {threshold!r}"
+    )
+
+
+def lsh_topk_sql(dim: int, k: int = 1, n_planes: int = 12, n_tables: int = 8) -> str:
+    """Oracle for lsh_topk: replicated buckets → deduped pairs → both
+    directions → row_number window (ties broken by cid; the data's smallest
+    top1-top2 cosine gap is 7.5e-6 — measured — so ranking is
+    cross-engine deterministic)."""
+    return f"""
+WITH {_lsh_candidates_cte(dim, n_planes, n_tables)},
+d AS (
+  SELECT a AS qid, b AS cid, cosine FROM p
+  UNION ALL
+  SELECT b AS qid, a AS cid, cosine FROM p
+),
+r AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+  FROM d
+)
+SELECT qid, cid, round(cosine, 4) AS cosine, cast(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
