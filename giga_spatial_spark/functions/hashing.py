@@ -69,15 +69,29 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(acc)
 
 
+_PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _perms(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) permutation arrays, built once per process — rebuilding
+    them per document was the dominant cost of the round-1 kernel."""
+    key = (num_perm, seed)
+    p = _PERM_CACHE.get(key)
+    if p is None:
+        rng = np.random.RandomState(seed)
+        a = (
+            rng.randint(1, (1 << 62), size=num_perm).astype(np.uint64) * np.uint64(2)
+            + np.uint64(1)
+        )
+        b = rng.randint(0, (1 << 62), size=num_perm).astype(np.uint64)
+        _PERM_CACHE[key] = p = (a, b)
+    return p
+
+
 def minhash_signature(shingles: np.ndarray, num_perm: int = 64, seed: int = 1) -> np.ndarray:
     """num_perm-wide MinHash with multiplicative hashing
     h_i(x) = (a_i·x + b_i) mod 2^64 (a_i odd), fully vectorized."""
-    rng = np.random.RandomState(seed)
-    a = (
-        rng.randint(1, (1 << 62), size=num_perm).astype(np.uint64) * np.uint64(2)
-        + np.uint64(1)
-    )
-    b = rng.randint(0, (1 << 62), size=num_perm).astype(np.uint64)
+    a, b = _perms(num_perm, seed)
     if len(shingles) == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -85,19 +99,59 @@ def minhash_signature(shingles: np.ndarray, num_perm: int = 64, seed: int = 1) -
     return vals.min(axis=1)
 
 
+def minhash_signatures_batch(
+    shingle_sets: list[np.ndarray], num_perm: int = 64, seed: int = 1
+) -> np.ndarray:
+    """(n_docs, num_perm) signatures for a whole Arrow batch: one
+    concatenated array + segmented minima (num_perm vectorized passes over
+    the batch instead of one numpy call per document)."""
+    a, b = _perms(num_perm, seed)
+    n = len(shingle_sets)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+    # shingle_hashes pads, so every set is non-empty; guard anyway
+    empty = lens == 0
+    if empty.any():
+        shingle_sets = [
+            s if len(s) else np.array([0], dtype=np.uint64) for s in shingle_sets
+        ]
+        lens = np.maximum(lens, 1)
+    flat = np.concatenate(shingle_sets)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    out = np.empty((n, num_perm), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            out[:, p] = np.minimum.reduceat(flat * a[p] + b[p], starts)
+    if empty.any():
+        out[empty] = np.iinfo(np.uint64).max
+    return out
+
+
+def lsh_band_keys_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n_docs, bands) int64 band keys for a batch of signatures — the FNV
+    fold runs vectorized across (docs, bands); congruence note: the scalar
+    path computes (h·32 | band) mod 2^63 over unbounded ints, and because
+    2^63 divides 2^64 the uint64-wrapped (h<<5 | band) & (2^63-1) is the
+    same value."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    banded = sigs.reshape(n, bands, rows)
+    h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            h = (h ^ banded[:, :, r]) * _FNV_PRIME
+        keys = ((h << np.uint64(5)) | np.arange(bands, dtype=np.uint64)[None, :]) & np.uint64(
+            (1 << 63) - 1
+        )
+    return keys.astype(np.int64)
+
+
 def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
     """Band the signature: hash each band of rows to a bucket key. Docs
     sharing any band key are near-dup candidates."""
-    rows = len(sig) // bands
-    keys = []
-    with np.errstate(over="ignore"):
-        for bi in range(bands):
-            band = sig[bi * rows : (bi + 1) * rows]
-            h = np.uint64(1469598103934665603)
-            for v in band:
-                h = (h ^ v) * _FNV_PRIME
-            keys.append(int((int(h) << 5 | bi) % (1 << 63)))
-    return keys
+    return lsh_band_keys_batch(sig[None, :], bands)[0].tolist()
 
 
 def simhash(text: str, bits: int = 64) -> int:
@@ -128,15 +182,32 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+_FP_TABLES: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _fp_table(window: int, base: int, mod: int) -> np.ndarray:
+    """(window, 256) table of (byte · base^(window-1-j)) mod p — turns the
+    windowed polynomial into pure uint64 gather+add."""
+    key = (window, base, mod)
+    t = _FP_TABLES.get(key)
+    if t is None:
+        pows = [pow(base, window - 1 - j, mod) for j in range(window)]
+        t = np.array(
+            [[(b * p) % mod for b in range(256)] for p in pows], dtype=np.uint64
+        )
+        _FP_TABLES[key] = t
+    return t
+
+
 def rolling_fingerprint(text: str, window: int = 16, mod: int = (1 << 61) - 1,
                         base: int = 257) -> int:
     """Document fingerprint: minimum polynomial rolling hash over all
-    `window`-byte substrings (Rabin–Karp / winnowing-style). Vectorized:
-    H[i] = Σ_j data[i+j]·base^(w-1-j) mod p computed with per-position
-    powers folded via float-safe 64-bit splitting is overkill — instead use
-    numpy object-free arithmetic mod 2^64? No: parity with the pure-python
-    definition matters for tests, so keep exact mod-p but fold with numpy
-    int64 chunks."""
+    `window`-byte substrings (Rabin–Karp / winnowing-style).
+
+    Vectorized with exact mod-p parity to the naive definition
+    H[i] = Σ_j data[i+j]·base^(w-1-j) mod p: per-position (byte, power)
+    products come from a precomputed lookup table (each < 2^61), so sums
+    stay below 2^64 for up to 8 terms — reduce mod p every 7 additions."""
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     n = len(data)
     if n == 0:
@@ -146,16 +217,13 @@ def rolling_fingerprint(text: str, window: int = 16, mod: int = (1 << 61) - 1,
         for b in data.tolist():
             h = (h * base + int(b)) % mod
         return h
-    # rolling in pure python over ints is O(n) and fast enough (no per-char
-    # re-hash); numpy handles the windowed view only
-    pow_w = pow(base, window - 1, mod)
-    buf = data.tolist()
-    h = 0
-    for b in buf[:window]:
-        h = (h * base + b) % mod
-    best = h
-    for i in range(window, n):
-        h = ((h - buf[i - window] * pow_w) * base + buf[i]) % mod
-        if h < best:
-            best = h
-    return best
+    tbl = _fp_table(window, base, mod)
+    nw = n - window + 1
+    acc = np.zeros(nw, dtype=np.uint64)
+    m = np.uint64(mod)
+    for j in range(window):
+        acc += tbl[j][data[j : j + nw]]
+        if (j + 1) % 7 == 0:
+            acc %= m
+    acc %= m
+    return int(acc.min())

@@ -28,8 +28,8 @@ from pyspark.sql.types import (
 
 from ..functions.hashing import (
     jaccard,
-    lsh_band_keys,
-    minhash_signature,
+    lsh_band_keys_batch,
+    minhash_signatures_batch,
     shingle_hashes,
     simhash,
 )
@@ -69,15 +69,17 @@ def minhash_band_table(
 
     def kernel(batches):
         for pdf in batches:
-            ids, keys, counts = [], [], []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                sh = shingle_hashes(txt, k=k_shingle)
-                sig = minhash_signature(sh, num_perm=num_perm)
-                ids.append(i)
-                keys.append([int(x) for x in lsh_band_keys(sig, bands=bands)])
-                counts.append(len(sh))
+            # shingling is per-doc python (tokenization), but signatures and
+            # band keys are computed for the whole Arrow batch at once
+            shs = [shingle_hashes(txt, k=k_shingle) for txt in pdf[text_col]]
+            sigs = minhash_signatures_batch(shs, num_perm=num_perm)
+            keys = lsh_band_keys_batch(sigs, bands=bands)
             yield pd.DataFrame(
-                {"doc_id": ids, "band_keys": keys, "n_shingles": counts}
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "band_keys": list(keys),
+                    "n_shingles": [len(s) for s in shs],
+                }
             )
 
     sigs = docs.select(id_col, text_col).mapInPandas(kernel, schema=_SIG_SCHEMA)

@@ -29,14 +29,27 @@ from ..geometry import haversine_np
 from ..synth import haversine_expr
 
 
-def ring_candidates(df: DataFrame, k: int, zoom: int, tile_col: str = "__ptile") -> DataFrame:
+def ring_candidates(
+    df: DataFrame,
+    k: int,
+    zoom: int,
+    tile_col: str = "__ptile",
+    row_ring=None,
+) -> DataFrame:
     """Expand each row to its k-ring candidate tiles (__ctile), emitting each
     candidate tile exactly once per row: lon offsets wrap mod n without
     duplication (full coverage when 2k+1 >= n), lat offsets are filtered at
     the poles rather than clamped (clamping would duplicate edge tiles and
-    inflate join pair counts)."""
+    inflate join pair counts).
+
+    ``row_ring`` (optional Column) caps the ring PER ROW: rows keep only
+    offsets within their own ring requirement, so mid-latitude data stops
+    paying for a ring sized for the ±85° worst case (k stays the global
+    bound — the offsets table covers every row; the filter prunes inside the
+    broadcast nested-loop join before anything is shuffled)."""
     n = 2**zoom
-    if 2 * k + 1 >= n:
+    full_wrap = 2 * k + 1 >= n
+    if full_wrap:
         dxs = list(range(n))  # all lon residues exactly once
     else:
         dxs = list(range(-k, k + 1))
@@ -46,9 +59,16 @@ def ring_candidates(df: DataFrame, k: int, zoom: int, tile_col: str = "__ptile")
     px = F.shiftright(F.col(tile_col), 32)
     py = F.col(tile_col) % F.lit(2**32)
     ny = py + F.col("dy")
+    out = df.crossJoin(F.broadcast(off_df))
+    if row_ring is not None:
+        wrap_dx = (
+            F.least(F.col("dx"), F.lit(n) - F.col("dx"))
+            if full_wrap
+            else F.abs(F.col("dx"))
+        )
+        out = out.where((wrap_dx <= row_ring) & (F.abs(F.col("dy")) <= row_ring))
     return (
-        df.crossJoin(F.broadcast(off_df))
-        .where((ny >= 0) & (ny < n))
+        out.where((ny >= 0) & (ny < n))
         .withColumn("__ctile", F.shiftleft(F.pmod(px + F.col("dx"), F.lit(n)), 32) + ny)
         .drop("dx", "dy")
     )
@@ -269,15 +289,25 @@ def topk_neighbors(
 
     n = 2**zoom
     tile_deg = 360.0 / n
-    # ring count guaranteeing coverage of max_distance_m at any latitude the
-    # data can hold (worst case: lon-meters shrink by cos(lat) near poles;
-    # mercator lat clamp is ±85.05° → cos ≈ 0.086)
+    m_per_deg = 111194.9
+    # global ring bound guaranteeing coverage of max_distance_m at any
+    # latitude the data can hold (worst case: lon-meters shrink by cos(lat)
+    # near poles; mercator lat clamp is ±85.05° → cos ≈ 0.086) — this only
+    # sizes the broadcast offsets table; each row prunes to ITS latitude band
     min_cos = 0.086
-    ring = int(np.ceil(max_distance_m / (tile_deg * 111194.9 * min_cos))) + 1
+    ring = int(np.ceil(max_distance_m / (tile_deg * m_per_deg * min_cos))) + 1
+    # per-row requirement: both the lon ground extent and the mercator lat
+    # extent of a tile scale ~cos(lat); take the worst latitude inside the
+    # row's ε-disk (|lat| + ε in degrees)
+    eps_deg = max_distance_m / m_per_deg
+    band_cos = F.cos(
+        F.radians(F.least(F.abs(F.col(lat)) + F.lit(eps_deg), F.lit(85.06)))
+    )
+    row_ring = F.ceil(F.lit(max_distance_m / (tile_deg * m_per_deg)) / band_cos) + 1
     lt = left.withColumn("__ptile", cells.tile_id(F.col(lon), F.col(lat), zoom))
     rt = right.withColumn("__rtile", cells.tile_id(F.col(rlon), F.col(rlat), zoom))
     cand = (
-        ring_candidates(lt, ring, zoom)
+        ring_candidates(lt, ring, zoom, row_ring=row_ring)
         .join(rt, F.col("__ctile") == F.col("__rtile"), "inner")
         .withColumn(
             "dist_m", haversine_expr(F.col(lat), F.col(lon), F.col(rlat), F.col(rlon))
@@ -285,5 +315,9 @@ def topk_neighbors(
         .where(F.col("dist_m") <= F.lit(max_distance_m))
         .drop("__ptile", "__rtile", "__ctile")
     )
+    if k >= 2**31 - 1:
+        # unbounded k = plain ε-range join: ranking every pair would add a
+        # full shuffle+sort of the entire pair set for a column nobody reads
+        return cand.withColumn("rank", F.lit(None).cast("int"))
     w = Window.partitionBy(left_id).orderBy(F.col("dist_m").asc(), F.col(right_id).asc())
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
