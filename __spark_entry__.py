@@ -556,6 +556,48 @@ def q_grid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEX_RES = 5
+
+
+def q_hex_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal-grid cell assignment (H3-role grid, cells_hex.py; reference
+    grid/h3.py:347-369) — per-cell doc counts via the NATIVE column
+    expression (whole-stage codegen, no UDF); oracle recomputes the axial
+    arithmetic in SQL (pure float ops, bit-exact across engines)."""
+    from giga_spatial_spark import cells_hex
+
+    pts = _docs_pts(spark, sf_dir)
+    return (
+        pts.withColumn(
+            "hex_cell", cells_hex.cell_id_col(F.col("lon"), F.col("lat"), HEX_RES)
+        )
+        .groupBy("hex_cell")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+def q_hex_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex polyfill membership (reference H3ViewGenerator zonal flow,
+    generators/zonal/h3.py:32-89 + polyfill grid/h3.py:150-196): docs whose
+    res-4 hex cell is in polyfill(zone 1), counted per cell. The oracle
+    recomputes membership independently: cell center (inverse axial
+    transform in SQL) ray-cast against the polygon — equal to center-mode
+    polyfill by definition."""
+    from giga_spatial_spark import cells_hex
+
+    cells_in = cells_hex.polyfill(ADMIN_POLYS[1], 4, mode="center")
+    cover = spark.createDataFrame([(int(c),) for c in cells_in], "hex_cell long")
+    pts = _docs_pts(spark, sf_dir)
+    tagged = pts.withColumn(
+        "hex_cell", cells_hex.cell_id_col(F.col("lon"), F.col("lat"), 4)
+    )
+    return (
+        tagged.join(F.broadcast(cover), "hex_cell", "left_semi")
+        .groupBy("hex_cell")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIP-tag + tile assignment + zonal rollup at sf0.001."""
     pts = _docs_pts(spark, SF0001).select("doc_id", "lon", "lat")
@@ -603,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping": q3_shipping,
         "q_topk_orders": q_topk_orders,
         "q_grid_filter": q_grid_filter,
+        "q_hex_assign": q_hex_assign,
+        "q_hex_zonal": q_hex_zonal,
         "q1_pricing_summary": q1_pricing_summary,
     }
 
@@ -840,9 +884,33 @@ def oracle_sql() -> dict[str, str]:
         "WHERE 1 = 0"
     )
 
+    from giga_spatial_spark import cells_hex
     from giga_spatial_spark.functions import hashing_sql as HS
 
+    hex_assign = (
+        f"SELECT {cells_hex.cell_id_sql('lon', 'lat', HEX_RES)} AS hex_cell, "
+        f"count(*) AS doc_count FROM ({docs}) GROUP BY 1"
+    )
+    _s4 = cells_hex.hex_size(4)
+    _mask = (1 << 26) - 1
+    _clat = f"((r * {_s4!r}) / {cells_hex._C_R_Y!r})"
+    _clon = f"(((q * {_s4!r}) - {cells_hex._C_Q_Y!r} * {_clat}) / {cells_hex._C_Q_X!r})"
+    hex_zonal = (
+        f"WITH d AS ({docs}), "
+        f"h AS (SELECT doc_id, {cells_hex.cell_id_sql('lon', 'lat', 4)} AS hex_cell FROM d), "
+        f"c AS (SELECT hex_cell, ((hex_cell >> 26) & {_mask}) - {cells_hex._OFF} AS q, "
+        f"(hex_cell & {_mask}) - {cells_hex._OFF} AS r "
+        "FROM (SELECT DISTINCT hex_cell FROM h)), "
+        f"ctr AS (SELECT hex_cell, {_clat} AS clat, {_clon} AS clon FROM c), "
+        f"m AS (SELECT hex_cell FROM ctr WHERE "
+        f"{synth.raycast_contains_sql(ADMIN_POLYS[1], 'clon', 'clat')}) "
+        "SELECT h.hex_cell, count(*) AS doc_count FROM h JOIN m USING (hex_cell) "
+        "GROUP BY 1"
+    )
+
     return {
+        "q_hex_assign": hex_assign,
+        "q_hex_zonal": hex_zonal,
         "q3_shipping": q3,
         "q_extract_invariant": extract_invariant,
         "q_minhash_near_dup": HS.shingle_jaccard_pairs_sql(5, 0.5),

@@ -1,0 +1,277 @@
+"""Hexagonal hierarchical grid — from-scratch axial-coordinate implementation.
+
+Role-parity with the reference's primary zonal grid (gigaspatial/grid/
+h3.py: point→cell :347-369, polyfill :150-196, k-ring :371-393,
+parent/children/compact :395-466, consumed by generators/zonal/h3.py:32-89).
+No h3 library exists in this container, so this is a public-knowledge
+pointy-top axial hex grid (Red Blob Games axial/cube coordinate scheme) on
+the (lon, lat) degree plane:
+
+  - resolution r: hex size s_r = S0 / 2**r (each finer level quadruples
+    cell density — aperture-4 analog of H3's aperture 7)
+  - hierarchy via center containment (H3's own parent definition): the
+    parent of a cell is the coarser cell containing its center; children
+    are enumerated exactly, so compact/expand round-trips
+  - like Mercator quadkeys (cells.py), the grid lives on the lon/lat plane,
+    so ground area varies with latitude; the reference's H3 cells are
+    geodesic — role parity is the grid API + hierarchy, documented in
+    COVERAGE.md
+
+Every stage is plain arithmetic (mul/add/div/floor — no trig, no sqrt), so
+point→cell is implemented BOTH as native Spark column expressions (the
+volume path: whole-stage codegen, no UDF) and as DuckDB SQL for the oracle,
+with bit-identical results (same constants, same operation order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .geometry import point_in_polygon
+
+S0 = 45.0  # res-0 hex size (circumradius) in degrees
+_C_Q_X = 0.5773502691896258  # float64(sqrt(3) / 3)
+_C_Q_Y = -0.3333333333333333  # float64(-1/3)
+_C_R_Y = 0.6666666666666666  # float64(2/3)
+_OFF = 1 << 25  # axial offset so packed coords are non-negative
+MAX_RES = 15
+
+
+def hex_size(res: int) -> float:
+    return S0 / (1 << res)  # exact in floats (power-of-two division)
+
+
+# ------------------------------------------------------------------ numpy
+def _axial_frac(lon: np.ndarray, lat: np.ndarray, res: int):
+    s = hex_size(res)
+    q = (_C_Q_X * lon + _C_Q_Y * lat) / s
+    r = (_C_R_Y * lat) / s
+    return q, r
+
+
+def _cube_round(q: np.ndarray, r: np.ndarray):
+    """Cube rounding (public algorithm): round each cube coord with
+    floor(x+0.5) — NOT banker's np.round, so the SQL twin can reproduce it —
+    then repair the coordinate with the largest rounding error."""
+    y = -q - r
+    rx = np.floor(q + 0.5)
+    ry = np.floor(y + 0.5)
+    rz = np.floor(r + 0.5)
+    dx = np.abs(rx - q)
+    dy = np.abs(ry - y)
+    dz = np.abs(rz - r)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_y = ~fix_x & (dy > dz)
+    rx = np.where(fix_x, -ry - rz, rx)
+    ry = np.where(fix_y, -rx - rz, ry)
+    rz = -rx - ry
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def pack(res: int, q: np.ndarray, r: np.ndarray):
+    return (
+        (np.int64(res) << np.int64(52))
+        | ((q + _OFF).astype(np.int64) << np.int64(26))
+        | (r + _OFF).astype(np.int64)
+    )
+
+
+def unpack(cid):
+    cid = np.asarray(cid, dtype=np.int64)
+    res = (cid >> 52).astype(np.int64)
+    q = ((cid >> 26) & ((1 << 26) - 1)) - _OFF
+    r = (cid & ((1 << 26) - 1)) - _OFF
+    return res, q, r
+
+
+def cell_id(lon, lat, res: int) -> np.ndarray:
+    """Vectorized (lon, lat) → hex cell id at resolution res."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    qf, rf = _axial_frac(lon, lat, res)
+    q, r = _cube_round(qf, rf)
+    return pack(res, q, r)
+
+
+def cell_center(cid) -> tuple[np.ndarray, np.ndarray]:
+    """Axial → (lon, lat) hex center (inverse of the axial transform)."""
+    res, q, r = unpack(cid)
+    s = S0 / np.power(2.0, res)
+    lat = r * s / _C_R_Y
+    lon = (q * s - _C_Q_Y * lat) / _C_Q_X
+    return lon, lat
+
+
+def hex_distance(q1, r1, q2, r2) -> np.ndarray:
+    dq = np.asarray(q1 - q2)
+    dr = np.asarray(r1 - r2)
+    return (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+
+
+def k_ring(cid: int, k: int) -> np.ndarray:
+    """All cells within hex distance k (1 + 3k(k+1) cells, self included)."""
+    res, q, r = unpack(np.array([cid]))
+    dq = np.arange(-k, k + 1)
+    dqs, drs = np.meshgrid(dq, dq, indexing="ij")
+    mask = (np.abs(dqs) <= k) & (np.abs(drs) <= k) & (np.abs(dqs + drs) <= k)
+    return np.sort(pack(int(res[0]), q[0] + dqs[mask], r[0] + drs[mask]))
+
+
+def parent(cid, res: int) -> np.ndarray:
+    """Coarser cell containing this cell's center (H3 parent semantics)."""
+    cid = np.asarray(cid, dtype=np.int64)
+    own_res = cid >> 52
+    if (res > own_res).any():
+        raise ValueError("parent resolution must be coarser (smaller)")
+    lon, lat = cell_center(cid)
+    return cell_id(lon, lat, res)
+
+
+def children(cid: int) -> np.ndarray:
+    """Exact child set one level finer: fine cells whose parent is cid
+    (aperture-4 average of 4 children; counts vary per cell because hexes
+    don't nest — same as H3, whose children are approximate containment)."""
+    res, q, r = unpack(np.array([cid]))
+    res = int(res[0])
+    lon, lat = cell_center(np.array([cid]))
+    fq, fr = _axial_frac(np.array(lon), np.array(lat), res + 1)
+    cq, cr = _cube_round(fq, fr)
+    dq = np.arange(-3, 4)
+    dqs, drs = np.meshgrid(dq, dq, indexing="ij")
+    cand_q = (cq[0] + dqs).ravel()
+    cand_r = (cr[0] + drs).ravel()
+    cand = pack(res + 1, cand_q, cand_r)
+    par = parent(cand, res)
+    return np.sort(cand[par == cid])
+
+
+def compact(cells: np.ndarray) -> np.ndarray:
+    """Replace complete sibling sets with their parent, recursively
+    (reference grid/h3.py compact)."""
+    cells = np.unique(np.asarray(cells, dtype=np.int64))
+    changed = True
+    while changed:
+        changed = False
+        res = cells >> 52
+        out: list[int] = []
+        done: set[int] = set()
+        have = set(cells.tolist())
+        for c in cells.tolist():
+            if c in done:
+                continue
+            rr = int(c >> 52)
+            if rr == 0:
+                out.append(c)
+                continue
+            p = int(parent(np.array([c]), rr - 1)[0])
+            kids = children(p)
+            if all(int(kk) in have for kk in kids):
+                out.append(p)
+                done.update(int(kk) for kk in kids)
+                changed = True
+            else:
+                out.append(c)
+        cells = np.unique(np.array(out, dtype=np.int64))
+    return cells
+
+
+def expand(cells: np.ndarray, res: int) -> np.ndarray:
+    """Inverse of compact: replace every coarser cell with its descendants
+    at `res` (reference uncompact)."""
+    cells = np.asarray(cells, dtype=np.int64)
+    out: list[int] = []
+    for c in cells.tolist():
+        rr = int(c >> 52)
+        if rr == res:
+            out.append(c)
+        elif rr > res:
+            raise ValueError("expand target must be finer than every input")
+        else:
+            frontier = [c]
+            for _ in range(res - rr):
+                frontier = [int(k) for f in frontier for k in children(f)]
+            out.extend(frontier)
+    return np.unique(np.array(out, dtype=np.int64))
+
+
+def polyfill(poly: np.ndarray, res: int, mode: str = "center") -> np.ndarray:
+    """Cells whose center lies inside the polygon (reference polyfill
+    contain-mode 'center', grid/h3.py:150-196). mode='overlap' adds a
+    one-ring dilation (superset cover for candidate generation)."""
+    lons, lats = poly[:, 0], poly[:, 1]
+    corners_q, corners_r = _axial_frac(
+        np.array([lons.min(), lons.max(), lons.min(), lons.max()]),
+        np.array([lats.min(), lats.min(), lats.max(), lats.max()]),
+        res,
+    )
+    pad = 2
+    q_lo, q_hi = int(np.floor(corners_q.min())) - pad, int(np.ceil(corners_q.max())) + pad
+    r_lo, r_hi = int(np.floor(corners_r.min())) - pad, int(np.ceil(corners_r.max())) + pad
+    qs = np.arange(q_lo, q_hi + 1)
+    rs = np.arange(r_lo, r_hi + 1)
+    qg, rg = np.meshgrid(qs, rs, indexing="ij")
+    cand = pack(res, qg.ravel(), rg.ravel())
+    lon, lat = cell_center(cand)
+    inside = point_in_polygon(poly, lon, lat)
+    cells = cand[inside]
+    if mode == "overlap":
+        ring_ids = {int(x) for c in cells.tolist() for x in k_ring(c, 1)}
+        cells = np.array(sorted(ring_ids), dtype=np.int64)
+    return np.sort(cells)
+
+
+# ----------------------------------------------------- native Spark columns
+def cell_id_col(lon: Column, lat: Column, res: int) -> Column:
+    """Native column expression for cell_id — identical constants and
+    operation order as the numpy/SQL paths, so all three agree bitwise.
+    Stays inside whole-stage codegen (no UDF) for the volume path."""
+    s = hex_size(res)
+    qf = (F.lit(_C_Q_X) * lon + F.lit(_C_Q_Y) * lat) / F.lit(s)
+    rf = (F.lit(_C_R_Y) * lat) / F.lit(s)
+    y = -qf - rf
+    rx = F.floor(qf + F.lit(0.5)).cast("double")
+    ry = F.floor(y + F.lit(0.5)).cast("double")
+    rz = F.floor(rf + F.lit(0.5)).cast("double")
+    dx = F.abs(rx - qf)
+    dy = F.abs(ry - y)
+    dz = F.abs(rz - rf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_y = (~fix_x) & (dy > dz)
+    rx2 = F.when(fix_x, -ry - rz).otherwise(rx)
+    ry2 = F.when(fix_y, -rx2 - rz).otherwise(ry)
+    rz2 = -rx2 - ry2
+    q = rx2.cast("long")
+    r = rz2.cast("long")
+    return (
+        F.shiftleft(F.lit(res).cast("long"), 52)
+        + F.shiftleft(q + F.lit(_OFF), 26)
+        + (r + F.lit(_OFF))
+    )
+
+
+# ------------------------------------------------------------- oracle SQL
+def cell_id_sql(lon: str, lat: str, res: int) -> str:
+    """DuckDB expression recomputing cell_id_col bit-exactly (pure
+    arithmetic — no libm anywhere, so cross-engine equality is exact, not
+    1-ulp-approximate)."""
+    s = hex_size(res)
+    qf = f"(({_C_Q_X!r} * {lon} + {_C_Q_Y!r} * {lat}) / {s!r})"
+    rf = f"(({_C_R_Y!r} * {lat}) / {s!r})"
+    y = f"(-{qf} - {rf})"
+    rx = f"floor({qf} + 0.5)"
+    ry = f"floor({y} + 0.5)"
+    rz = f"floor({rf} + 0.5)"
+    dx = f"abs({rx} - {qf})"
+    dy = f"abs({ry} - {y})"
+    dz = f"abs({rz} - {rf})"
+    fix_x = f"({dx} > {dy} AND {dx} > {dz})"
+    rx2 = f"(CASE WHEN {fix_x} THEN -{ry} - {rz} ELSE {rx} END)"
+    fix_y = f"(NOT {fix_x} AND {dy} > {dz})"
+    ry2 = f"(CASE WHEN {fix_y} THEN -{rx2} - {rz} ELSE {ry} END)"
+    rz2 = f"(-{rx2} - {ry2})"
+    return (
+        f"(({res}::BIGINT << 52) + ((CAST({rx2} AS BIGINT) + {_OFF}) << 26) "
+        f"+ (CAST({rz2} AS BIGINT) + {_OFF}))"
+    )
