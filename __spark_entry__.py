@@ -556,6 +556,30 @@ def q_grid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join whose polygons arrive as WKB binary (reference accepts WKB
+    geometry at parse time, entity.py:176-212): zone WKB blobs are decoded
+    by the Arrow UDF (functions/wkb.py) on executors, collected (dim-sized),
+    and broadcast into the native cover join. Doubles round-trip bit-exactly
+    so the oracle is the same zone-predicate SQL as q_pip_tag."""
+    import numpy as np
+
+    from giga_spatial_spark.functions import wkb
+
+    rows = [
+        (zid, bytearray(wkb.dump_polygon(poly)))
+        for zid, poly in sorted(ADMIN_POLYS.items())
+    ]
+    zdf = spark.createDataFrame(rows, "zone_id int, geom binary")
+    parsed = wkb.with_parsed_rings(zdf, "geom", "rings").select("zone_id", "rings")
+    polys = {
+        r["zone_id"]: np.asarray(r["rings"][0], dtype=np.float64)
+        for r in parsed.collect()
+    }
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    return pip_join_native(pts, polys, zoom=PIP_ZOOM).select("doc_id", "zone_id")
+
+
 HEX_RES = 5
 
 
@@ -647,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grid_filter": q_grid_filter,
         "q_hex_assign": q_hex_assign,
         "q_hex_zonal": q_hex_zonal,
+        "q_pip_wkb": q_pip_wkb,
         "q1_pricing_summary": q1_pricing_summary,
     }
 
@@ -942,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_assign": tile_assign,
         "q_pip_tag": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_tag_rtree": f"SELECT doc_id, zone_id FROM ({pip})",
+        "q_pip_wkb": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_zonal_count": (
             f"WITH pip AS ({pip}), z(zone_id) AS (VALUES {zone_ids}) "
             "SELECT z.zone_id, coalesce(c.cnt, 0) AS point_count FROM z "

@@ -18,6 +18,10 @@ def read_dataset(spark: SparkSession, path: str, **options) -> DataFrame:
         if name.endswith(gz):
             name = name[: -len(gz)]
             break
+    if name.endswith(".geojson"):
+        return read_geojson(spark, path)
+    if name.endswith(".geoparquet"):
+        return read_geoparquet(spark, path, **options)
     if name.endswith(".parquet") or name.endswith(".pq"):
         return spark.read.parquet(path)
     if name.endswith(".csv") or name.endswith(".tsv"):
@@ -28,6 +32,95 @@ def read_dataset(spark: SparkSession, path: str, **options) -> DataFrame:
     if name.endswith(".json"):
         return spark.read.options(multiLine=True, **options).json(path)
     raise ValueError(f"unsupported dataset format: {path}")
+
+
+def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+    """GeoJSON FeatureCollection → normalized feature table (reference
+    readers.py:122-175 routes these through geopandas; here the stdlib json
+    parse runs distributed per file inside mapInPandas).
+
+    Output schema: feature_id (position in file), geom_type, rings
+    (array<array<array<double>>> — Points become one one-vertex ring,
+    Polygon rings drop their closing vertex, MultiPolygon flattens member
+    rings), properties (map<string,string>)."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, MapType, StringType, StructField,
+        StructType,
+    )
+
+    raw = spark.read.text(path, wholetext=True)
+    schema = StructType(
+        [
+            StructField("feature_id", LongType()),
+            StructField("geom_type", StringType()),
+            StructField("rings", ArrayType(ArrayType(ArrayType(DoubleType())))),
+            StructField("properties", MapType(StringType(), StringType())),
+        ]
+    )
+
+    def _rings(geom) -> list | None:
+        if geom is None:
+            return None
+        t, c = geom.get("type"), geom.get("coordinates")
+        if t == "Point":
+            return [[[float(c[0]), float(c[1])]]]
+        if t in ("LineString", "MultiPoint"):
+            return [[[float(x), float(y)] for x, y, *_ in c]]
+        if t in ("Polygon", "MultiLineString"):
+            out = []
+            for ring in c:
+                vs = [[float(x), float(y)] for x, y, *_ in ring]
+                if t == "Polygon" and len(vs) >= 2 and vs[0] == vs[-1]:
+                    vs = vs[:-1]
+                out.append(vs)
+            return out
+        if t == "MultiPolygon":
+            out = []
+            for poly in c:
+                for ring in poly:
+                    vs = [[float(x), float(y)] for x, y, *_ in ring]
+                    if len(vs) >= 2 and vs[0] == vs[-1]:
+                        vs = vs[:-1]
+                    out.append(vs)
+            return out
+        return None
+
+    def kernel(batches):
+        for pdf in batches:
+            for doc in pdf["value"]:
+                fc = _json.loads(doc)
+                feats = fc["features"] if fc.get("type") == "FeatureCollection" else [fc]
+                rows = {
+                    "feature_id": list(range(len(feats))),
+                    "geom_type": [
+                        (f.get("geometry") or {}).get("type") for f in feats
+                    ],
+                    "rings": [_rings(f.get("geometry")) for f in feats],
+                    "properties": [
+                        {str(k): (None if v is None else str(v))
+                         for k, v in (f.get("properties") or {}).items()}
+                        for f in feats
+                    ],
+                }
+                yield pd.DataFrame(rows)
+
+    return raw.mapInPandas(kernel, schema=schema)
+
+
+def read_geoparquet(
+    spark: SparkSession, path: str, geometry_col: str = "geometry", **options
+) -> DataFrame:
+    """GeoParquet-style ingest: plain parquet scan + WKB decode of the
+    geometry column into a rings column (reference readers.py:read_gdf
+    parquet branch). Column pruning/predicate pushdown stay intact — only
+    the binary column passes through the Arrow UDF."""
+    from ..functions.wkb import with_parsed_rings
+
+    df = spark.read.options(**options).parquet(path)
+    return with_parsed_rings(df, geometry_col, "rings")
 
 
 def read_datasets(spark: SparkSession, paths: list[str], **options) -> DataFrame:

@@ -1,0 +1,121 @@
+"""WKB codec round-trips (both byte orders, holes, multis) and
+GeoJSON / GeoParquet-style ingest — reference geometry-at-parse-time
+(entity.py:176-212) and geo-format readers (readers.py:122-175, 208-407)."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from giga_spatial_spark import synth
+from giga_spatial_spark.functions import wkb
+from giga_spatial_spark.sources.readers import read_dataset, read_geojson
+
+RING = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]])
+HOLE = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]])
+
+
+def test_point_roundtrip():
+    buf = wkb.dump_point(12.3456789012345, -7.000000001)
+    t, c = wkb.parse_wkb(buf)
+    assert t == "Point" and c[0] == 12.3456789012345 and c[1] == -7.000000001
+    # hex input path
+    t2, c2 = wkb.parse_wkb(buf.hex())
+    assert t2 == "Point" and (c2 == c).all()
+
+
+def test_polygon_roundtrip_with_holes():
+    buf = wkb.dump_polygon([RING, HOLE])
+    t, rings = wkb.parse_wkb(buf)
+    assert t == "Polygon" and len(rings) == 2
+    assert np.array_equal(rings[0], RING) and np.array_equal(rings[1], HOLE)
+
+
+def test_multipolygon_roundtrip():
+    buf = wkb.dump_multipolygon([[RING], [HOLE]])
+    t, polys = wkb.parse_wkb(buf)
+    assert t == "MultiPolygon" and len(polys) == 2
+    assert np.array_equal(polys[0][0], RING)
+
+
+def test_big_endian_parse():
+    # hand-packed XDR point
+    buf = struct.pack(">BIdd", 0, 1, 1.5, -2.5)
+    t, c = wkb.parse_wkb(buf)
+    assert t == "Point" and c[0] == 1.5 and c[1] == -2.5
+
+
+def test_linestring_and_errors():
+    ls = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.5]])
+    t, c = wkb.parse_wkb(wkb.dump_linestring(ls))
+    assert t == "LineString" and np.array_equal(c, ls)
+    with pytest.raises(ValueError):
+        wkb.parse_wkb(struct.pack("<BI", 1, 99))
+
+
+def test_with_parsed_rings_spark(spark):
+    polys = synth.make_admin_polygons()
+    rows = [(zid, bytearray(wkb.dump_polygon(p))) for zid, p in sorted(polys.items())]
+    rows.append((999, None))  # NULL geometry must survive as NULL rings
+    rows.append((998, bytearray(b"\x01\xff")))  # garbage → NULL, not crash
+    df = spark.createDataFrame(rows, "zone_id int, geom binary")
+    out = {r["zone_id"]: r["rings"] for r in wkb.with_parsed_rings(df).collect()}
+    assert out[999] is None and out[998] is None
+    for zid, p in polys.items():
+        assert np.array_equal(np.array(out[zid][0]), p)
+
+
+def test_geojson_reader(spark, tmp_path):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [10.5, -3.25]},
+                "properties": {"name": "p1", "pop": 1234},
+            },
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[0, 0], [4, 0], [4, 3], [0, 3], [0, 0]],
+                        [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]],
+                    ],
+                },
+                "properties": {"name": "z1"},
+            },
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [[[[0, 0], [1, 0], [1, 1], [0, 0]]]],
+                },
+                "properties": {},
+            },
+        ],
+    }
+    path = str(tmp_path / "zones.geojson")
+    with open(path, "w") as f:
+        json.dump(fc, f)
+    out = read_dataset(spark, path).orderBy("feature_id").collect()
+    assert [r["geom_type"] for r in out] == ["Point", "Polygon", "MultiPolygon"]
+    assert out[0]["rings"] == [[[10.5, -3.25]]]
+    assert out[0]["properties"]["pop"] == "1234"
+    # closing vertices dropped, holes preserved as separate rings
+    assert len(out[1]["rings"]) == 2 and len(out[1]["rings"][0]) == 4
+    assert len(out[2]["rings"][0]) == 3
+
+
+def test_geoparquet_style_roundtrip(spark, tmp_path):
+    polys = synth.make_admin_polygons()
+    rows = [(zid, bytearray(wkb.dump_polygon(p))) for zid, p in sorted(polys.items())]
+    src = spark.createDataFrame(rows, "zone_id int, geometry binary")
+    path = str(tmp_path / "zones.geoparquet")
+    src.write.mode("overwrite").parquet(path)
+    out = read_dataset(spark, path).select("zone_id", "rings").collect()
+    got = {r["zone_id"]: np.array(r["rings"][0]) for r in out}
+    for zid, p in polys.items():
+        assert np.array_equal(got[zid], p)
