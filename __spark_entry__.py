@@ -247,6 +247,27 @@ def q_admin_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAR_POLY = synth.make_star_polygon()
+STAR_ZONES = {
+    0: synth.make_star_polygon(20.0, 10.0, 30.0, 12.0, 5),
+    1: synth.make_star_polygon(-80.0, -20.0, 40.0, 15.0, 7),
+    2: synth.make_star_polygon(100.0, 40.0, 35.0, 14.0, 6),
+}
+
+
+def q_polygon_agg_nonconvex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General polygon×polygon intersects aggregation with NON-CONVEX zones
+    (reference _simple_aggregation, geo.py:1119-1157): box parcels × star
+    polygons — broadcast bbox cover join + exact SAT edge/containment refine
+    in an Arrow kernel; oracle replays the identical SAT arithmetic per
+    literal zone edge in SQL."""
+    from giga_spatial_spark.operators.overlay import box_polygon_intersects_join
+
+    parcels = synth.parcels_df(spark, sf_dir)
+    pairs = box_polygon_intersects_join(parcels, STAR_ZONES)
+    return pairs.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("parcel_count"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("value_sum"),
+    )
 
 
 def q_pip_nonconvex(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,6 +475,27 @@ def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("pixel_value", 1).alias("pixel_value"))
 
 
+def q_raster_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band (rgb-shape) point sampling (reference
+    tif_processor.py:958-1006 multi-band shapes): 3-band synthetic raster,
+    one value column per band at each doc's containing pixel."""
+    from giga_spatial_spark.operators.raster import (
+        RasterMeta,
+        sample_multiband,
+        synthetic_raster_multiband,
+    )
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    pixels = synthetic_raster_multiband(spark, RasterMeta(), bands=3)
+    out = sample_multiband(pts, pixels, RasterMeta(), bands=3)
+    return out.select(
+        "doc_id",
+        F.round("b1", 1).alias("b1"),
+        F.round("b2", 1).alias("b2"),
+        F.round("b3", 1).alias("b3"),
+    )
+
+
 def q_s2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-style cell assignment (from-scratch Hilbert implementation,
     cells_s2.py) at level 6 — per-cell doc counts (rows-only driver check;
@@ -556,6 +598,41 @@ def q_grid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ENUM_ALIASES = {
+    "1-urgent": "urgent",
+    "2-high": "high",
+    "3-medium": "medium",
+    "5-low": "low",
+    "o": "open",
+    "f": "finished",
+    "p": "pending",
+}
+
+
+def q_normalize_enums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum alias normalization incl. delimited collections (reference
+    entity_processor.py:616-751, alias maps shared.py:79-225):
+    o_orderpriority canonicalized through the alias map ('4-not specified'
+    exercises unknown-passthrough); a 'status,priority' collection cell is
+    normalized per element."""
+    from giga_spatial_spark.operators.normalize import (
+        normalize_enum_collection_expr,
+        normalize_enum_expr,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    enum = normalize_enum_expr(F.col("o_orderpriority"), ENUM_ALIASES)
+    coll = normalize_enum_collection_expr(
+        F.concat_ws(",", F.col("o_orderstatus"), F.col("o_orderpriority")),
+        ENUM_ALIASES,
+    )
+    return (
+        orders.select(enum.alias("priority"), coll.alias("tags"))
+        .groupBy("priority", "tags")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def q_pip_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join whose polygons arrive as WKB binary (reference accepts WKB
     geometry at parse time, entity.py:176-212): zone WKB blobs are decoded
@@ -649,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bounds_filter": q_bounds_filter,
         "q_admin_annotate": q_admin_annotate,
         "q_pip_nonconvex": q_pip_nonconvex,
+        "q_polygon_agg_nonconvex": q_polygon_agg_nonconvex,
         "q_fingerprint": q_fingerprint,
         "q_token_stats": q_token_stats,
         "q_lang_id": q_lang_id,
@@ -664,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_strings": q_normalize_strings,
         "q_zonal_raster": q_zonal_raster,
         "q_raster_sample": q_raster_sample,
+        "q_raster_multiband": q_raster_multiband,
         "q_s2_assign": q_s2_assign,
         "q_extract_invariant": q_extract_invariant,
         "q3_shipping": q3_shipping,
@@ -672,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hex_assign": q_hex_assign,
         "q_hex_zonal": q_hex_zonal,
         "q_pip_wkb": q_pip_wkb,
+        "q_normalize_enums": q_normalize_enums,
         "q1_pricing_summary": q1_pricing_summary,
     }
 
@@ -805,6 +885,22 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE {synth.raycast_contains_sql(STAR_POLY, 'd.lon', 'd.lat')}"
     )
 
+    from giga_spatial_spark.operators.overlay import box_intersects_poly_sql
+
+    star_branches = " UNION ALL ".join(
+        f"SELECT {zid} AS zone_id, value FROM p WHERE "
+        + box_intersects_poly_sql(
+            poly, synth.raycast_contains_sql(poly, "pminx", "pminy")
+        )
+        for zid, poly in sorted(STAR_ZONES.items())
+    )
+    polygon_agg_nonconvex = (
+        f"WITH p AS ({synth.PARCELS_SQL}), m AS ({star_branches}) "
+        "SELECT zone_id, count(*) AS parcel_count, "
+        "sum(cast(round(value * 100, 0) as bigint)) / 100.0 AS value_sum "
+        "FROM m GROUP BY zone_id"
+    )
+
     lang_id = (
         f"SELECT lang, {T.predicted_lang_sql('text')} AS predicted, "
         "count(*) AS doc_count FROM documents GROUP BY 1, 2"
@@ -852,6 +948,18 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS customer_count FROM customer GROUP BY 1"
     )
 
+    from giga_spatial_spark.operators.normalize import (
+        normalize_enum_collection_sql,
+        normalize_enum_sql,
+    )
+
+    merged_cell = "concat(o_orderstatus, ',', o_orderpriority)"
+    normalize_enums = (
+        f"SELECT {normalize_enum_sql('o_orderpriority', ENUM_ALIASES)} AS priority, "
+        f"{normalize_enum_collection_sql(merged_cell, ENUM_ALIASES)} AS tags, "
+        "count(*) AS n_orders FROM orders GROUP BY 1, 2"
+    )
+
     from giga_spatial_spark.operators.raster import RasterMeta, synthetic_raster_sql
 
     rmeta = RasterMeta()
@@ -870,6 +978,22 @@ def oracle_sql() -> dict[str, str]:
         "round(min(value), 1) AS v_min, round(max(value), 1) AS v_max, "
         "round(quantile_cont(value, 0.5), 2) AS v_median "
         "FROM m GROUP BY zone_id"
+    )
+
+    from giga_spatial_spark.operators.raster import synthetic_raster_multiband_sql
+
+    mb = synthetic_raster_multiband_sql(rmeta, bands=3)
+    band_cols = ", ".join(
+        f"round(max(CASE WHEN r.band = {b} THEN r.value END), 1) AS b{b}"
+        for b in (1, 2, 3)
+    )
+    raster_multiband = (
+        f"WITH raster AS ({mb}), d AS ({docs}), "
+        "keyed AS (SELECT doc_id, "
+        f"cast(floor((lon - {rmeta.lon0}) / {rmeta.dx!r}) as bigint) AS px, "
+        f"cast(floor((lat - {rmeta.lat0}) / {rmeta.dy!r}) as bigint) AS py FROM d) "
+        f"SELECT k.doc_id, {band_cols} "
+        "FROM keyed k LEFT JOIN raster r USING (px, py) GROUP BY k.doc_id"
     )
 
     raster_sample = (
@@ -955,8 +1079,10 @@ def oracle_sql() -> dict[str, str]:
         "q_grid_filter": grid_filter,
         "q_zonal_raster": zonal_raster,
         "q_raster_sample": raster_sample,
+        "q_raster_multiband": raster_multiband,
         "q_admin_annotate": admin_annotate,
         "q_pip_nonconvex": pip_nonconvex,
+        "q_polygon_agg_nonconvex": polygon_agg_nonconvex,
         "q_token_stats": token_stats,
         "q_lang_id": lang_id,
         "q_dedup_exact": dedup_exact,
@@ -964,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_hourly": events_hourly,
         "q_sessionize": sessionize,
         "q_normalize_strings": normalize_strings,
+        "q_normalize_enums": normalize_enums,
         "q_tile_assign": tile_assign,
         "q_pip_tag": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_tag_rtree": f"SELECT doc_id, zone_id FROM ({pip})",

@@ -43,6 +43,59 @@ def clean_string_sql(col: str) -> str:
     return f"(CASE WHEN {c} IN ({sentinels}) THEN NULL ELSE {c} END)"
 
 
+def normalize_enum_expr(
+    col: Column, alias_map: dict[str, str], unknown: str = "keep"
+) -> Column:
+    """Enum alias normalization (reference entity_processor.py:616-751 with
+    alias maps from core/schemas/shared.py:79-225): clean (trim/lower/
+    sentinel→NULL) then canonicalize through a literal map — Catalyst folds
+    the CASE, so this stays inside whole-stage codegen. unknown='keep'
+    passes unrecognized cleaned values through; 'null' rejects them."""
+    c = clean_string_expr(col)
+    mapping = F.create_map(*[F.lit(x) for kv in alias_map.items() for x in kv])
+    hit = F.element_at(mapping, c)
+    if unknown == "keep":
+        return F.coalesce(hit, c)
+    return F.when(c.isNull(), F.lit(None)).otherwise(hit)
+
+
+def normalize_enum_collection_expr(
+    col: Column, alias_map: dict[str, str], delim: str = ","
+) -> Column:
+    """Delimited-collection variant (reference normalizes each element of
+    'a; b; c' cells, entity_processor.py:700-751): split → per-element
+    clean+alias → drop NULLed elements → rejoin; an all-null/empty cell
+    becomes NULL."""
+    mapping = F.create_map(*[F.lit(x) for kv in alias_map.items() for x in kv])
+
+    def elem(x: Column) -> Column:
+        c = F.lower(F.trim(x))
+        c = F.when(c.isin(NULL_SENTINELS), F.lit(None)).otherwise(c)
+        return F.coalesce(F.element_at(mapping, c), c)
+
+    arr = F.filter(F.transform(F.split(col, delim), elem), lambda v: v.isNotNull())
+    joined = F.array_join(arr, delim)
+    return F.when(F.size(arr) == 0, F.lit(None)).otherwise(joined)
+
+
+def normalize_enum_sql(col: str, alias_map: dict[str, str], unknown: str = "keep") -> str:
+    """DuckDB twin of normalize_enum_expr."""
+    cleaned = clean_string_sql(col)
+    cases = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in alias_map.items())
+    fallback = cleaned if unknown == "keep" else "NULL"
+    return f"(CASE {cleaned} {cases} ELSE {fallback} END)"
+
+
+def normalize_enum_collection_sql(col: str, alias_map: dict[str, str], delim: str = ",") -> str:
+    """DuckDB twin of normalize_enum_collection_expr."""
+    elem = normalize_enum_sql("x", alias_map)
+    arr = (
+        f"list_filter(list_transform(string_split({col}, '{delim}'), "
+        f"x -> {elem}), x -> x IS NOT NULL)"
+    )
+    return f"nullif(array_to_string({arr}, '{delim}'), '')"
+
+
 def repair_merged_coords(df: DataFrame, merged_col: str,
                          lat_col: str = "latitude", lon_col: str = "longitude") -> DataFrame:
     """Split 'lat, lon' merged into one cell (reference :428-459):

@@ -76,26 +76,34 @@ def fractional_overlay_convex(
 
     def kernel(batches):
         zones = bc.value
+        zboxes = {
+            zid: (z[:, 0].min(), z[:, 1].min(), z[:, 0].max(), z[:, 1].max())
+            for zid, z in zones.items()
+        }
         for pdf in batches:
             recs = []
-            for _, row in pdf.iterrows():
-                # Arrow hands array<array<double>> as an object array of
-                # ndarrays — stack explicitly
-                poly = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in row[vertices_col]]
-                )
+            # itertuples-free column zip (iterrows builds a Series per row —
+            # the slowest pandas access path); bbox prefilter skips the clip
+            # for the vast majority of (parcel, zone) pairs
+            for pid, verts, val in zip(
+                pdf["parcel_id"], pdf[vertices_col], pdf[value_col]
+            ):
+                poly = np.stack([np.asarray(v, dtype=np.float64) for v in verts])
                 total = polygon_area(poly)
                 if total <= 0:
                     continue
+                bxmin, bymin = poly[:, 0].min(), poly[:, 1].min()
+                bxmax, bymax = poly[:, 0].max(), poly[:, 1].max()
                 for zid, zpoly in zones.items():
+                    zxmin, zymin, zxmax, zymax = zboxes[zid]
+                    if bxmin > zxmax or bxmax < zxmin or bymin > zymax or bymax < zymin:
+                        continue
                     inter = clip_polygon_convex(poly, zpoly)
                     if len(inter) >= 3:
                         a = polygon_area(inter)
                         if a > 0:
                             frac = a / total
-                            recs.append(
-                                (row["parcel_id"], zid, frac, row[value_col] * frac)
-                            )
+                            recs.append((pid, zid, frac, val * frac))
             if recs:
                 yield pd.DataFrame(
                     recs, columns=["parcel_id", "zone_id", "frac", "weighted"]
@@ -106,3 +114,124 @@ def fractional_overlay_convex(
         F.sum("weighted").alias(f"{value_col}_weighted_sum"),
         F.count(F.lit(1)).alias("parcel_count"),
     )
+
+
+# ---------------------------------------------- general intersects (non-convex)
+def _box_intersects_poly_np(
+    minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray,
+    poly: np.ndarray,
+) -> np.ndarray:
+    """Exact inclusive box∩polygon test for an arbitrary simple polygon
+    (reference _simple_aggregation's sjoin 'intersects', geo.py:1119-1157):
+    SAT per polygon edge vs box (edge-bbox overlap + corners not strictly
+    one side of the edge line) OR one box corner inside the polygon (covers
+    box-entirely-inside; edge tests cover every boundary-crossing case)."""
+    x1, y1 = poly[:, 0], poly[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    dx, dy = x2 - x1, y2 - y1
+    exmin, exmax = np.minimum(x1, x2)[None, :], np.maximum(x1, x2)[None, :]
+    eymin, eymax = np.minimum(y1, y2)[None, :], np.maximum(y1, y2)[None, :]
+    bb = (
+        (exmin <= maxx[:, None]) & (exmax >= minx[:, None])
+        & (eymin <= maxy[:, None]) & (eymax >= miny[:, None])
+    )
+    sides = []
+    for cx, cy in ((minx, miny), (minx, maxy), (maxx, miny), (maxx, maxy)):
+        sides.append(
+            dx[None, :] * (cy[:, None] - y1[None, :])
+            - dy[None, :] * (cx[:, None] - x1[None, :])
+        )
+    all_pos = np.ones_like(bb)
+    all_neg = np.ones_like(bb)
+    for s in sides:
+        all_pos &= s > 0
+        all_neg &= s < 0
+    edge_hit = (bb & ~all_pos & ~all_neg).any(axis=1)
+    from ..geometry import point_in_polygon
+
+    inside = point_in_polygon(poly, minx, miny)
+    return edge_hit | inside
+
+
+def box_polygon_intersects_join(
+    parcels: DataFrame,
+    zone_polys: dict[int, np.ndarray],
+) -> DataFrame:
+    """Box parcels × arbitrary (non-convex) literal zone polygons →
+    (parcel rows, zone_id) intersect pairs. Native broadcast bbox cover join
+    generates candidates; the exact SAT refine runs Arrow-batched (composite
+    multi-zone CASE predicates fall out of whole-stage codegen — measured in
+    docs/SCALE.md — so the refine deliberately lives in numpy)."""
+    spark = parcels.sparkSession
+    zrows = [
+        (int(zid), float(p[:, 0].min()), float(p[:, 1].min()),
+         float(p[:, 0].max()), float(p[:, 1].max()))
+        for zid, p in sorted(zone_polys.items())
+    ]
+    zb = spark.createDataFrame(
+        zrows, "zone_id int, zbminx double, zbminy double, zbmaxx double, zbmaxy double"
+    )
+    cand = parcels.join(
+        F.broadcast(zb),
+        (F.col("pminx") <= F.col("zbmaxx")) & (F.col("pmaxx") >= F.col("zbminx"))
+        & (F.col("pminy") <= F.col("zbmaxy")) & (F.col("pmaxy") >= F.col("zbminy")),
+        "inner",
+    ).drop("zbminx", "zbminy", "zbmaxx", "zbmaxy")
+    bc = spark.sparkContext.broadcast(
+        {int(k): np.asarray(v, dtype=np.float64) for k, v in zone_polys.items()}
+    )
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(list(cand.schema.fields))
+
+    def kernel(batches):
+        zones = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            minx = pdf["pminx"].to_numpy(np.float64)
+            miny = pdf["pminy"].to_numpy(np.float64)
+            maxx = pdf["pmaxx"].to_numpy(np.float64)
+            maxy = pdf["pmaxy"].to_numpy(np.float64)
+            zcol = pdf["zone_id"].to_numpy()
+            for zid, poly in zones.items():
+                m = zcol == zid
+                if m.any():
+                    keep[m] = _box_intersects_poly_np(
+                        minx[m], miny[m], maxx[m], maxy[m], poly
+                    )
+            yield pdf.loc[keep]
+
+    return cand.mapInPandas(kernel, schema=out_schema)
+
+
+def box_intersects_poly_sql(poly: np.ndarray, raycast_sql: str) -> str:
+    """DuckDB twin of _box_intersects_poly_np for a literal polygon over box
+    columns pminx/pminy/pmaxx/pmaxy. Edge constants (dx, dy, bbox) are
+    computed in Python floats so both engines evaluate identical doubles;
+    caller supplies the ray-cast containment term (synth.raycast_contains_sql
+    on corner (pminx, pminy)) to keep the even-odd convention in one place."""
+    edges = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = float(poly[i][0]), float(poly[i][1])
+        x2, y2 = float(poly[(i + 1) % n][0]), float(poly[(i + 1) % n][1])
+        dx, dy = x2 - x1, y2 - y1
+        exmin, exmax = min(x1, x2), max(x1, x2)
+        eymin, eymax = min(y1, y2), max(y1, y2)
+        bb = (
+            f"({exmin!r} <= pmaxx AND {exmax!r} >= pminx "
+            f"AND {eymin!r} <= pmaxy AND {eymax!r} >= pminy)"
+        )
+        crosses = [
+            f"({dx!r} * (({cy}) - {y1!r}) - {dy!r} * (({cx}) - {x1!r}))"
+            for cx, cy in (
+                ("pminx", "pminy"), ("pminx", "pmaxy"),
+                ("pmaxx", "pminy"), ("pmaxx", "pmaxy"),
+            )
+        ]
+        all_pos = " AND ".join(f"{c} > 0" for c in crosses)
+        all_neg = " AND ".join(f"{c} < 0" for c in crosses)
+        edges.append(f"({bb} AND NOT ({all_pos}) AND NOT ({all_neg}))")
+    return f"(({' OR '.join(edges)}) OR {raycast_sql})"

@@ -94,12 +94,58 @@ def synthetic_raster_sql(meta: RasterMeta = RasterMeta(), band: int = 1) -> str:
     )
 
 
+def synthetic_raster_multiband(
+    spark: SparkSession, meta: RasterMeta = RasterMeta(), bands: int = 3
+) -> DataFrame:
+    """Multi-band pixel table (reference multi-band TIFFs / rgb mode,
+    tif_processor.py:639-718): union of per-band grids sharing the same
+    geometry — band is a first-class column, so per-band stats and rgb-shape
+    sampling are plain groupBy/pivot."""
+    out = synthetic_raster(spark, meta, band=1)
+    for b in range(2, bands + 1):
+        out = out.unionByName(synthetic_raster(spark, meta, band=b))
+    return out
+
+
+def synthetic_raster_multiband_sql(meta: RasterMeta = RasterMeta(), bands: int = 3) -> str:
+    return " UNION ALL ".join(
+        synthetic_raster_sql(meta, band=b) for b in range(1, bands + 1)
+    )
+
+
+def sample_multiband(
+    points: DataFrame,
+    pixels: DataFrame,
+    meta: RasterMeta = RasterMeta(),
+    bands: int = 3,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """rgb-shape point sampling (reference sample_by_coordinates multi-band
+    shapes, tif_processor.py:958-1006): one value column per band at the
+    containing pixel. Conditional aggregation instead of n_bands self-joins —
+    one shuffle keyed by the point, partial aggs map-side."""
+    px = F.floor((F.col(lon) - F.lit(meta.lon0)) / F.lit(meta.dx)).cast("bigint")
+    py = F.floor((F.col(lat) - F.lit(meta.lat0)) / F.lit(meta.dy)).cast("bigint")
+    keyed = points.withColumn("px", px).withColumn("py", py)
+    joined = keyed.join(
+        pixels.select("band", "px", "py", "value"), ["px", "py"], "left"
+    )
+    group_cols = [c for c in points.columns]
+    aggs = [
+        F.max(F.when(F.col("band") == b, F.col("value"))).alias(f"b{b}")
+        for b in range(1, bands + 1)
+    ]
+    return joined.groupBy(*group_cols).agg(*aggs)
+
+
 def zonal_raster_stats(
     pixels: DataFrame,
     polys,
     stats: list[str] = ("count", "sum", "mean", "min", "max", "median"),
     zoom: int = 6,
     strategy: str = "rtree",
+    by_band: bool = False,
 ) -> DataFrame:
     """Per-zone stats over valid (non-nodata) pixels — reference
     sample_by_polygons semantics: nodata dropped first, NaN for zones with
@@ -117,7 +163,8 @@ def zonal_raster_stats(
     exprs = []
     for s in stats:
         exprs.append(_AGG_FNS[s](F.col("value")).alias(f"value_{s}"))
-    return matches.groupBy("zone_id").agg(*exprs)
+    keys = ["zone_id", "band"] if by_band else ["zone_id"]
+    return matches.groupBy(*keys).agg(*exprs)
 
 
 def sample_by_coordinates(
