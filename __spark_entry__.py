@@ -496,6 +496,28 @@ def q_raster_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pixel_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-adjacency graph rollup (reference tif_processor.py:836-956):
+    4-connected edges between valid pixels, per-direction edge counts +
+    integer-exact gradient sums (values have one decimal → decivalue ints)."""
+    from giga_spatial_spark.operators.raster import (
+        RasterMeta,
+        pixel_adjacency_edges,
+        synthetic_raster,
+    )
+
+    pixels = synthetic_raster(spark, RasterMeta())
+    edges = pixel_adjacency_edges(pixels, connectivity=4)
+    grad = F.abs(
+        F.round(F.col("value_a") * 10).cast("bigint")
+        - F.round(F.col("value_b") * 10).cast("bigint")
+    )
+    return edges.groupBy("dx", "dy").agg(
+        F.count(F.lit(1)).alias("edge_count"),
+        F.sum(grad).alias("gradient_decisum"),
+    )
+
+
 def q_s2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-style cell assignment (from-scratch Hilbert implementation,
     cells_s2.py) at level 6 — per-cell doc counts (rows-only driver check;
@@ -743,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zonal_raster": q_zonal_raster,
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
+        "q_pixel_graph": q_pixel_graph,
         "q_s2_assign": q_s2_assign,
         "q_extract_invariant": q_extract_invariant,
         "q3_shipping": q3_shipping,
@@ -996,6 +1019,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM keyed k LEFT JOIN raster r USING (px, py) GROUP BY k.doc_id"
     )
 
+    pixel_graph = (
+        f"WITH raster AS ({raster}), v AS (SELECT * FROM raster WHERE value IS NOT NULL), "
+        "e AS ("
+        "SELECT 1 AS dx, 0 AS dy, a.value AS va, b.value AS vb FROM v a "
+        "JOIN v b ON a.px + 1 = b.px AND a.py = b.py "
+        "UNION ALL "
+        "SELECT 0 AS dx, 1 AS dy, a.value AS va, b.value AS vb FROM v a "
+        "JOIN v b ON a.px = b.px AND a.py + 1 = b.py) "
+        "SELECT dx, dy, count(*) AS edge_count, "
+        "cast(sum(abs(cast(round(va * 10, 0) as bigint) - "
+        "cast(round(vb * 10, 0) as bigint))) as bigint) AS gradient_decisum "
+        "FROM e GROUP BY dx, dy"
+    )
+
     raster_sample = (
         f"WITH raster AS ({raster}), d AS ({docs}), "
         "keyed AS (SELECT doc_id, "
@@ -1080,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zonal_raster": zonal_raster,
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
+        "q_pixel_graph": pixel_graph,
         "q_admin_annotate": admin_annotate,
         "q_pip_nonconvex": pip_nonconvex,
         "q_polygon_agg_nonconvex": polygon_agg_nonconvex,

@@ -96,6 +96,95 @@ def normalize_enum_collection_sql(col: str, alias_map: dict[str, str], delim: st
     return f"nullif(array_to_string({arr}, '{delim}'), '')"
 
 
+def titlecase_admin_expr(col: Column) -> Column:
+    """Admin-name title-casing with unknown→NULL (reference entity.py:138-148):
+    clean (which already nulls the 'unknown' sentinel) then initcap."""
+    return F.initcap(clean_string_expr(col))
+
+
+# seed ISO3 registry — pycountry is absent in this container, so this is a
+# from-scratch name→alpha-3 map (reference resolves ISO3 via pycountry,
+# grid/h3.py:544); extend at runtime with register_country()
+ISO3_REGISTRY: dict[str, str] = {
+    "afghanistan": "AFG", "argentina": "ARG", "australia": "AUS",
+    "austria": "AUT", "bangladesh": "BGD", "belgium": "BEL", "brazil": "BRA",
+    "canada": "CAN", "chile": "CHL", "china": "CHN", "colombia": "COL",
+    "czechia": "CZE", "czech republic": "CZE",
+    "democratic republic of the congo": "COD", "drc": "COD",
+    "denmark": "DNK", "egypt": "EGY", "ethiopia": "ETH", "finland": "FIN",
+    "france": "FRA", "germany": "DEU", "ghana": "GHA", "greece": "GRC",
+    "india": "IND", "indonesia": "IDN", "iran": "IRN", "iraq": "IRQ",
+    "ireland": "IRL", "israel": "ISR", "italy": "ITA", "japan": "JPN",
+    "kenya": "KEN", "madagascar": "MDG", "malaysia": "MYS", "mexico": "MEX",
+    "morocco": "MAR", "mozambique": "MOZ", "netherlands": "NLD",
+    "new zealand": "NZL", "nigeria": "NGA", "norway": "NOR",
+    "pakistan": "PAK", "peru": "PER", "philippines": "PHL", "poland": "POL",
+    "portugal": "PRT", "romania": "ROU", "russia": "RUS",
+    "russian federation": "RUS", "saudi arabia": "SAU", "senegal": "SEN",
+    "south africa": "ZAF", "south korea": "KOR", "korea": "KOR",
+    "spain": "ESP", "sweden": "SWE", "switzerland": "CHE",
+    "tanzania": "TZA", "thailand": "THA", "turkey": "TUR", "uganda": "UGA",
+    "ukraine": "UKR", "united arab emirates": "ARE",
+    "united kingdom": "GBR", "uk": "GBR", "great britain": "GBR",
+    "united states": "USA", "usa": "USA", "united states of america": "USA",
+    "vietnam": "VNM", "zambia": "ZMB", "zimbabwe": "ZWE",
+}
+
+
+def register_country(name: str, iso3: str) -> None:
+    ISO3_REGISTRY[name.strip().lower()] = iso3.upper()
+
+
+def iso3_expr(col: Column) -> Column:
+    """Country name → ISO3 (NULL when unrecognized). Already-ISO3 inputs
+    (3 uppercase letters) pass through."""
+    c = clean_string_expr(col)
+    mapping = F.create_map(*[F.lit(x) for kv in ISO3_REGISTRY.items() for x in kv])
+    passthrough = F.when(
+        F.upper(c).rlike("^[A-Z]{3}$") & F.upper(c).isin(
+            *sorted(set(ISO3_REGISTRY.values()))
+        ),
+        F.upper(c),
+    )
+    return F.coalesce(F.element_at(mapping, c), passthrough)
+
+
+_LAT_RE = r"(?i)^(lat|latitude|y|ycoord|y_coord|lat_(dd|deg)|.*_lat(itude)?)$"
+_LON_RE = r"(?i)^(lon|lng|long|longitude|x|xcoord|x_coord|lon_(dd|deg)|.*_lon(gitude)?|.*_lng)$"
+
+
+def detect_coord_columns(df: DataFrame) -> tuple[str, str] | None:
+    """Coordinate-column detection by name regex (reference
+    entity_processor.py detects lat/lon columns rather than requiring exact
+    names): returns (lat_col, lon_col) or None, first match wins."""
+    import re as _re
+
+    lat = next((c for c in df.columns if _re.match(_LAT_RE, c)), None)
+    lon = next((c for c in df.columns if _re.match(_LON_RE, c)), None)
+    return (lat, lon) if lat and lon else None
+
+
+def coverage_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-coverage summary (reference data-coverage stats, SURVEY §2.2):
+    per-column non-null counts and fractions in ONE pass (single agg,
+    map-side partials — never one job per column)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__n_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    total = row["__total"]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (c, total, row[f"__n_{c}"],
+             (row[f"__n_{c}"] / total) if total else None)
+            for c in cols
+        ],
+        "column string, total_rows long, non_null long, coverage double",
+    )
+
+
 def repair_merged_coords(df: DataFrame, merged_col: str,
                          lat_col: str = "latitude", lon_col: str = "longitude") -> DataFrame:
     """Split 'lat, lon' merged into one cell (reference :428-459):

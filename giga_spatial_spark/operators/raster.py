@@ -199,6 +199,44 @@ def merge_mean(rasters: list[DataFrame]) -> DataFrame:
     )
 
 
+def pixel_adjacency_edges(
+    pixels: DataFrame, connectivity: int = 4, same_value: bool = False
+) -> DataFrame:
+    """Pixel-adjacency edge list (reference tif_processor.py:836-956 builds
+    a graph over neighboring valid pixels): directed-deduplicated edges
+    (each undirected pair once, via positive offsets) between valid pixels.
+
+    Pure equi-joins on shifted keys — Catalyst hash-joins on (px+dx, py+dy),
+    so at 10^12 pixels this is shuffle-by-key, never a neighborhood scan.
+    connectivity=8 adds diagonals; same_value keeps only equal-value
+    neighbors (segmentation edges)."""
+    valid = pixels.where(F.col("value").isNotNull())
+    right = valid.select(
+        F.col("px").alias("qx"), F.col("py").alias("qy"), F.col("value").alias("value_b")
+    )
+    offs = [(1, 0), (0, 1)]
+    if connectivity == 8:
+        offs += [(1, 1), (1, -1)]
+    parts = []
+    for dx, dy in offs:
+        j = valid.join(
+            right,
+            ((F.col("px") + dx) == F.col("qx")) & ((F.col("py") + dy) == F.col("qy")),
+            "inner",
+        ).select(
+            "px", "py", "qx", "qy",
+            F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+            F.col("value").alias("value_a"), "value_b",
+        )
+        parts.append(j)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if same_value:
+        out = out.where(F.col("value_a") == F.col("value_b"))
+    return out
+
+
 def raster_global_stats(pixels: DataFrame) -> DataFrame:
     """Streaming per-block global stats (reference _get_basic_statistics
     :1559-1692) — partial+final agg is native."""

@@ -18,6 +18,10 @@ def read_dataset(spark: SparkSession, path: str, **options) -> DataFrame:
         if name.endswith(gz):
             name = name[: -len(gz)]
             break
+    if name.endswith(".xlsx"):
+        from .xlsx import read_xlsx
+
+        return read_xlsx(spark, path, **options)
     if name.endswith(".geojson"):
         return read_geojson(spark, path)
     if name.endswith(".geoparquet"):
@@ -145,6 +149,10 @@ def write_dataset(df: DataFrame, path: str, fmt: str | None = None, mode: str = 
     if fmt is None:
         ext = os.path.splitext(path)[1].lstrip(".").lower()
         fmt = {"pq": "parquet"}.get(ext, ext or "parquet")
+    if fmt == "xlsx":
+        from .xlsx import write_xlsx
+
+        return write_xlsx(df, path)
     writer = df.write.mode(mode).format(fmt)
     if fmt == "csv":
         writer = writer.option("header", True)

@@ -1,0 +1,112 @@
+"""UTM round-trip projection, XLSX codec, and the small admin-normalization
+helpers (title-casing, ISO3, coord-column detection, coverage stats)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from giga_spatial_spark.functions.utm import (
+    buffer_point_utm,
+    polygon_area_utm,
+    utm_forward,
+    utm_inverse,
+    utm_zone,
+)
+from giga_spatial_spark.geometry import haversine_np
+from giga_spatial_spark.operators.normalize import (
+    coverage_stats,
+    detect_coord_columns,
+    iso3_expr,
+    register_country,
+    titlecase_admin_expr,
+)
+from giga_spatial_spark.sources.xlsx import read_xlsx, write_xlsx
+
+
+def test_utm_roundtrip_submillimeter():
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-179, 179, 3000)
+    lat = rng.uniform(-84, 84, 3000)
+    zones = np.floor((lon + 180) / 6).astype(int) + 1
+    for z in np.unique(zones):
+        m = zones == z
+        e, n = utm_forward(lon[m], lat[m], int(z))
+        lo, la = utm_inverse(e, n, int(z), south=lat[m] < 0)
+        assert np.abs(lo - lon[m]).max() < 1e-8  # ≈ 1 mm
+        assert np.abs(la - lat[m]).max() < 1e-8
+
+
+def test_utm_known_anchors():
+    # central meridian at the equator is exactly (500000, 0)
+    e, n = utm_forward(np.array([3.0]), np.array([0.0]), 31)
+    assert abs(e[0] - 500_000.0) < 1e-6 and abs(n[0]) < 1e-6
+    # southern false northing
+    e, n = utm_forward(np.array([3.0]), np.array([-0.001]), 31)
+    assert n[0] > 9_999_000
+    assert utm_zone(-180.0) == 1 and utm_zone(179.99) == 60
+
+
+def test_buffer_point_utm_radius():
+    for lon, lat, r in [(12.5, 41.9, 50_000.0), (-70.1, -33.4, 10_000.0)]:
+        ring = buffer_point_utm(lon, lat, r, n_points=48)
+        d = haversine_np(np.full(48, lat), np.full(48, lon), ring[:, 1], ring[:, 0])
+        # spherical-haversine vs ellipsoidal-UTM disagree by ~0.5% at most
+        assert np.abs(d - r).max() / r < 0.006
+
+
+def test_polygon_area_utm_vs_equirectangular():
+    from giga_spatial_spark.functions.geo import polygon_area_m2
+
+    poly = np.array([[10.0, 45.0], [10.5, 45.0], [10.5, 45.4], [10.0, 45.4]])
+    a_utm = polygon_area_utm(poly)
+    a_eq = polygon_area_m2(poly)
+    assert abs(a_utm - a_eq) / a_utm < 0.01  # same magnitude, UTM is the precise one
+
+
+def test_xlsx_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5, True), (2, "béta & <co>", -2.25, False), (3, None, None, None)],
+        "id long, name string, score double, flag boolean",
+    )
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(df, path)
+    back = read_xlsx(spark, path)
+    assert back.columns == ["id", "name", "score", "flag"]
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[2]["name"] == "béta & <co>" and rows[2]["score"] == -2.25
+    assert rows[1]["flag"] is True and rows[3]["name"] is None
+    # dispatch path
+    from giga_spatial_spark.sources.readers import read_dataset, write_dataset
+
+    p2 = str(tmp_path / "t2.xlsx")
+    write_dataset(df, p2)
+    assert read_dataset(spark, p2).count() == 3
+
+
+def test_admin_helpers(spark):
+    df = spark.createDataFrame(
+        [("  new york ",), ("UNKNOWN",), ("sÃo paulo",)], "admin1 string"
+    )
+    out = [r[0] for r in df.select(titlecase_admin_expr(F.col("admin1"))).collect()]
+    assert out[0] == "New York" and out[1] is None
+
+    c = spark.createDataFrame(
+        [("Kenya",), ("united KINGDOM ",), ("USA",), ("Atlantis",)], "country string"
+    )
+    got = [r[0] for r in c.select(iso3_expr(F.col("country"))).collect()]
+    assert got == ["KEN", "GBR", "USA", None]
+    register_country("Atlantis", "ATL")
+    got2 = [r[0] for r in c.select(iso3_expr(F.col("country"))).collect()]
+    assert got2[-1] == "ATL"
+
+
+def test_detect_coords_and_coverage(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0, None), (2, 11.0, None, "x")],
+        "id long, school_latitude double, school_longitude double, note string",
+    )
+    assert detect_coord_columns(df) == ("school_latitude", "school_longitude")
+    assert detect_coord_columns(df.select("id", "note")) is None
+    cov = {r["column"]: r for r in coverage_stats(df).collect()}
+    assert cov["school_longitude"]["non_null"] == 1
+    assert cov["school_longitude"]["coverage"] == 0.5
+    assert cov["id"]["coverage"] == 1.0
