@@ -206,6 +206,93 @@ def box_polygon_intersects_join(
     return cand.mapInPandas(kernel, schema=out_schema)
 
 
+def polygons_intersect(A: np.ndarray, B: np.ndarray) -> bool:
+    """Exact inclusive intersects test for two arbitrary simple polygons
+    (non-convex allowed; reference sjoin 'intersects' over arbitrary
+    GeoDataFrames, geo.py:1119-1157): any edge pair crosses (CLRS
+    orientation test, collinear overlaps resolved by segment-bbox overlap)
+    OR either polygon contains the other's first vertex."""
+    from ..geometry import point_in_polygon
+
+    p1 = np.asarray(A, dtype=np.float64)
+    p2 = np.roll(p1, -1, axis=0)
+    q1 = np.asarray(B, dtype=np.float64)
+    q2 = np.roll(q1, -1, axis=0)
+    P1, P2 = p1[:, None, :], p2[:, None, :]
+    Q1, Q2 = q1[None, :, :], q2[None, :, :]
+
+    def cross(o, a, b):
+        return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+            a[..., 1] - o[..., 1]
+        ) * (b[..., 0] - o[..., 0])
+
+    d1 = cross(P1, P2, Q1)
+    d2 = cross(P1, P2, Q2)
+    d3 = cross(Q1, Q2, P1)
+    d4 = cross(Q1, Q2, P2)
+    allz = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
+    straddle = (d1 * d2 <= 0) & (d3 * d4 <= 0) & ~allz
+    bbox_ok = (
+        (np.minimum(P1[..., 0], P2[..., 0]) <= np.maximum(Q1[..., 0], Q2[..., 0]))
+        & (np.maximum(P1[..., 0], P2[..., 0]) >= np.minimum(Q1[..., 0], Q2[..., 0]))
+        & (np.minimum(P1[..., 1], P2[..., 1]) <= np.maximum(Q1[..., 1], Q2[..., 1]))
+        & (np.maximum(P1[..., 1], P2[..., 1]) >= np.minimum(Q1[..., 1], Q2[..., 1]))
+    )
+    if (straddle | (allz & bbox_ok)).any():
+        return True
+    return bool(
+        point_in_polygon(q1, p1[0:1, 0], p1[0:1, 1])[0]
+        or point_in_polygon(p1, q1[0:1, 0], q1[0:1, 1])[0]
+    )
+
+
+def polygon_intersects_join(
+    parcels: DataFrame,
+    zone_polys: dict[int, np.ndarray],
+    vertices_col: str = "vertices",
+) -> DataFrame:
+    """General polygon×polygon intersects join: parcels carry arbitrary
+    simple polygons as array<array<double>>; zones are broadcast literal
+    polygons (non-convex allowed on both sides). Arrow kernel does a bbox
+    prefilter then the exact pairwise test; emits (parcel row, zone_id)."""
+    spark = parcels.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {int(k): np.asarray(v, dtype=np.float64) for k, v in zone_polys.items()}
+    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(parcels.schema.fields) + [StructField("zone_id", IntegerType())]
+    )
+    cols = parcels.columns
+
+    def kernel(batches):
+        zones = bc.value
+        zboxes = {
+            zid: (z[:, 0].min(), z[:, 1].min(), z[:, 0].max(), z[:, 1].max())
+            for zid, z in zones.items()
+        }
+        for pdf in batches:
+            recs = []
+            for idx, verts in zip(pdf.index, pdf[vertices_col]):
+                poly = np.stack([np.asarray(v, dtype=np.float64) for v in verts])
+                bxmin, bymin = poly[:, 0].min(), poly[:, 1].min()
+                bxmax, bymax = poly[:, 0].max(), poly[:, 1].max()
+                for zid, zpoly in zones.items():
+                    zxmin, zymin, zxmax, zymax = zboxes[zid]
+                    if bxmin > zxmax or bxmax < zxmin or bymin > zymax or bymax < zymin:
+                        continue
+                    if polygons_intersect(poly, zpoly):
+                        recs.append((idx, zid))
+            if recs:
+                idxs = [r[0] for r in recs]
+                out = pdf.loc[idxs, cols].copy()
+                out["zone_id"] = np.array([r[1] for r in recs], dtype=np.int32)
+                yield out
+
+    return parcels.mapInPandas(kernel, schema=out_schema)
+
+
 def box_intersects_poly_sql(poly: np.ndarray, raycast_sql: str) -> str:
     """DuckDB twin of _box_intersects_poly_np for a literal polygon over box
     columns pminx/pminy/pmaxx/pmaxy. Edge constants (dx, dy, bbox) are

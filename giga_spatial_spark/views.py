@@ -19,10 +19,14 @@ class PoiViewGenerator:
     normalizes inputs and checks duplicate ids; we do the same."""
 
     def __init__(self, points: DataFrame, poi_id: str = "poi_id",
-                 lon: str = "lon", lat: str = "lat"):
-        dup = points.groupBy(poi_id).count().where(F.col("count") > 1)
-        if not dup.isEmpty():
-            raise ValueError("duplicate poi_id values in input points")
+                 lon: str = "lon", lat: str = "lat",
+                 check_duplicates: bool = False):
+        # duplicate-id validation is opt-in: running a full groupBy job in
+        # the constructor made every view pay a scan before doing any work
+        if check_duplicates:
+            dup = points.groupBy(poi_id).count().where(F.col("count") > 1)
+            if not dup.isEmpty():
+                raise ValueError("duplicate poi_id values in input points")
         self.poi_id, self.lon, self.lat = poi_id, lon, lat
         self.points = points
         self._view = points
@@ -31,14 +35,22 @@ class PoiViewGenerator:
         """Left-join enrichment keyed by poi_id (reference poi.py:244-285)."""
         self._view = self._view.join(new_cols, self.poi_id, "left")
 
+    # above this the facility table stops being broadcast-able (coordinate
+    # triples at ~24 B/row → ~50 MB) and the grid kNN path wins
+    BROADCAST_FACILITY_LIMIT = 2_000_000
+
     def map_nearest_points(self, facilities: DataFrame, prefix: str = "nearest",
                            fac_id: str = "facility_id",
                            flon: str = "flon", flat: str = "flat") -> "PoiViewGenerator":
         """Reference map_nearest_points (poi.py:287-391): nearest facility id
-        + haversine distance per POI."""
-        from .operators.knn import knn_broadcast
+        + haversine distance per POI. Dispatches on the facility count:
+        dim-sized layers take the broadcast-argmax kernel, large layers the
+        tile-grid progressive-radius kNN (no driver collect)."""
+        from .operators.knn import knn_broadcast, knn_grid
 
-        out = knn_broadcast(
+        n_fac = facilities.count()
+        kernel = knn_broadcast if n_fac <= self.BROADCAST_FACILITY_LIMIT else knn_grid
+        out = kernel(
             self.points.select(self.poi_id, self.lon, self.lat),
             facilities, point_id=self.poi_id, lon=self.lon, lat=self.lat,
             fac_id=fac_id, flon=flon, flat=flat,

@@ -50,7 +50,9 @@ def test_poi_view_duplicate_ids_rejected(spark):
         [(1, 0.0, 0.0), (1, 1.0, 1.0)], "poi_id long, lon double, lat double"
     )
     with pytest.raises(ValueError, match="duplicate"):
-        PoiViewGenerator(pts)
+        PoiViewGenerator(pts, check_duplicates=True)
+    # validation is opt-in: the constructor itself must not run a scan job
+    PoiViewGenerator(pts)
 
 
 def test_zonal_view_accumulation(spark):
