@@ -98,8 +98,14 @@ def main() -> None:
         "q_dedup_exact",
         "q_minhash_near_dup",
         "q_ann_top1",
+        "q_ann_lsh",
         "q_token_stats",
         "q_sessionize",
+        "q_hex_assign",
+        "q_hex_zonal",
+        "q_polygon_agg_nonconvex",
+        "q_pixel_graph",
+        "q_fingerprint",
         "q1_pricing_summary",
     ]:
         queries[name] = timed(

@@ -21,6 +21,10 @@ KEY = [
     "q_range_count",
     "q_fractional_overlay",
     "q_tile_assign",
+    "q_hex_assign",
+    "q_polygon_agg_nonconvex",
+    "q_pixel_graph",
+    "q_ann_lsh",
 ]
 
 
