@@ -378,6 +378,19 @@ def q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "cid", "cosine")
 
 
+def q_ann_top1_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact semantics as q_ann_top1 through the Arrow/BLAS kernel (the
+    scale path: one dgemm per batch instead of |corpus| interpreted fold
+    expressions per row) — shares q_ann_top1's oracle; rank ties are
+    impossible on this data (min top1-top2 gap 3.2e-4, measured)."""
+    from giga_spatial_spark.operators.ann import cosine_topk_gemm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 == 0)
+    out = cosine_topk_gemm(emb, corpus, k=1)
+    return out.select("qid", "cid", "cosine")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-1 within the embeddings table
     (rows-only driver check; recall vs brute force asserted in pytest)."""
@@ -756,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_ann_top1": q_ann_top1,
+        "q_ann_top1_gemm": q_ann_top1_gemm,
         "q_ann_lsh": q_ann_lsh,
         "q_embed_near_dup": q_embed_near_dup,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -1125,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": lang_id,
         "q_dedup_exact": dedup_exact,
         "q_ann_top1": ann_top1,
+        "q_ann_top1_gemm": ann_top1,
         "q_events_hourly": events_hourly,
         "q_sessionize": sessionize,
         "q_normalize_strings": normalize_strings,

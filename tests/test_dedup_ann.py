@@ -97,6 +97,28 @@ def test_lsh_ann_vs_bruteforce(spark):
     assert approx["cosine"].mean() > 0.15
 
 
+def test_gemm_topk_equals_bruteforce(spark):
+    """The Arrow/BLAS exact kernel must reproduce the native-expression
+    brute force bit-for-bit at the rounded output precision — including
+    self-match exclusion and smallest-id tie-breaks — for k=1 and k=3."""
+    from pyspark.sql import functions as F
+
+    from giga_spatial_spark.operators.ann import cosine_topk_gemm
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 7 == 0)
+    for k in (1, 3):
+        want = sorted(
+            map(tuple, cosine_topk_bruteforce(emb, corpus, k=k)
+                .select("qid", "cid", "cosine", "rank").collect())
+        )
+        got = sorted(
+            map(tuple, cosine_topk_gemm(emb, corpus, k=k)
+                .select("qid", "cid", "cosine", "rank").collect())
+        )
+        assert got == want
+
+
 def test_rolling_fingerprint_matches_naive(docs_pdf):
     from giga_spatial_spark.functions.hashing import rolling_fingerprint
 
