@@ -45,6 +45,31 @@ def windowed_event_counts(
     )
 
 
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — first document per md5(text) digest survives
+    (the streaming twin of dedup.exact_dedup's survivor semantics, but
+    arrival-order: Structured Streaming's native dropDuplicates keeps the
+    first-seen row per key with state-store backing).
+
+    With an event-time column the digest state is watermark-bounded via
+    dropDuplicatesWithinWatermark (Spark evicts digests older than the
+    watermark — the standard unbounded-stream dedup pattern); without one
+    the state grows with distinct digests (only appropriate for bounded
+    backfills)."""
+    out = docs_stream.withColumn("digest", F.md5(F.col(text_col).cast("binary")))
+    if event_time_col is not None:
+        out = out.withColumn(
+            event_time_col, F.col(event_time_col).cast("timestamp")
+        ).withWatermark(event_time_col, watermark)
+        return out.dropDuplicatesWithinWatermark(["digest"])
+    return out.dropDuplicates(["digest"])
+
+
 def streaming_enrich(pages_stream: DataFrame, admin_polys, tile_zoom: int = 8,
                      pip_zoom: int = 6) -> DataFrame:
     """Stateless streaming enrichment: per-microbatch rows of

@@ -111,6 +111,42 @@ def test_streaming_enrich_equals_batch(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_exact_dedup_equals_batch(spark):
+    """Streaming dedup survivor SET equals the batch distinct-digest set
+    (arrival order within a microbatch is nondeterministic, so compare the
+    digest sets, not survivor ids)."""
+    from giga_spatial_spark.streaming.pipeline import streaming_exact_dedup
+
+    tmp = tempfile.mkdtemp(prefix="stream_")
+    try:
+        src_dir = os.path.join(tmp, "docs_src")
+        os.makedirs(src_dir)
+        shutil.copy(f"{SF_DIR}/documents.parquet", src_dir)
+        schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+        stream = spark.readStream.schema(schema).format("parquet").load(src_dir)
+        out = streaming_exact_dedup(stream).select("digest", "doc_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("doc_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from doc_dedup").toPandas()
+        batch = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select(F.md5(F.col("text").cast("binary")).alias("digest"))
+            .distinct()
+            .toPandas()
+        )
+        assert len(got) == len(batch)  # exactly one survivor per digest
+        assert sorted(got["digest"]) == sorted(batch["digest"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_window_equals_batch(spark):
     tmp = tempfile.mkdtemp(prefix="stream_")
     try:
