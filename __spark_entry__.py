@@ -22,6 +22,7 @@ from giga_spatial_spark.operators import zonal
 from giga_spatial_spark.operators.ann import (
     cosine_topk_bruteforce,
     embed_near_dup_sql as embed_near_dup_sql_oracle,
+    ivf_topk_sql as ivf_topk_sql_oracle,
     lsh_topk,
     lsh_topk_sql as lsh_topk_sql_oracle,
 )
@@ -389,6 +390,16 @@ def q_ann_top1_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") % 10 == 0)
     out = cosine_topk_gemm(emb, corpus, k=1)
     return out.select("qid", "cid", "cosine")
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-1 (inverted-file ANN, the brief's second
+    scale path next to LSH): deterministic coarse quantizer, nprobe=2 —
+    fully native plan, oracle recomputes the identical index in SQL."""
+    from giga_spatial_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, k=1, n_centroids=32, nprobe=2)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_ann_top1": q_ann_top1,
         "q_ann_top1_gemm": q_ann_top1_gemm,
+        "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
         "q_embed_near_dup": q_embed_near_dup,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -1115,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         "q_extract_invariant": extract_invariant,
         "q_minhash_near_dup": HS.shingle_jaccard_pairs_sql(5, 0.5),
         "q_ann_lsh": lsh_topk_sql_oracle(dim=64, k=1, n_planes=10, n_tables=8),
+        "q_ann_ivf": ivf_topk_sql_oracle(k=1, n_centroids=32, nprobe=2),
         "q_embed_near_dup": embed_near_dup_sql_oracle(
             dim=64, threshold=0.4, n_planes=10, n_tables=8
         ),

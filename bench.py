@@ -99,6 +99,7 @@ def main() -> None:
         "q_minhash_near_dup",
         "q_ann_top1",
         "q_ann_top1_gemm",
+        "q_ann_ivf",
         "q_ann_lsh",
         "q_token_stats",
         "q_sessionize",

@@ -244,6 +244,96 @@ def cosine_topk_gemm(
     return queries.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    k: int = 1,
+    n_centroids: int = 32,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k (the inverted-file ANN scale path): a
+    deterministic coarse quantizer (centroids = the n_centroids
+    smallest-id vectors — id-deterministic so the DuckDB oracle can
+    recompute the identical index with no literals), every vector assigned
+    to its nearest centroid cell, queries probe their nprobe nearest cells
+    and score only vectors in those cells.
+
+    Fully native (broadcast centroids, window ranks, equi-join on cell) —
+    no UDF anywhere, so Catalyst sees the whole plan. At scale the
+    assignment cross-join is |vectors|×n_centroids narrow work and the
+    candidate join shuffles by cell id (bounded lists, no skew for
+    near-uniform data)."""
+    cent = (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cent))
+        .withColumn("ccos", cosine_expr(F.col("v"), F.col("cvec")))
+        .select("vid", "v", "cent_id", "ccos")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cent_id").asc())
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    assign = ranked.where(F.col("crank") == 1).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cvec_full"), F.col("cent_id").alias("cell")
+    )
+    probes = ranked.where(F.col("crank") <= nprobe).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qvec"), F.col("cent_id").alias("cell")
+    )
+    pairs = (
+        probes.join(assign, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", cosine_expr(F.col("qvec"), F.col("cvec_full")))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+def ivf_topk_sql(k: int = 1, n_centroids: int = 32, nprobe: int = 2) -> str:
+    """DuckDB oracle recomputing ivf_topk end to end (same deterministic
+    quantizer, same rank tie-breaks; all adjacent-rank cosine gaps on this
+    data ≥ 1e-4 — measured — vs ~1e-15 cross-engine float noise)."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cvec FROM e ORDER BY vec_id LIMIT {n_centroids}),
+scored AS (
+  SELECT e.vec_id AS vid, cent.cent_id,
+         list_dot_product(e.v, cent.cvec) /
+         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cvec, cent.cvec))) AS ccos
+  FROM e CROSS JOIN cent
+),
+ranked AS (
+  SELECT vid, cent_id,
+         row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cent_id) AS crank
+  FROM scored
+),
+assign AS (SELECT vid AS cid, cent_id AS cell FROM ranked WHERE crank = 1),
+probes AS (SELECT vid AS qid, cent_id AS cell FROM ranked WHERE crank <= {nprobe}),
+pairs AS (
+  SELECT p.qid, a.cid,
+         list_dot_product(eq.v, ec.v) /
+         (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS cosine
+  FROM probes p JOIN assign a USING (cell)
+  JOIN e eq ON eq.vec_id = p.qid JOIN e ec ON ec.vec_id = a.cid
+  WHERE p.qid != a.cid
+),
+r AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+  FROM pairs
+)
+SELECT qid, cid, round(cosine, 4) AS cosine, cast(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 # ------------------------------------------------------------- oracle SQL
 def _plane_literal(w: np.ndarray) -> str:
     return "[" + ", ".join(repr(float(x)) for x in w) + "]"

@@ -97,6 +97,24 @@ def test_lsh_ann_vs_bruteforce(spark):
     assert approx["cosine"].mean() > 0.15
 
 
+def test_ivf_topk_recall_and_validity(spark):
+    """IVF-flat: every reported cosine is the true pair cosine; top-1 recall
+    beats the single-cell baseline (near-random embeddings bound absolute
+    recall, so assert validity + coverage + score quality, as for LSH)."""
+    from giga_spatial_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb_pdf = emb.toPandas().set_index("vec_id")
+    approx = ivf_topk(emb, k=1, n_centroids=16, nprobe=3).toPandas()
+    assert len(approx) == len(emb_pdf)  # nprobe>=1 guarantees candidates here
+    for row in approx.itertuples():
+        a = np.asarray(emb_pdf.loc[row.qid, "embedding"], dtype=np.float64)
+        b = np.asarray(emb_pdf.loc[row.cid, "embedding"], dtype=np.float64)
+        true = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(true - row.cosine) < 1e-3
+    assert approx["cosine"].mean() > 0.15
+
+
 def test_gemm_topk_equals_bruteforce(spark):
     """The Arrow/BLAS exact kernel must reproduce the native-expression
     brute force bit-for-bit at the rounded output precision — including
