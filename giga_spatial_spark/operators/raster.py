@@ -199,6 +199,47 @@ def merge_mean(rasters: list[DataFrame]) -> DataFrame:
     )
 
 
+# dataset-kind → forced statistic (reference WorldPop/GHSL handlers force
+# sum for population counts and median/mean for continuous surfaces —
+# handlers/worldpop.py stat dispatch)
+FORCED_STATS: dict[str, str] = {
+    "population": "sum",
+    "built_surface": "sum",
+    "elevation": "median",
+    "smod": "median",
+    "ntl": "mean",
+}
+
+
+def zonal_stats_forced(
+    pixels: DataFrame, polys, dataset_kind: str, zoom: int = 6, **kw
+) -> DataFrame:
+    """Forced stat selection by dataset kind (reference forces the
+    physically-meaningful aggregate: counts sum, classifications median,
+    intensities mean) — thin dispatch over zonal_raster_stats."""
+    if dataset_kind not in FORCED_STATS:
+        raise ValueError(
+            f"unknown dataset kind {dataset_kind!r}; known: {sorted(FORCED_STATS)}"
+        )
+    return zonal_raster_stats(
+        pixels, polys, stats=[FORCED_STATS[dataset_kind]], zoom=zoom, **kw
+    )
+
+
+def multiband_valid_mask(pixels: DataFrame, mode: str = "any") -> DataFrame:
+    """Any-band / all-band validity mask over a multi-band pixel table
+    (reference tif_processor.py:1737-1829 nodata masks): (px, py) keys whose
+    value is non-null in ANY band ('any') or EVERY band ('all')."""
+    per_px = pixels.groupBy("px", "py").agg(
+        F.count("value").alias("n_valid"), F.count(F.lit(1)).alias("n_bands")
+    )
+    if mode == "any":
+        return per_px.where(F.col("n_valid") > 0).select("px", "py")
+    if mode == "all":
+        return per_px.where(F.col("n_valid") == F.col("n_bands")).select("px", "py")
+    raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+
+
 def pixel_adjacency_edges(
     pixels: DataFrame, connectivity: int = 4, same_value: bool = False
 ) -> DataFrame:

@@ -96,6 +96,48 @@ def test_raster_sample_nodata_left_join(spark):
     assert np.isnan(out.loc[2, "pixel_value"])  # off-grid → no pixel → NULL
 
 
+def test_forced_stats_and_multiband_masks(spark):
+    import pytest as _pytest
+
+    from giga_spatial_spark import synth
+    from giga_spatial_spark.operators.raster import (
+        RasterMeta,
+        multiband_valid_mask,
+        synthetic_raster,
+        synthetic_raster_multiband,
+        zonal_raster_stats,
+        zonal_stats_forced,
+    )
+
+    meta = RasterMeta(width=72, height=32)
+    polys = synth.make_admin_polygons()
+    px = synthetic_raster(spark, meta)
+    forced = zonal_stats_forced(px, polys, "population", zoom=4)
+    assert forced.columns[-1] == "value_sum"
+    plain = zonal_raster_stats(px, polys, stats=["sum"], zoom=4)
+    assert sorted(map(tuple, forced.collect())) == sorted(map(tuple, plain.collect()))
+    with _pytest.raises(ValueError, match="unknown dataset kind"):
+        zonal_stats_forced(px, polys, "nope")
+
+    mb = synthetic_raster_multiband(spark, meta, bands=3)
+    n_total = meta.width * meta.height
+    any_m = multiband_valid_mask(mb, "any").count()
+    all_m = multiband_valid_mask(mb, "all").count()
+    # the synthetic nodata pattern is band-independent → any == all < total
+    assert any_m == all_m < n_total
+    # make band 2 fully nodata for one pixel row → all shrinks, any doesn't
+    from pyspark.sql import functions as F
+
+    mb2 = mb.withColumn(
+        "value",
+        F.when((F.col("band") == 2) & (F.col("py") == 0), F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    assert multiband_valid_mask(mb2, "any").count() == any_m
+    assert multiband_valid_mask(mb2, "all").count() < all_m
+
+
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, 50)
     meta = media.select("media_id", image_meta("payload").alias("m")).toPandas()
