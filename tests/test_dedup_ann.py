@@ -115,6 +115,20 @@ def test_ivf_topk_recall_and_validity(spark):
     assert approx["cosine"].mean() > 0.15
 
 
+def test_ivf_blocked_equals_native(spark):
+    """The per-cell cogrouped-gemm execution must reproduce the all-native
+    window/join plan exactly (ranking margins >= 1e-4 vs 1e-15 noise)."""
+    from giga_spatial_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for k, nprobe in ((1, 2), (3, 3)):
+        nat = sorted(map(tuple, ivf_topk(
+            emb, k=k, n_centroids=16, nprobe=nprobe, scoring="native").collect()))
+        blk = sorted(map(tuple, ivf_topk(
+            emb, k=k, n_centroids=16, nprobe=nprobe, scoring="blocked").collect()))
+        assert blk == nat and len(blk) > 0
+
+
 def test_gemm_topk_equals_bruteforce(spark):
     """The Arrow/BLAS exact kernel must reproduce the native-expression
     brute force bit-for-bit at the rounded output precision — including

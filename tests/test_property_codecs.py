@@ -41,10 +41,10 @@ def ring_strategy(min_pts=3, max_pts=8):
 def test_wkb_polygon_roundtrip(ring):
     t, rings = wkb.parse_wkb(wkb.dump_polygon(ring))
     assert t == "Polygon"
-    # closing vertex handling: if the random ring happened to start==end the
-    # parser strips it; compare against the same normalization
-    expect = ring[:-1] if len(ring) >= 2 and (ring[0] == ring[-1]).all() else ring
-    assert np.array_equal(rings[0], expect)
+    # dump appends exactly one closing vertex and parse strips exactly one,
+    # so the roundtrip is the identity even for degenerate open rings that
+    # happen to start and end on the same point
+    assert np.array_equal(rings[0], ring)
 
 
 @settings(max_examples=40, deadline=None)
