@@ -499,6 +499,24 @@ def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("pixel_value", 1).alias("pixel_value"))
 
 
+def q_raster_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear interpolation at doc points (elevation-role: the reference's
+    SRTM parser interpolates between the 4 surrounding samples). Output is
+    the raw double — the weighted sum is a fixed-order expression, so both
+    engines produce bit-identical values; NULL where any neighbor is
+    nodata/off-grid."""
+    from giga_spatial_spark.operators.raster import (
+        RasterMeta,
+        sample_bilinear,
+        synthetic_raster,
+    )
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    pixels = synthetic_raster(spark, RasterMeta())
+    out = sample_bilinear(pts, pixels, RasterMeta())
+    return out.select("doc_id", "bilinear")
+
+
 def q_raster_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band (rgb-shape) point sampling (reference
     tif_processor.py:958-1006 multi-band shapes): 3-band synthetic raster,
@@ -791,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zonal_raster": q_zonal_raster,
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
+        "q_raster_bilinear": q_raster_bilinear,
         "q_pixel_graph": q_pixel_graph,
         "q_s2_assign": q_s2_assign,
         "q_extract_invariant": q_extract_invariant,
@@ -1045,6 +1064,10 @@ def oracle_sql() -> dict[str, str]:
         "FROM keyed k LEFT JOIN raster r USING (px, py) GROUP BY k.doc_id"
     )
 
+    from giga_spatial_spark.operators.raster import sample_bilinear_sql
+
+    raster_bilinear = sample_bilinear_sql(docs, raster, rmeta)
+
     pixel_graph = (
         f"WITH raster AS ({raster}), v AS (SELECT * FROM raster WHERE value IS NOT NULL), "
         "e AS ("
@@ -1144,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zonal_raster": zonal_raster,
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
+        "q_raster_bilinear": raster_bilinear,
         "q_pixel_graph": pixel_graph,
         "q_admin_annotate": admin_annotate,
         "q_pip_nonconvex": pip_nonconvex,

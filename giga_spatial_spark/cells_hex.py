@@ -104,6 +104,31 @@ def cell_center(cid) -> tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
+def cell_boundary(cid) -> np.ndarray:
+    """(6, 2) lon/lat vertices of the hexagon (pointy-top), CCW from the
+    top vertex (reference cells_to_geo role, grid/h3.py:326-335)."""
+    res, q, r = unpack(np.asarray([cid]).ravel()[:1])
+    s = hex_size(int(res[0]))
+    lon_c, lat_c = cell_center(np.array([int(np.asarray(cid).ravel()[0])]))
+    ang = np.radians(90.0 + 60.0 * np.arange(6))
+    return np.column_stack(
+        [lon_c[0] + s * np.cos(ang), lat_c[0] + s * np.sin(ang)]
+    )
+
+
+def cell_area(res: int) -> float:
+    """Planar hex area in square degrees (3√3/2 · s²); reference exposes
+    per-res cell area stats (grid/h3.py:257-273). For m², feed the boundary
+    through functions.utm.polygon_area_utm."""
+    s = hex_size(res)
+    return 1.5 * np.sqrt(3.0) * s * s
+
+
+def edge_length(res: int) -> float:
+    """Hex edge length == circumradius s for a regular hexagon."""
+    return hex_size(res)
+
+
 def hex_distance(q1, r1, q2, r2) -> np.ndarray:
     dq = np.asarray(q1 - q2)
     dr = np.asarray(r1 - r2)
@@ -197,9 +222,16 @@ def expand(cells: np.ndarray, res: int) -> np.ndarray:
 
 
 def polyfill(poly: np.ndarray, res: int, mode: str = "center") -> np.ndarray:
-    """Cells whose center lies inside the polygon (reference polyfill
-    contain-mode 'center', grid/h3.py:150-196). mode='overlap' adds a
-    one-ring dilation (superset cover for candidate generation)."""
+    """Cells selected by containment mode (reference polyfill contain modes,
+    grid/h3.py:150-196):
+
+      center       — cell center inside the polygon (H3 default)
+      overlap      — center-mode plus a one-ring dilation (superset cover)
+      full         — every boundary vertex AND the center inside (cells
+                     fully contained for convex polygons; conservative
+                     subset for non-convex)
+      bbox_overlap — cell bbox intersects the polygon bbox (cheapest cover)
+    """
     lons, lats = poly[:, 0], poly[:, 1]
     corners_q, corners_r = _axial_frac(
         np.array([lons.min(), lons.max(), lons.min(), lons.max()]),
@@ -214,11 +246,25 @@ def polyfill(poly: np.ndarray, res: int, mode: str = "center") -> np.ndarray:
     qg, rg = np.meshgrid(qs, rs, indexing="ij")
     cand = pack(res, qg.ravel(), rg.ravel())
     lon, lat = cell_center(cand)
+    if mode == "bbox_overlap":
+        s = hex_size(res)
+        hit = (
+            (lon + s >= lons.min()) & (lon - s <= lons.max())
+            & (lat + s >= lats.min()) & (lat - s <= lats.max())
+        )
+        return np.sort(cand[hit])
     inside = point_in_polygon(poly, lon, lat)
     cells = cand[inside]
     if mode == "overlap":
         ring_ids = {int(x) for c in cells.tolist() for x in k_ring(c, 1)}
         cells = np.array(sorted(ring_ids), dtype=np.int64)
+    elif mode == "full":
+        keep = []
+        for c in cells.tolist():
+            b = cell_boundary(c)
+            if point_in_polygon(poly, b[:, 0], b[:, 1]).all():
+                keep.append(c)
+        cells = np.array(sorted(keep), dtype=np.int64)
     return np.sort(cells)
 
 

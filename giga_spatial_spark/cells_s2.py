@@ -227,5 +227,98 @@ FROM fin
 
 def token(cid) -> str:
     """Hex token with trailing zeros stripped (s2 convention)."""
-    h = format(int(np.uint64(cid)), "016x").rstrip("0")
+    h = format(int(cid) & ((1 << 64) - 1), "016x").rstrip("0")
     return h or "0"
+
+
+def from_token(tok: str) -> int:
+    """Inverse of token(): hex token (trailing zeros stripped) → cell id."""
+    u = int(tok.ljust(16, "0"), 16)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _decode(cid: int) -> tuple[int, int, int, int]:
+    """cell id → (face, i, j, level) with i, j in level units."""
+    cu = int(cid) & ((1 << 64) - 1)
+    level = int(cell_level(np.array([cid], dtype=np.int64))[0])
+    face = cu >> (2 * MAX_LEVEL + 1)
+    pos = (cu >> (2 * (MAX_LEVEL - level) + 1)) & ((1 << (2 * level)) - 1)
+    # inverse Hilbert: MSB-first quadrant decode with the same orientation
+    # state machine as cell_id
+    o = _SWAP_MASK if face & 1 else 0
+    i = j = 0
+    for k in range(level - 1, -1, -1):
+        p = (pos >> (2 * k)) & 3
+        quad = int(_POS_TO_IJ[o, p])
+        i = (i << 1) | (quad >> 1)
+        j = (j << 1) | (quad & 1)
+        o ^= int(_POS_TO_ORIENTATION[p])
+    return face, i, j, level
+
+
+def _st_to_uv(s: np.ndarray) -> np.ndarray:
+    """Inverse quadratic projection."""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(
+        s >= 0.5, (4 * s * s - 1) / 3.0, (1 - 4 * (1 - s) * (1 - s)) / 3.0
+    )
+
+
+_FACE_DIR = [
+    lambda u, v: (np.ones_like(u), u, v),
+    lambda u, v: (-u, np.ones_like(u), v),
+    lambda u, v: (-u, -v, np.ones_like(u)),
+    lambda u, v: (-np.ones_like(u), -v, -u),
+    lambda u, v: (v, -np.ones_like(u), -u),
+    lambda u, v: (v, u, -np.ones_like(u)),
+]
+
+
+def _face_uv_to_latlon(face: int, u: np.ndarray, v: np.ndarray):
+    x, y, z = _FACE_DIR[face](np.asarray(u, np.float64), np.asarray(v, np.float64))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    lon = np.degrees(np.arctan2(y, x))
+    return lat, lon
+
+
+def cell_center_latlon(cid: int) -> tuple[float, float]:
+    """Cell id → (lat, lon) of the cell center (reference cell_to_latlng,
+    grid/s2.py)."""
+    face, i, j, level = _decode(cid)
+    n = 1 << level
+    u = _st_to_uv(np.array([(i + 0.5) / n]))
+    v = _st_to_uv(np.array([(j + 0.5) / n]))
+    lat, lon = _face_uv_to_latlon(face, u, v)
+    return float(lat[0]), float(lon[0])
+
+
+def cell_polygon(cid: int) -> np.ndarray:
+    """(4, 2) lon/lat corners of the cell, CCW (reference cell→quad polygon
+    with CCW orientation, grid/s2.py:285-331)."""
+    face, i, j, level = _decode(cid)
+    n = 1 << level
+    ss = np.array([i / n, (i + 1) / n, (i + 1) / n, i / n])
+    ts = np.array([j / n, j / n, (j + 1) / n, (j + 1) / n])
+    lat, lon = _face_uv_to_latlon(face, _st_to_uv(ss), _st_to_uv(ts))
+    ring = np.column_stack([lon, lat])
+    # enforce CCW in lon/lat (shoelace sign)
+    area2 = np.sum(
+        ring[:, 0] * np.roll(ring[:, 1], -1) - np.roll(ring[:, 0], -1) * ring[:, 1]
+    )
+    return ring if area2 >= 0 else ring[::-1]
+
+
+def neighbors(cid: int) -> np.ndarray:
+    """The 4 edge neighbors at the same level. Off-face steps are resolved
+    by projecting the stepped center direction back through cell_id (the
+    cube central projection stays valid for |uv| > 1, so face crossings
+    come out right without explicit face-adjacency tables)."""
+    face, i, j, level = _decode(cid)
+    n = 1 << level
+    out = []
+    for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        u = _st_to_uv(np.array([(i + di + 0.5) / n]))
+        v = _st_to_uv(np.array([(j + dj + 0.5) / n]))
+        lat, lon = _face_uv_to_latlon(face, u, v)
+        out.append(int(cell_id(lat, lon, level)[0]))
+    return np.array(sorted(set(out)), dtype=np.int64)

@@ -186,6 +186,97 @@ def sample_by_coordinates(
     )
 
 
+def sample_bilinear(
+    points: DataFrame,
+    pixels: DataFrame,
+    meta: RasterMeta = RasterMeta(),
+    lon: str = "lon",
+    lat: str = "lat",
+    out_col: str = "bilinear",
+) -> DataFrame:
+    """Bilinear interpolation at each point (the reference's SRTM elevation
+    parser interpolates bilinearly between the 4 surrounding samples,
+    processing/elevation/srtm_parser.py — here over any pixel table).
+
+    One explode-join gathers the 2×2 neighborhood (single shuffle keyed by
+    pixel), then the weighted sum is a FIXED-ORDER expression over four
+    pivoted columns — never a float groupBy sum, so the result is
+    bit-deterministic and the DuckDB oracle matches exactly. Any missing /
+    nodata neighbor makes the result NULL (NULL propagates through +)."""
+    fx = (F.col(lon) - F.lit(meta.lon0)) / F.lit(meta.dx) - F.lit(0.5)
+    fy = (F.col(lat) - F.lit(meta.lat0)) / F.lit(meta.dy) - F.lit(0.5)
+    keyed = (
+        points.withColumn("__fx", fx)
+        .withColumn("__fy", fy)
+        .withColumn("x0", F.floor(F.col("__fx")).cast("bigint"))
+        .withColumn("y0", F.floor(F.col("__fy")).cast("bigint"))
+        .withColumn("wx", F.col("__fx") - F.col("x0"))
+        .withColumn("wy", F.col("__fy") - F.col("y0"))
+        .drop("__fx", "__fy")
+    )
+    offs = points.sparkSession.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1)], "odx int, ody int"
+    )
+    cand = (
+        keyed.crossJoin(F.broadcast(offs))
+        .withColumn("px", F.col("x0") + F.col("odx"))
+        .withColumn("py", F.col("y0") + F.col("ody"))
+    )
+    j = cand.join(pixels.select("px", "py", "value"), ["px", "py"], "left")
+    keys = [c for c in points.columns] + ["wx", "wy"]
+    piv = j.groupBy(*keys).agg(
+        *[
+            F.max(
+                F.when((F.col("odx") == dx) & (F.col("ody") == dy), F.col("value"))
+            ).alias(f"v{dx}{dy}")
+            for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1))
+        ]
+    )
+    wx, wy = F.col("wx"), F.col("wy")
+    value = (
+        ((F.lit(1.0) - wx) * (F.lit(1.0) - wy)) * F.col("v00")
+        + (wx * (F.lit(1.0) - wy)) * F.col("v10")
+        + ((F.lit(1.0) - wx) * wy) * F.col("v01")
+        + (wx * wy) * F.col("v11")
+    )
+    return piv.withColumn(out_col, value).drop("wx", "wy", "v00", "v10", "v01", "v11")
+
+
+def sample_bilinear_sql(src: str, raster_cte: str, meta: RasterMeta = RasterMeta(),
+                        out_col: str = "bilinear") -> str:
+    """DuckDB twin of sample_bilinear over `src` (doc_id, lon, lat)."""
+    return f"""
+WITH raster AS ({raster_cte}), d AS ({src}),
+k AS (
+  SELECT doc_id,
+    cast(floor((lon - {meta.lon0}) / {meta.dx!r} - 0.5) AS BIGINT) AS x0,
+    cast(floor((lat - {meta.lat0}) / {meta.dy!r} - 0.5) AS BIGINT) AS y0,
+    ((lon - {meta.lon0}) / {meta.dx!r} - 0.5) -
+      cast(floor((lon - {meta.lon0}) / {meta.dx!r} - 0.5) AS BIGINT) AS wx,
+    ((lat - {meta.lat0}) / {meta.dy!r} - 0.5) -
+      cast(floor((lat - {meta.lat0}) / {meta.dy!r} - 0.5) AS BIGINT) AS wy
+  FROM d
+),
+c AS (
+  SELECT doc_id, wx, wy, o.odx, o.ody, x0 + o.odx AS px, y0 + o.ody AS py
+  FROM k CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) o(odx, ody)
+),
+j AS (SELECT c.*, r.value FROM c LEFT JOIN raster r USING (px, py)),
+p AS (
+  SELECT doc_id, wx, wy,
+    max(CASE WHEN odx = 0 AND ody = 0 THEN value END) AS v00,
+    max(CASE WHEN odx = 1 AND ody = 0 THEN value END) AS v10,
+    max(CASE WHEN odx = 0 AND ody = 1 THEN value END) AS v01,
+    max(CASE WHEN odx = 1 AND ody = 1 THEN value END) AS v11
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+  ((1.0 - wx) * (1.0 - wy)) * v00 + (wx * (1.0 - wy)) * v10 +
+  ((1.0 - wx) * wy) * v01 + (wx * wy) * v11 AS {out_col}
+FROM p
+"""
+
+
 def merge_mean(rasters: list[DataFrame]) -> DataFrame:
     """Overlapping-raster mean (reference _merge_with_mean :434-502):
     union pixel tables → groupBy pixel → avg of valid values."""

@@ -41,6 +41,51 @@ def test_s2_children_partition_parent():
     assert (cells_s2.parent(kids, 10) == cid).all()
 
 
+def test_s2_inverse_center_roundtrip():
+    rng = np.random.RandomState(9)
+    lats = rng.uniform(-84, 84, 200)
+    lons = rng.uniform(-179.9, 179.9, 200)
+    for level in (4, 8, 14):
+        ids = cells_s2.cell_id(lats, lons, level=level)
+        for cid in ids[:50].tolist():
+            la, lo = cells_s2.cell_center_latlon(cid)
+            assert int(cells_s2.cell_id(np.array([la]), np.array([lo]), level)[0]) == cid
+
+
+def test_s2_token_roundtrip():
+    ids = cells_s2.cell_id(
+        np.array([40.71, -33.87, 85.0]), np.array([-74.0, 151.21, 179.9]), level=12
+    )
+    for cid in ids.tolist():
+        assert cells_s2.from_token(cells_s2.token(cid)) == cid
+
+
+def test_s2_cell_polygon_contains_center():
+    cid = int(cells_s2.cell_id(np.array([48.85]), np.array([2.35]), level=9)[0])
+    poly = cells_s2.cell_polygon(cid)
+    assert poly.shape == (4, 2)
+    la, lo = cells_s2.cell_center_latlon(cid)
+    from giga_spatial_spark.geometry import point_in_polygon
+
+    assert point_in_polygon(poly, np.array([lo]), np.array([la]))[0]
+    # CCW orientation
+    area2 = np.sum(
+        poly[:, 0] * np.roll(poly[:, 1], -1) - np.roll(poly[:, 0], -1) * poly[:, 1]
+    )
+    assert area2 > 0
+
+
+def test_s2_neighbors_symmetric():
+    # interior cell and a face-boundary cell (lon 45 sits on a cube edge)
+    for lat, lon in ((48.85, 2.35), (10.0, 44.9)):
+        cid = int(cells_s2.cell_id(np.array([lat]), np.array([lon]), level=7)[0])
+        ns = cells_s2.neighbors(cid)
+        assert len(ns) == 4 and cid not in ns.tolist()
+        assert (cells_s2.cell_level(ns) == 7).all()
+        for nb in ns.tolist():
+            assert cid in cells_s2.neighbors(int(nb)).tolist()
+
+
 def test_s2_locality():
     # nearby points share coarse cells; antipodal points do not
     a = cells_s2.cell_id(np.array([40.0, 40.001]), np.array([-74.0, -74.001]), 8)
