@@ -142,3 +142,28 @@ class EntityProcessor:
 
     def __call__(self, df: DataFrame) -> DataFrame:
         return self.process(df)
+
+
+def entity_table_from_file(
+    spark,
+    path: str,
+    processor: "str | EntityProcessor",
+    constraints: dict | None = None,
+):
+    """EntityTable.from_file flow (reference core/schemas/entity.py:
+    from_file + clean=True): format-dispatch read → registered processor →
+    optional constraint validation. With constraints, returns
+    (valid, quarantine); without, the processed frame."""
+    from .entity import validate
+    from .sources.readers import read_dataset
+
+    df = read_dataset(spark, path)
+    proc = (
+        EntityProcessor.for_entity(processor)
+        if isinstance(processor, str)
+        else processor
+    )
+    out = proc(df)
+    if constraints:
+        return validate(out, constraints)
+    return out

@@ -95,6 +95,89 @@ class PoiViewGenerator:
         return path
 
 
+class HexViewGenerator:
+    """Hex-grid zonal view (reference H3ViewGenerator, generators/zonal/
+    h3.py:32-89): zones are the hex cells polyfilling a boundary polygon at
+    a resolution; enrichment methods aggregate points/rasters per cell.
+
+    The reference call shape
+        H3ViewGenerator(source=boundary, resolution=7).map_wp_pop(...)
+    ports to
+        HexViewGenerator(spark, boundary, resolution=7).map_points(...)
+    """
+
+    def __init__(self, spark, boundary, resolution: int = 5,
+                 contain_mode: str = "center"):
+        from . import cells_hex
+
+        self.spark = spark
+        self.resolution = resolution
+        self.cells = cells_hex.polyfill(boundary, resolution, mode=contain_mode)
+        lon_c, lat_c = cells_hex.cell_center(self.cells)
+        self.zones_dim = spark.createDataFrame(
+            [
+                (int(c), float(lo), float(la))
+                for c, lo, la in zip(self.cells, lon_c, lat_c)
+            ],
+            "hex_cell long, center_lon double, center_lat double",
+        )
+        self._view = self.zones_dim
+
+    def _cell_col(self, lon, lat):
+        from . import cells_hex
+
+        return cells_hex.cell_id_col(lon, lat, self.resolution)
+
+    def map_points(self, points: DataFrame, aggregation: str = "count",
+                   value_columns=None, lon: str = "lon", lat: str = "lat",
+                   suffix: str = "") -> "HexViewGenerator":
+        """Per-cell point aggregation with the reference's fill rules
+        (0 for counts, NULL otherwise) — native hex assignment (codegen)
+        + left-semi restriction to the view's cells."""
+        from .operators.zonal import agg_exprs
+
+        exprs, meta = agg_exprs(aggregation, value_columns, suffix)
+        tagged = points.withColumn(
+            "hex_cell", self._cell_col(F.col(lon), F.col(lat))
+        )
+        agged = tagged.groupBy("hex_cell").agg(*exprs)
+        out = self._view.join(F.broadcast(agged), "hex_cell", "left")
+        for name, fn in meta:
+            if fn == "count":
+                out = out.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0)).cast("long")
+                )
+        self._view = out
+        return self
+
+    def map_rasters(self, pixels: DataFrame, stats=("count", "mean"),
+                    value_col: str = "value") -> "HexViewGenerator":
+        """Per-cell raster stats: pixels keyed by hex cell natively, nodata
+        dropped first (reference map_wp_pop semantics)."""
+        from .operators.zonal import _AGG_FNS
+
+        valid = pixels.where(F.col(value_col).isNotNull()).withColumn(
+            "hex_cell", self._cell_col(F.col("lon"), F.col("lat"))
+        )
+        exprs = [_AGG_FNS[s](F.col(value_col)).alias(f"{value_col}_{s}") for s in stats]
+        agged = valid.groupBy("hex_cell").agg(*exprs)
+        out = self._view.join(F.broadcast(agged), "hex_cell", "left")
+        if "count" in stats:
+            out = out.withColumn(
+                f"{value_col}_count",
+                F.coalesce(F.col(f"{value_col}_count"), F.lit(0)).cast("long"),
+            )
+        self._view = out
+        return self
+
+    def to_dataframe(self) -> DataFrame:
+        return self._view
+
+    def save_view(self, path: str, fmt: str = "parquet") -> str:
+        self._view.write.mode("overwrite").format(fmt).save(path)
+        return path
+
+
 class ZonalViewGenerator:
     """zones: DataFrame with zone_id (+ any zone attrs). Reference
     zonal/base.py:104-133."""
