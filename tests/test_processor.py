@@ -123,7 +123,9 @@ def test_hex_view_generator(spark):
     # cross-check one cell's count against a direct filter
     import numpy as np
 
-    cell = int(view.sort_values("point_count").iloc[-1]["hex_cell"])
+    # column-first indexing: a row Series would coerce the int64 cell id to
+    # float64 and lose precision (hex ids exceed 2^53)
+    cell = int(view.sort_values("point_count")["hex_cell"].iloc[-1])
     lon = docs.toPandas()["lon"].to_numpy()
     lat = docs.toPandas()["lat"].to_numpy()
     ids = cells_hex.cell_id(lon, lat, 4)
