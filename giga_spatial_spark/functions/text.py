@@ -38,6 +38,34 @@ _RE_BLOCK = re.compile(r"(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr)\s*>")
 _RE_TAG = re.compile(r"(?s)<[^>]*>")
 _RE_WS = re.compile(r"[ \t\r\f\v]+")
 _RE_NL = re.compile(r"\n\s*\n+")
+# whitespace-class chars where str.split() and the frozen regex tail could
+# disagree (post-NFKC: NBSP and friends are already folded to plain space,
+# but these survive NFKC and are str-whitespace without being _RE_WS/strip
+# -equivalent): information separators, NEL, ogham space, LS/PS
+_RE_EXOTIC_WS = re.compile("[\x1c-\x1f\x85\u1680\u2028\u2029]")
+
+
+def _tail_exact(s: str) -> str:
+    """The frozen reference tail: collapse spaces → collapse blank lines →
+    per-line strip → strip."""
+    s = _RE_WS.sub(" ", s)
+    s = _RE_NL.sub("\n", s)
+    s = "\n".join(line.strip() for line in s.split("\n"))
+    return s.strip()
+
+
+def _tail_fast(s: str) -> str:
+    """Byte-identical fast path for inputs free of _RE_EXOTIC_WS (the hot
+    case — the exotic class survives neither the generator nor NFKC'd real
+    text): the exact tail reduces to 'join the nonempty ws-collapsed
+    stripped lines', which str.split does in C at ~2× the regex pipeline.
+    Equivalence is property-tested against _tail_exact (test_properties)."""
+    out = []
+    for ln in s.split("\n"):
+        ln = " ".join(ln.split())
+        if ln:
+            out.append(ln)
+    return "\n".join(out)
 
 
 def extract_text_py(raw: bytes) -> str:
@@ -52,10 +80,9 @@ def extract_text_py(raw: bytes) -> str:
     s = _RE_TAG.sub(" ", s)
     s = _htmllib.unescape(s)
     s = unicodedata.normalize("NFKC", s)
-    s = _RE_WS.sub(" ", s)
-    s = _RE_NL.sub("\n", s)
-    s = "\n".join(line.strip() for line in s.split("\n"))
-    return s.strip()
+    if _RE_EXOTIC_WS.search(s):
+        return _tail_exact(s)
+    return _tail_fast(s)
 
 
 @F.pandas_udf(StringType())

@@ -121,6 +121,49 @@ def test_fingerprint_matches_naive(text):
     assert rolling_fingerprint(text) == naive(text)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(), max_size=300))
+def test_extract_tail_fast_equals_exact(s):
+    """The guarded fast tail must reproduce the frozen regex tail for EVERY
+    string — the exotic-whitespace guard routes disagreement cases to the
+    exact path, so extract_text stays byte-identical universally."""
+    from giga_spatial_spark.functions.text import (
+        _RE_EXOTIC_WS,
+        _tail_exact,
+        _tail_fast,
+    )
+
+    got = _tail_exact(s) if _RE_EXOTIC_WS.search(s) else _tail_fast(s)
+    assert got == _tail_exact(s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_text_stable_under_optimization(raw):
+    """Full extract_text over arbitrary bytes equals the frozen reference
+    pipeline executed step by step."""
+    import html as _htmllib
+    import re
+    import unicodedata
+
+    from giga_spatial_spark.functions import text as T
+
+    def reference(raw):
+        s = raw.decode("utf-8", errors="replace")
+        s = T._RE_SCRIPT.sub(" ", s)
+        s = T._RE_COMMENT.sub(" ", s)
+        s = T._RE_BLOCK.sub("\n", s)
+        s = T._RE_TAG.sub(" ", s)
+        s = _htmllib.unescape(s)
+        s = unicodedata.normalize("NFKC", s)
+        s = T._RE_WS.sub(" ", s)
+        s = T._RE_NL.sub("\n", s)
+        s = "\n".join(line.strip() for line in s.split("\n"))
+        return s.strip()
+
+    assert T.extract_text_py(raw) == reference(raw)
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     st.floats(min_value=-179.99, max_value=179.99, allow_nan=False),
