@@ -673,6 +673,16 @@ ENUM_ALIASES = {
 }
 
 
+def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-coverage stats (reference coverage summaries, SURVEY §2.2):
+    per-column non-null counts + fraction over documents — one aggregation
+    pass (never a job per column)."""
+    from giga_spatial_spark.operators.normalize import coverage_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return coverage_stats(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def q_normalize_enums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enum alias normalization incl. delimited collections (reference
     entity_processor.py:616-751, alias maps shared.py:79-225):
@@ -820,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hex_zonal": q_hex_zonal,
         "q_pip_wkb": q_pip_wkb,
         "q_normalize_enums": q_normalize_enums,
+        "q_coverage": q_coverage,
         "q1_pricing_summary": q1_pricing_summary,
     }
 
@@ -1181,6 +1192,18 @@ def oracle_sql() -> dict[str, str]:
         "q_sessionize": sessionize,
         "q_normalize_strings": normalize_strings,
         "q_normalize_enums": normalize_enums,
+        "q_coverage": (
+            "WITH t AS (SELECT count(*) AS total, "
+            "count(doc_id) AS n_doc_id, count(text) AS n_text, "
+            "count(lang) AS n_lang, count(source) AS n_source, "
+            "count(n_chars) AS n_n_chars FROM documents) "
+            "SELECT col AS column, total AS total_rows, nn AS non_null, "
+            "nn / total AS coverage FROM t, (VALUES "
+            "('doc_id'), ('text'), ('lang'), ('source'), ('n_chars')) c(col), "
+            "LATERAL (SELECT CASE col WHEN 'doc_id' THEN n_doc_id "
+            "WHEN 'text' THEN n_text WHEN 'lang' THEN n_lang "
+            "WHEN 'source' THEN n_source ELSE n_n_chars END AS nn) x"
+        ),
         "q_tile_assign": tile_assign,
         "q_pip_tag": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_tag_rtree": f"SELECT doc_id, zone_id FROM ({pip})",
