@@ -49,10 +49,16 @@ def _pick_n_pages() -> int:
 N_PAGES = _pick_n_pages()
 
 
-def timed(fn):
-    t0 = time.perf_counter()
-    fn()
-    return round(time.perf_counter() - t0, 3)
+def timed(fn, reps: int = 2):
+    """Best-of-N: this sandbox is shared and a single external load spike
+    can inflate one measurement 2-3x (observed); min over two runs reads
+    through most spikes at ~2x suite cost."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -76,10 +82,9 @@ def main() -> None:
 
     # headline: flagship pipeline docs/sec (fused single-python-pass variant;
     # the modular composition is correctness-tested in tests/, not timed here)
-    t_pipe = timed(lambda: enrich_fused(pages, polys).write.mode("overwrite").format("noop").save())
-    t_pipe = min(
-        t_pipe,
-        timed(lambda: enrich_fused(pages, polys).write.mode("overwrite").format("noop").save()),
+    t_pipe = timed(
+        lambda: enrich_fused(pages, polys).write.mode("overwrite").format("noop").save(),
+        reps=3,
     )
     queries["flagship_enrich"] = t_pipe
 
