@@ -60,6 +60,54 @@ def read_points_pruned(
     return df.where(F.col(PARTITION_COL).isin(cover_qks))
 
 
+HEX_PARTITION_COL = "hex_part"
+
+
+def write_points_hex_partitioned(
+    points: DataFrame,
+    path: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res: int = 2,
+    mode: str = "overwrite",
+) -> str:
+    """Hex-grid layout variant (the reference's primary grid is hexagonal):
+    hive-partition by the coarse hex cell containing each point — the
+    native column expression assigns cells inside whole-stage codegen.
+    'h' prefix keeps partition values strings (hive type inference)."""
+    from .. import cells_hex
+
+    out = points.withColumn(
+        HEX_PARTITION_COL,
+        F.concat(
+            F.lit("h"),
+            cells_hex.cell_id_col(F.col(lon), F.col(lat), res).cast("string"),
+        ),
+    )
+    out.write.mode(mode).partitionBy(HEX_PARTITION_COL).parquet(path)
+    return path
+
+
+def read_points_hex_pruned(
+    spark: SparkSession,
+    path: str,
+    query_poly: np.ndarray,
+    res: int = 2,
+) -> DataFrame:
+    """Prune hex partitions against a query polygon: driver-side hex
+    polyfill in 'bbox_overlap' mode — a guaranteed superset of every cell
+    intersecting the polygon (center/overlap modes can return an EMPTY
+    cover for sliver polygons that contain no cell center, which would
+    prune away real data) — then a partition-value predicate Catalyst
+    resolves at the file index."""
+    from .. import cells_hex
+
+    cover = cells_hex.polyfill(query_poly, res, mode="bbox_overlap")
+    keys = [f"h{int(c)}" for c in cover]
+    df = spark.read.parquet(path)
+    return df.where(F.col(HEX_PARTITION_COL).isin(keys))
+
+
 def _tile_to_quadkey(x: int, y: int, zoom: int) -> str:
     digits = []
     for i in range(zoom):
