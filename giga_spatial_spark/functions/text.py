@@ -38,11 +38,15 @@ _RE_BLOCK = re.compile(r"(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr)\s*>")
 _RE_TAG = re.compile(r"(?s)<[^>]*>")
 _RE_WS = re.compile(r"[ \t\r\f\v]+")
 _RE_NL = re.compile(r"\n\s*\n+")
-# whitespace-class chars where str.split() and the frozen regex tail could
-# disagree (post-NFKC: NBSP and friends are already folded to plain space,
-# but these survive NFKC and are str-whitespace without being _RE_WS/strip
-# -equivalent): information separators, NEL, ogham space, LS/PS
-_RE_EXOTIC_WS = re.compile("[\x1c-\x1f\x85\u1680\u2028\u2029]")
+# every str-whitespace char where str.split() and the frozen regex tail
+# could disagree (information separators, NEL, NBSP family, ogham space,
+# en/em spaces, LS/PS, narrow/math/ideographic spaces). NFKC folds most of
+# these to plain space before the tail runs, but the guard covers them all
+# so the fast tail is byte-equivalent on ARBITRARY strings, not just
+# post-NFKC ones (hypothesis-verified)
+_RE_EXOTIC_WS = re.compile(
+    "[\x1c-\x1f\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
+)
 
 
 def _tail_exact(s: str) -> str:
