@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from giga_spatial_spark import cells, cells_s2, synth
+from giga_spatial_spark import cells, cells_hex, cells_s2, synth
 from giga_spatial_spark.functions import text as T
 from giga_spatial_spark.geometry import polygon_centroid
 from giga_spatial_spark.operators import zonal
@@ -121,6 +121,56 @@ def q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "nearest_facility_id",
         F.round(F.col("nearest_dist_m"), 1).alias("dist_m"),
+    )
+
+
+def q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same nearest-facility semantics through the two-phase grid kNN
+    (tile-cover candidates + min_by + progressive ring widening,
+    operators/knn.knn_grid — the large-right-side scale path); shares
+    q_knn_nearest's oracle because the answer is exact either way."""
+    from giga_spatial_spark.operators.knn import knn_grid
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    fac = synth.facilities_df(spark, sf_dir)
+    out = knn_grid(pts, fac, point_id="doc_id")
+    return out.select(
+        "doc_id",
+        "nearest_facility_id",
+        F.round(F.col("nearest_dist_m"), 1).alias("dist_m"),
+    )
+
+
+HEX_RING_CENTER = (20.0, 10.0)  # lon, lat
+HEX_RING_K = 3
+HEX_RING_RES = 3
+
+
+def q_hex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring membership on the hex grid (reference grid_ring,
+    grid/h3.py:371-393): docs whose res-5 hex cell lies within hex distance
+    K of the cell containing a probe point, counted per cell. The oracle
+    recomputes the axial distance (|dq|+|dr|+|dq+dr|)/2 in SQL."""
+    from giga_spatial_spark import cells_hex
+
+    import numpy as np
+
+    center = int(
+        cells_hex.cell_id(
+            np.array([HEX_RING_CENTER[0]]), np.array([HEX_RING_CENTER[1]]),
+            HEX_RING_RES,
+        )[0]
+    )
+    ring = cells_hex.k_ring(center, HEX_RING_K)
+    cover = spark.createDataFrame([(int(c),) for c in ring], "hex_cell long")
+    pts = _docs_pts(spark, sf_dir)
+    tagged = pts.withColumn(
+        "hex_cell", cells_hex.cell_id_col(F.col("lon"), F.col("lat"), HEX_RING_RES)
+    )
+    return (
+        tagged.join(F.broadcast(cover), "hex_cell", "left_semi")
+        .groupBy("hex_cell")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
     )
 
 
@@ -792,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zonal_count": q_zonal_count,
         "q_zonal_stats": q_zonal_stats,
         "q_knn_nearest": q_knn_nearest,
+        "q_knn_grid": q_knn_grid,
+        "q_hex_ring": q_hex_ring,
         "q_range_count": q_range_count,
         "q_polygon_agg": q_polygon_agg,
         "q_fractional_overlay": q_fractional_overlay,
@@ -1032,6 +1084,28 @@ def oracle_sql() -> dict[str, str]:
         normalize_enum_sql,
     )
 
+    import numpy as _np
+
+    _c0 = int(
+        cells_hex.cell_id(
+            _np.array([HEX_RING_CENTER[0]]), _np.array([HEX_RING_CENTER[1]]),
+            HEX_RING_RES,
+        )[0]
+    )
+    _, _q0a, _r0a = cells_hex.unpack(_np.array([_c0]))
+    _q0, _r0 = int(_q0a[0]), int(_r0a[0])
+    _mask = (1 << 26) - 1
+    hex_ring = (
+        f"WITH d AS ({docs}), "
+        f"h AS (SELECT doc_id, {cells_hex.cell_id_sql('lon', 'lat', HEX_RING_RES)} AS hex_cell FROM d), "
+        f"ax AS (SELECT doc_id, hex_cell, "
+        f"((hex_cell >> 26) & {_mask}) - {cells_hex._OFF} - {_q0} AS dq, "
+        f"(hex_cell & {_mask}) - {cells_hex._OFF} - {_r0} AS dr FROM h) "
+        f"SELECT hex_cell, count(*) AS doc_count FROM ax "
+        f"WHERE abs(dq) + abs(dr) + abs(dq + dr) <= {2 * HEX_RING_K} "
+        "GROUP BY hex_cell"
+    )
+
     merged_cell = "concat(o_orderstatus, ',', o_orderpriority)"
     normalize_enums = (
         f"SELECT {normalize_enum_sql('o_orderpriority', ENUM_ALIASES)} AS priority, "
@@ -1130,7 +1204,6 @@ def oracle_sql() -> dict[str, str]:
         "WHERE 1 = 0"
     )
 
-    from giga_spatial_spark import cells_hex
     from giga_spatial_spark.functions import hashing_sql as HS
 
     hex_assign = (
@@ -1216,6 +1289,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_zonal_stats": zonal_stats,
         "q_knn_nearest": knn,
+        "q_knn_grid": knn,
+        "q_hex_ring": hex_ring,
         "q_range_count": range_count,
         "q_polygon_agg": polygon_agg,
         "q_fractional_overlay": overlay,
