@@ -642,6 +642,43 @@ def q_s2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s2_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 hierarchy cross-check: level-8 cells computed by the numpy Hilbert
+    kernel, coarsened to level 4 with NATIVE int64 bit arithmetic (the
+    sentinel-truncation parent, cells_s2.parent semantics); the oracle
+    assigns level 4 DIRECTLY via the SQL S2 pipeline — equality proves the
+    truncation-hierarchy property cross-engine."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("c8", LongType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "c8": cells_s2.cell_id(
+                        pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), level=8
+                    ),
+                }
+            )
+
+    lsb = 1 << (2 * (cells_s2.MAX_LEVEL - 4))
+    parent4 = (
+        F.col("c8").bitwiseAND(F.lit(~(lsb - 1)).bitwiseAND(F.lit(~lsb)))
+    ).bitwiseOR(F.lit(lsb))
+    return (
+        pts.mapInPandas(kernel, schema=schema)
+        .withColumn("s2_cell", parent4)
+        .groupBy("s2_cell")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
 def q_extract_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-row byte-identical invariant (BASELINE.json), self-checked on
     a deterministic generated web-pages slice: rows where
@@ -874,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_raster_bilinear": q_raster_bilinear,
         "q_pixel_graph": q_pixel_graph,
         "q_s2_assign": q_s2_assign,
+        "q_s2_parent": q_s2_parent,
         "q_extract_invariant": q_extract_invariant,
         "q3_shipping": q3_shipping,
         "q_topk_orders": q_topk_orders,
@@ -1243,6 +1281,11 @@ def oracle_sql() -> dict[str, str]:
         "q_s2_assign": (
             "SELECT s2_cell, count(*) AS doc_count FROM ("
             + cells_s2.cell_id_sql(docs, 6)
+            + ") GROUP BY s2_cell"
+        ),
+        "q_s2_parent": (
+            "SELECT s2_cell, count(*) AS doc_count FROM ("
+            + cells_s2.cell_id_sql(docs, 4)
             + ") GROUP BY s2_cell"
         ),
         "q_fingerprint": HS.fingerprint_groups_sql(),
