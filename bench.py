@@ -110,6 +110,9 @@ def main() -> None:
         "q_sessionize",
         "q_hex_assign",
         "q_hex_zonal",
+        "q_hex_ring",
+        "q_raster_bilinear",
+        "q_raster_multiband",
         "q_polygon_agg_nonconvex",
         "q_pixel_graph",
         "q_fingerprint",
