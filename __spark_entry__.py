@@ -534,6 +534,45 @@ def q_zonal_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geotiff_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GeoTIFF decode path (from-scratch stdlib TIFF reader,
+    sources/geotiff.py — reference TifProcessor windowed reads): a
+    deterministic DEFLATE-compressed float64 GeoTIFF is written once to
+    /tmp, decoded strip-parallel on executors, then fed through the same
+    zonal flow as q_zonal_raster. The pixel table is bit-identical to the
+    synthetic raster (pytest-asserted), so the oracle is the same SQL."""
+    import os
+
+    import numpy as np
+
+    from giga_spatial_spark.operators.raster import RasterMeta
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    rmeta = RasterMeta()
+    path = "/tmp/spark_graft_geotiff/synth_r2.tif"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        px = np.arange(rmeta.width)[None, :]
+        py = np.arange(rmeta.height)[:, None]
+        vals = ((px * 31 + py * 17 + 1) % 997) / 10.0
+        vals = np.where((px * 7 + py * 13) % 23 == 0, -9999.0, vals)
+        write_tiff(
+            path + ".tmp", vals[::-1], lon0=rmeta.lon0, lat1=rmeta.lat1,
+            dx=rmeta.dx, dy=rmeta.dy, nodata=-9999.0,
+        )
+        os.replace(path + ".tmp", path)
+    pixels = tiff_pixel_table(spark, path)
+    valid = pixels.where(F.col("value").isNotNull())
+    matches = pip_join_native(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    return matches.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("px_count"),
+        (F.sum(F.round(F.col("value") * 10).cast("bigint")) / 10.0).alias("v_sum"),
+        F.round(F.min("value"), 1).alias("v_min"),
+        F.round(F.max("value"), 1).alias("v_max"),
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 2).alias("v_median"),
+    )
+
+
 def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point sampling of the raster (reference tif_processor.py:958-1006):
     doc points → containing-pixel equi-join."""
@@ -906,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_normalize_strings": q_normalize_strings,
         "q_zonal_raster": q_zonal_raster,
+        "q_geotiff_zonal": q_geotiff_zonal,
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
         "q_raster_bilinear": q_raster_bilinear,
@@ -1292,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         "q_topk_orders": topk_orders,
         "q_grid_filter": grid_filter,
         "q_zonal_raster": zonal_raster,
+        "q_geotiff_zonal": zonal_raster,
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
         "q_raster_bilinear": raster_bilinear,

@@ -1,0 +1,319 @@
+"""Minimal from-scratch GeoTIFF reader/writer — real raster ingest.
+
+The reference's TifProcessor decodes GeoTIFFs with rasterio (tif_processor
+.py:587-637 to_dataframe, windowed reads throughout); rasterio/GDAL are
+absent in this container, so round 1 stubbed the decode. This module
+implements the actual baseline-TIFF subset the engine needs with stdlib
+struct + zlib, so the pixel-table ingest is REAL for:
+
+  - classic TIFF, little- or big-endian
+  - grayscale single-sample strips (RowsPerStrip) — the layout GDAL writes
+    for float rasters by default
+  - uncompressed (1) or DEFLATE (8 / 32946) compression
+  - sample formats: unsigned int (8/16/32-bit), IEEE float32/float64
+  - geotransform from ModelPixelScale (33550) + ModelTiepoint (33922)
+  - nodata from the GDAL_NODATA ASCII tag (42113)
+
+Spark integration follows the reference's windowed-read shape: each STRIP
+is a work unit — `tiff_pixel_table` parses the IFD once on the driver
+(tiny), then `spark.range(n_strips)` fans strips out to executors, each of
+which seeks/reads/inflates only its own byte ranges. At 10^12 pixels this
+is the same unit-parallel scan the lineage/partition-pruning stores use.
+
+Pixel-table convention matches operators/raster.py: (band, px, py, lon,
+lat, value) with py counted from the SOUTH edge (TIFF rows run north→south;
+py = height-1-row), value NULL where the sample equals nodata.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+_TYPE_FMT = {3: "H", 4: "I", 11: "f", 12: "d"}
+
+
+@dataclass
+class TiffMeta:
+    path: str
+    width: int
+    height: int
+    bits: int
+    sample_format: int  # 1=uint, 3=ieee float
+    compression: int
+    rows_per_strip: int
+    strip_offsets: list[int]
+    strip_byte_counts: list[int]
+    lon0: float
+    lat1: float  # top edge latitude (row 0)
+    dx: float
+    dy: float  # positive pixel size
+    nodata: float | None
+    byte_order: str  # '<' or '>'
+
+    @property
+    def n_strips(self) -> int:
+        return len(self.strip_offsets)
+
+    @property
+    def dtype(self) -> np.dtype:
+        if self.sample_format == 3:
+            return np.dtype(f"{self.byte_order}f{self.bits // 8}")
+        return np.dtype(f"{self.byte_order}u{self.bits // 8}")
+
+
+def _read_values(f, bo: str, typ: int, count: int, raw: bytes):
+    size = _TYPE_SIZE[typ] * count
+    if size <= 4:
+        data = raw[:size]
+    else:
+        (off,) = struct.unpack(bo + "I", raw)
+        pos = f.tell()
+        f.seek(off)
+        data = f.read(size)
+        f.seek(pos)
+    if typ == 2:  # ASCII
+        return data.split(b"\x00")[0].decode("ascii", "replace")
+    fmt = _TYPE_FMT.get(typ)
+    if fmt is None:
+        return data
+    return list(struct.unpack(f"{bo}{count}{fmt}", data))
+
+
+def read_tiff_meta(path: str) -> TiffMeta:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic[:2] == b"II":
+            bo = "<"
+        elif magic[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError(f"not a TIFF: {path}")
+        if struct.unpack(bo + "H", magic[2:4])[0] != 42:
+            raise ValueError(f"not a classic TIFF: {path}")
+        (ifd_off,) = struct.unpack(bo + "I", f.read(4))
+        f.seek(ifd_off)
+        (n_entries,) = struct.unpack(bo + "H", f.read(2))
+        tags: dict[int, object] = {}
+        for _ in range(n_entries):
+            entry = f.read(12)
+            tag, typ, count = struct.unpack(bo + "HHI", entry[:8])
+            tags[tag] = _read_values(f, bo, typ, count, entry[8:12])
+
+        def one(tag, default=None):
+            v = tags.get(tag, default)
+            return v[0] if isinstance(v, list) else v
+
+        width, height = int(one(256)), int(one(257))
+        bits = int(one(258, [8]))
+        compression = int(one(259, [1]))
+        sample_format = int(one(339, [1]))
+        rps = int(one(278, [height]))
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if offsets is None or counts is None:
+            raise ValueError("tiled TIFFs not supported; strip layout required")
+        scale = tags.get(33550)  # (sx, sy, sz)
+        tie = tags.get(33922)  # (i, j, k, x, y, z)
+        if scale is None or tie is None:
+            raise ValueError("missing ModelPixelScale/ModelTiepoint geo tags")
+        nod = tags.get(42113)
+        return TiffMeta(
+            path=path, width=width, height=height, bits=bits,
+            sample_format=sample_format, compression=compression,
+            rows_per_strip=rps,
+            strip_offsets=[int(x) for x in offsets],
+            strip_byte_counts=[int(x) for x in counts],
+            lon0=float(tie[3]) - float(tie[0]) * float(scale[0]),
+            lat1=float(tie[4]) + float(tie[1]) * float(scale[1]),
+            dx=float(scale[0]), dy=float(scale[1]),
+            nodata=float(nod) if nod is not None else None,
+            byte_order=bo,
+        )
+
+
+def decode_strip(meta: TiffMeta, strip_idx: int, buf: bytes) -> np.ndarray:
+    """Strip bytes → (rows, width) float64 array (nodata NOT yet masked)."""
+    if meta.compression in (8, 32946):
+        buf = zlib.decompress(buf)
+    elif meta.compression != 1:
+        raise ValueError(f"unsupported compression {meta.compression}")
+    row0 = strip_idx * meta.rows_per_strip
+    rows = min(meta.rows_per_strip, meta.height - row0)
+    arr = np.frombuffer(buf, dtype=meta.dtype, count=rows * meta.width)
+    return arr.reshape(rows, meta.width).astype(np.float64)
+
+
+def tiff_pixel_table(
+    spark: SparkSession, path: str, band: int = 1
+) -> DataFrame:
+    """GeoTIFF → pixel table (band, px, py, lon, lat, value): IFD parsed
+    once on the driver, strips decoded in parallel on executors (each task
+    seeks and reads only its strips' byte ranges)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    meta = read_tiff_meta(path)
+    bc = spark.sparkContext.broadcast(meta)
+    schema = StructType(
+        [
+            StructField("band", IntegerType()),
+            StructField("px", LongType()),
+            StructField("py", LongType()),
+            StructField("lon", DoubleType()),
+            StructField("lat", DoubleType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        m = bc.value
+        with open(m.path, "rb") as f:
+            for pdf in batches:
+                for sidx in pdf["id"].tolist():
+                    f.seek(m.strip_offsets[sidx])
+                    arr = decode_strip(m, sidx, f.read(m.strip_byte_counts[sidx]))
+                    rows, width = arr.shape
+                    row0 = sidx * m.rows_per_strip
+                    r = np.arange(row0, row0 + rows)
+                    py = (m.height - 1 - r)[:, None]
+                    px = np.arange(width)[None, :]
+                    lon = m.lon0 + (px + 0.5) * m.dx
+                    lat = m.lat1 - (r[:, None] + 0.5) * m.dy
+                    vals = arr.copy()
+                    if m.nodata is not None:
+                        mask = vals == m.nodata
+                    else:
+                        mask = np.zeros_like(vals, dtype=bool)
+                    out = pd.DataFrame(
+                        {
+                            "band": np.full(vals.size, band, dtype=np.int32),
+                            "px": np.broadcast_to(px, vals.shape).ravel(),
+                            "py": np.broadcast_to(py, vals.shape).ravel(),
+                            "lon": np.broadcast_to(lon, vals.shape).ravel(),
+                            "lat": np.broadcast_to(lat, vals.shape).ravel(),
+                            "value": vals.ravel(),
+                        }
+                    )
+                    out.loc[mask.ravel(), "value"] = None
+                    yield out
+
+    n = meta.n_strips
+    parts = min(n, spark.sparkContext.defaultParallelism * 2)
+    return spark.range(0, n, 1, max(parts, 1)).mapInPandas(kernel, schema=schema)
+
+
+# ------------------------------------------------------------------ writer
+def write_tiff(
+    path: str,
+    array: np.ndarray,
+    lon0: float,
+    lat1: float,
+    dx: float,
+    dy: float,
+    nodata: float | None = None,
+    rows_per_strip: int = 64,
+    compression: int = 8,
+) -> str:
+    """Minimal GeoTIFF writer (float64 samples, strip layout, optional
+    DEFLATE) — the deterministic test/fixture producer; everything it
+    emits, read_tiff_meta/decode_strip round-trip bit-exactly."""
+    arr = np.ascontiguousarray(array, dtype="<f8")
+    height, width = arr.shape
+    strips = []
+    for r0 in range(0, height, rows_per_strip):
+        raw = arr[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(zlib.compress(raw) if compression == 8 else raw)
+
+    entries = []  # (tag, type, count, value_bytes_or_int)
+    extra: list[bytes] = []
+    header_size = 8
+    # IFD placed right after header; compute layout in two passes
+    def add(tag, typ, values):
+        entries.append((tag, typ, values))
+
+    add(256, 4, [width])
+    add(257, 4, [height])
+    add(258, 3, [64])
+    add(259, 3, [compression if compression == 8 else 1])
+    add(262, 3, [1])
+    add(273, 4, None)  # strip offsets — patched below
+    add(277, 3, [1])
+    add(278, 4, [rows_per_strip])
+    add(279, 4, [len(s) for s in strips])
+    add(339, 3, [3])
+    add(33550, 12, [dx, dy, 0.0])
+    add(33922, 12, [0.0, 0.0, 0.0, lon0, lat1, 0.0])
+    if nodata is not None:
+        nd = (repr(float(nodata)) + "\x00").encode("ascii")
+        add(42113, 2, nd)
+    entries.sort(key=lambda e: e[0])
+
+    n = len(entries)
+    ifd_off = header_size
+    ifd_size = 2 + 12 * n + 4
+    data_off = ifd_off + ifd_size
+
+    # lay out out-of-line values then strip data
+    blobs: dict[int, tuple[int, bytes]] = {}
+    cursor = data_off
+    for tag, typ, values in entries:
+        if tag == 273:
+            values = [0] * len(strips)  # placeholder, patched after layout
+        if typ == 2:
+            data = values
+        else:
+            fmt = _TYPE_FMT[typ]
+            data = struct.pack(f"<{len(values)}{fmt}", *values)
+        if len(data) > 4:
+            blobs[tag] = (cursor, data)
+            cursor += len(data)
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(cursor)
+        cursor += len(s)
+    # re-encode strip offsets with real positions
+    so_data = struct.pack(f"<{len(strip_offs)}I", *strip_offs)
+    if len(so_data) > 4:
+        if 273 in blobs:
+            blobs[273] = (blobs[273][0], so_data)
+        else:
+            blobs[273] = (cursor, so_data)
+            cursor += len(so_data)
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, ifd_off))
+        f.write(struct.pack("<H", n))
+        for tag, typ, values in entries:
+            if tag == 273:
+                values = strip_offs
+            if typ == 2:
+                data = values
+                count = len(values)
+            else:
+                fmt = _TYPE_FMT[typ]
+                data = struct.pack(f"<{len(values)}{fmt}", *values)
+                count = len(values)
+            if len(data) > 4:
+                off, blob = blobs[tag]
+                f.write(struct.pack("<HHI", tag, typ, count))
+                f.write(struct.pack("<I", off))
+            else:
+                f.write(struct.pack("<HHI", tag, typ, count))
+                f.write(data.ljust(4, b"\x00"))
+        f.write(struct.pack("<I", 0))  # no next IFD
+        for tag in sorted(blobs):
+            off, blob = blobs[tag]
+            assert f.tell() == off, (tag, f.tell(), off)
+            f.write(blob)
+        for s in strips:
+            f.write(s)
+    return path

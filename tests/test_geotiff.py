@@ -1,0 +1,72 @@
+"""From-scratch GeoTIFF codec: writer→reader round-trips, strip-parallel
+Spark decode equals the in-memory array, and the decoded pixel table is
+bit-identical to the synthetic raster built from the same formula."""
+
+import numpy as np
+import pytest
+
+from giga_spatial_spark.operators.raster import RasterMeta, synthetic_raster
+from giga_spatial_spark.sources.geotiff import (
+    decode_strip,
+    read_tiff_meta,
+    tiff_pixel_table,
+    write_tiff,
+)
+
+
+def _synthetic_array(meta: RasterMeta, band: int = 1, nodata: float = -9999.0):
+    """Same formula as operators.raster.synthetic_raster, as a numpy grid
+    ordered north→south (TIFF row order)."""
+    px = np.arange(meta.width)[None, :]
+    py = np.arange(meta.height)[:, None]  # py counted from the south edge
+    vals = ((px * 31 + py * 17 + band) % 997) / 10.0
+    vals = np.where((px * 7 + py * 13) % 23 == 0, nodata, vals)
+    return vals[::-1]  # row 0 = north
+
+
+@pytest.mark.parametrize("compression", [1, 8])
+def test_write_read_roundtrip(tmp_path, compression):
+    rng = np.random.RandomState(5)
+    arr = rng.uniform(-50, 50, size=(37, 53))  # heights not multiple of rps
+    path = str(tmp_path / f"t{compression}.tif")
+    write_tiff(path, arr, lon0=-10.0, lat1=20.0, dx=0.25, dy=0.5,
+               nodata=None, rows_per_strip=16, compression=compression)
+    meta = read_tiff_meta(path)
+    assert (meta.width, meta.height) == (53, 37)
+    assert meta.dx == 0.25 and meta.dy == 0.5
+    assert meta.lon0 == -10.0 and meta.lat1 == 20.0
+    got = np.vstack([
+        decode_strip(meta, i, open(path, "rb").read()[
+            meta.strip_offsets[i]: meta.strip_offsets[i] + meta.strip_byte_counts[i]
+        ])
+        for i in range(meta.n_strips)
+    ])
+    assert np.array_equal(got, arr)  # float64 samples round-trip bit-exactly
+
+
+def test_spark_pixel_table_matches_synthetic(spark, tmp_path):
+    """Decoded-from-TIFF pixel table == synthetic_raster: same px/py/lon/
+    lat/value on every pixel, NULLs where the nodata sentinel was written."""
+    meta = RasterMeta(width=90, height=40)
+    arr = _synthetic_array(meta)
+    path = str(tmp_path / "synth.tif")
+    write_tiff(path, arr, lon0=meta.lon0, lat1=meta.lat1, dx=meta.dx,
+               dy=meta.dy, nodata=-9999.0, rows_per_strip=16)
+
+    got = tiff_pixel_table(spark, path).toPandas().sort_values(["py", "px"]).reset_index(drop=True)
+    want = synthetic_raster(spark, meta).toPandas().sort_values(["py", "px"]).reset_index(drop=True)
+    assert len(got) == len(want) == meta.width * meta.height
+    for col in ["band", "px", "py", "lon", "lat"]:
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+    gv, wv = got["value"].to_numpy(), want["value"].to_numpy()
+    assert np.array_equal(np.isnan(gv.astype(float)), np.isnan(wv.astype(float)))
+    m = ~np.isnan(wv.astype(float))
+    assert np.array_equal(gv[m].astype(float), wv[m].astype(float))
+
+
+def test_big_endian_rejection_and_errors(tmp_path):
+    p = str(tmp_path / "x.bin")
+    with open(p, "wb") as f:
+        f.write(b"XX\x00\x00garbage")
+    with pytest.raises(ValueError, match="not a TIFF"):
+        read_tiff_meta(p)
