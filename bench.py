@@ -113,6 +113,7 @@ def main() -> None:
         "q_hex_ring",
         "q_raster_bilinear",
         "q_raster_multiband",
+        "q_geotiff_zonal",
         "q_polygon_agg_nonconvex",
         "q_pixel_graph",
         "q_fingerprint",

@@ -55,6 +55,7 @@ class TiffMeta:
     dy: float  # positive pixel size
     nodata: float | None
     byte_order: str  # '<' or '>'
+    samples_per_pixel: int = 1  # chunky-interleaved bands (PlanarConfig 1)
 
     @property
     def n_strips(self) -> int:
@@ -122,6 +123,10 @@ def read_tiff_meta(path: str) -> TiffMeta:
         tie = tags.get(33922)  # (i, j, k, x, y, z)
         if scale is None or tie is None:
             raise ValueError("missing ModelPixelScale/ModelTiepoint geo tags")
+        spp = int(one(277, [1]))
+        planar = int(one(284, [1]))
+        if spp > 1 and planar != 1:
+            raise ValueError("multi-band TIFFs must be chunky-interleaved (PlanarConfiguration=1)")
         nod = tags.get(42113)
         return TiffMeta(
             path=path, width=width, height=height, bits=bits,
@@ -134,19 +139,25 @@ def read_tiff_meta(path: str) -> TiffMeta:
             dx=float(scale[0]), dy=float(scale[1]),
             nodata=float(nod) if nod is not None else None,
             byte_order=bo,
+            samples_per_pixel=spp,
         )
 
 
 def decode_strip(meta: TiffMeta, strip_idx: int, buf: bytes) -> np.ndarray:
-    """Strip bytes → (rows, width) float64 array (nodata NOT yet masked)."""
+    """Strip bytes → (rows, width) float64 array for single-band files, or
+    (rows, width, samples) for chunky-interleaved multi-band (nodata NOT
+    yet masked)."""
     if meta.compression in (8, 32946):
         buf = zlib.decompress(buf)
     elif meta.compression != 1:
         raise ValueError(f"unsupported compression {meta.compression}")
     row0 = strip_idx * meta.rows_per_strip
     rows = min(meta.rows_per_strip, meta.height - row0)
-    arr = np.frombuffer(buf, dtype=meta.dtype, count=rows * meta.width)
-    return arr.reshape(rows, meta.width).astype(np.float64)
+    spp = meta.samples_per_pixel
+    arr = np.frombuffer(buf, dtype=meta.dtype, count=rows * meta.width * spp)
+    if spp == 1:
+        return arr.reshape(rows, meta.width).astype(np.float64)
+    return arr.reshape(rows, meta.width, spp).astype(np.float64)
 
 
 def tiff_pixel_table(
@@ -181,30 +192,36 @@ def tiff_pixel_table(
                 for sidx in pdf["id"].tolist():
                     f.seek(m.strip_offsets[sidx])
                     arr = decode_strip(m, sidx, f.read(m.strip_byte_counts[sidx]))
-                    rows, width = arr.shape
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    rows, width, spp = arr.shape
                     row0 = sidx * m.rows_per_strip
                     r = np.arange(row0, row0 + rows)
                     py = (m.height - 1 - r)[:, None]
                     px = np.arange(width)[None, :]
                     lon = m.lon0 + (px + 0.5) * m.dx
                     lat = m.lat1 - (r[:, None] + 0.5) * m.dy
-                    vals = arr.copy()
-                    if m.nodata is not None:
-                        mask = vals == m.nodata
-                    else:
-                        mask = np.zeros_like(vals, dtype=bool)
-                    out = pd.DataFrame(
-                        {
-                            "band": np.full(vals.size, band, dtype=np.int32),
-                            "px": np.broadcast_to(px, vals.shape).ravel(),
-                            "py": np.broadcast_to(py, vals.shape).ravel(),
-                            "lon": np.broadcast_to(lon, vals.shape).ravel(),
-                            "lat": np.broadcast_to(lat, vals.shape).ravel(),
-                            "value": vals.ravel(),
-                        }
-                    )
-                    out.loc[mask.ravel(), "value"] = None
-                    yield out
+                    shape2 = (rows, width)
+                    for s in range(spp):
+                        vals = arr[:, :, s]
+                        if m.nodata is not None:
+                            mask = vals == m.nodata
+                        else:
+                            mask = np.zeros_like(vals, dtype=bool)
+                        out = pd.DataFrame(
+                            {
+                                "band": np.full(
+                                    vals.size, band + s, dtype=np.int32
+                                ),
+                                "px": np.broadcast_to(px, shape2).ravel(),
+                                "py": np.broadcast_to(py, shape2).ravel(),
+                                "lon": np.broadcast_to(lon, shape2).ravel(),
+                                "lat": np.broadcast_to(lat, shape2).ravel(),
+                                "value": vals.ravel(),
+                            }
+                        )
+                        out.loc[mask.ravel(), "value"] = None
+                        yield out
 
     n = meta.n_strips
     parts = min(n, spark.sparkContext.defaultParallelism * 2)
@@ -224,10 +241,15 @@ def write_tiff(
     compression: int = 8,
 ) -> str:
     """Minimal GeoTIFF writer (float64 samples, strip layout, optional
-    DEFLATE) — the deterministic test/fixture producer; everything it
+    DEFLATE; 2-d array → single band, 3-d (h, w, bands) → chunky
+    interleaved) — the deterministic test/fixture producer; everything it
     emits, read_tiff_meta/decode_strip round-trip bit-exactly."""
     arr = np.ascontiguousarray(array, dtype="<f8")
-    height, width = arr.shape
+    if arr.ndim == 2:
+        height, width = arr.shape
+        spp = 1
+    else:
+        height, width, spp = arr.shape
     strips = []
     for r0 in range(0, height, rows_per_strip):
         raw = arr[r0 : r0 + rows_per_strip].tobytes()
@@ -242,14 +264,15 @@ def write_tiff(
 
     add(256, 4, [width])
     add(257, 4, [height])
-    add(258, 3, [64])
+    add(258, 3, [64] * spp)
     add(259, 3, [compression if compression == 8 else 1])
     add(262, 3, [1])
     add(273, 4, None)  # strip offsets — patched below
-    add(277, 3, [1])
+    add(277, 3, [spp])
     add(278, 4, [rows_per_strip])
     add(279, 4, [len(s) for s in strips])
-    add(339, 3, [3])
+    add(284, 3, [1])  # chunky interleave
+    add(339, 3, [3] * spp)
     add(33550, 12, [dx, dy, 0.0])
     add(33922, 12, [0.0, 0.0, 0.0, lon0, lat1, 0.0])
     if nodata is not None:

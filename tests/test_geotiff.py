@@ -64,6 +64,34 @@ def test_spark_pixel_table_matches_synthetic(spark, tmp_path):
     assert np.array_equal(gv[m].astype(float), wv[m].astype(float))
 
 
+def test_multiband_chunky_roundtrip(spark, tmp_path):
+    """3-band chunky-interleaved GeoTIFF → pixel table with a band column;
+    per-band values equal the source planes, nodata masked per sample."""
+    rng = np.random.RandomState(11)
+    arr = rng.uniform(0, 99, size=(24, 30, 3))
+    arr[3, 5, 1] = -1.0  # nodata in band 2 only
+    path = str(tmp_path / "mb.tif")
+    write_tiff(path, arr, lon0=0.0, lat1=12.0, dx=0.5, dy=0.5,
+               nodata=-1.0, rows_per_strip=10)
+    meta = read_tiff_meta(path)
+    assert meta.samples_per_pixel == 3
+    pdf = tiff_pixel_table(spark, path).toPandas()
+    assert sorted(pdf["band"].unique()) == [1, 2, 3]
+    assert len(pdf) == 24 * 30 * 3
+    # spot-check: band b at tiff row r, col c == arr[r, c, b-1]
+    for b in (1, 2, 3):
+        sub = pdf[pdf["band"] == b].set_index(["py", "px"])["value"]
+        for r, c in ((0, 0), (10, 7), (23, 29)):
+            want = arr[r, c, b - 1]
+            got = sub.loc[(24 - 1 - r, c)]
+            if want == -1.0:
+                assert np.isnan(got)
+            else:
+                assert got == want
+    # the planted nodata hits exactly one (band, pixel)
+    assert int(pdf["value"].isna().sum()) == 1
+
+
 def test_big_endian_rejection_and_errors(tmp_path):
     p = str(tmp_path / "x.bin")
     with open(p, "wb") as f:
