@@ -56,6 +56,19 @@ class TiffMeta:
     nodata: float | None
     byte_order: str  # '<' or '>'
     samples_per_pixel: int = 1  # chunky-interleaved bands (PlanarConfig 1)
+    # tiled layout (COG-style) — when tile_width is set, strip_offsets /
+    # strip_byte_counts actually hold the TILE offsets/counts in row-major
+    # tile order and rows_per_strip is unused
+    tile_width: int = 0
+    tile_length: int = 0
+
+    @property
+    def tiles_across(self) -> int:
+        return (self.width + self.tile_width - 1) // self.tile_width
+
+    @property
+    def tiles_down(self) -> int:
+        return (self.height + self.tile_length - 1) // self.tile_length
 
     @property
     def n_strips(self) -> int:
@@ -117,8 +130,14 @@ def read_tiff_meta(path: str) -> TiffMeta:
         rps = int(one(278, [height]))
         offsets = tags.get(273)
         counts = tags.get(279)
+        tile_w = tile_l = 0
         if offsets is None or counts is None:
-            raise ValueError("tiled TIFFs not supported; strip layout required")
+            offsets = tags.get(324)  # TileOffsets
+            counts = tags.get(325)  # TileByteCounts
+            tile_w = int(one(322, [0]))
+            tile_l = int(one(323, [0]))
+            if offsets is None or counts is None or not tile_w or not tile_l:
+                raise ValueError("neither strip nor tile layout found")
         scale = tags.get(33550)  # (sx, sy, sz)
         tie = tags.get(33922)  # (i, j, k, x, y, z)
         if scale is None or tie is None:
@@ -140,6 +159,8 @@ def read_tiff_meta(path: str) -> TiffMeta:
             nodata=float(nod) if nod is not None else None,
             byte_order=bo,
             samples_per_pixel=spp,
+            tile_width=tile_w,
+            tile_length=tile_l,
         )
 
 
@@ -151,13 +172,21 @@ def decode_strip(meta: TiffMeta, strip_idx: int, buf: bytes) -> np.ndarray:
         buf = zlib.decompress(buf)
     elif meta.compression != 1:
         raise ValueError(f"unsupported compression {meta.compression}")
-    row0 = strip_idx * meta.rows_per_strip
-    rows = min(meta.rows_per_strip, meta.height - row0)
     spp = meta.samples_per_pixel
-    arr = np.frombuffer(buf, dtype=meta.dtype, count=rows * meta.width * spp)
+    if meta.tile_width:
+        # tiles are stored padded to the full tile size; caller crops
+        arr = np.frombuffer(
+            buf, dtype=meta.dtype, count=meta.tile_length * meta.tile_width * spp
+        )
+        shape = (meta.tile_length, meta.tile_width)
+    else:
+        row0 = strip_idx * meta.rows_per_strip
+        rows = min(meta.rows_per_strip, meta.height - row0)
+        arr = np.frombuffer(buf, dtype=meta.dtype, count=rows * meta.width * spp)
+        shape = (rows, meta.width)
     if spp == 1:
-        return arr.reshape(rows, meta.width).astype(np.float64)
-    return arr.reshape(rows, meta.width, spp).astype(np.float64)
+        return arr.reshape(shape).astype(np.float64)
+    return arr.reshape(shape + (spp,)).astype(np.float64)
 
 
 def tiff_pixel_table(
@@ -194,15 +223,24 @@ def tiff_pixel_table(
                     arr = decode_strip(m, sidx, f.read(m.strip_byte_counts[sidx]))
                     if arr.ndim == 2:
                         arr = arr[:, :, None]
-                    rows, width, spp = arr.shape
-                    row0 = sidx * m.rows_per_strip
-                    r = np.arange(row0, row0 + rows)
+                    if m.tile_width:
+                        ty, tx = divmod(sidx, m.tiles_across)
+                        row0, col0 = ty * m.tile_length, tx * m.tile_width
+                        rows = min(m.tile_length, m.height - row0)
+                        cols = min(m.tile_width, m.width - col0)
+                        arr = arr[:rows, :cols]  # crop tile padding
+                        r = np.arange(row0, row0 + rows)
+                        px = (col0 + np.arange(cols))[None, :]
+                    else:
+                        rows = arr.shape[0]
+                        row0 = sidx * m.rows_per_strip
+                        r = np.arange(row0, row0 + rows)
+                        px = np.arange(m.width)[None, :]
                     py = (m.height - 1 - r)[:, None]
-                    px = np.arange(width)[None, :]
                     lon = m.lon0 + (px + 0.5) * m.dx
                     lat = m.lat1 - (r[:, None] + 0.5) * m.dy
-                    shape2 = (rows, width)
-                    for s in range(spp):
+                    shape2 = arr.shape[:2]
+                    for s in range(arr.shape[2]):
                         vals = arr[:, :, s]
                         if m.nodata is not None:
                             mask = vals == m.nodata
@@ -239,21 +277,33 @@ def write_tiff(
     nodata: float | None = None,
     rows_per_strip: int = 64,
     compression: int = 8,
+    tile_size: tuple[int, int] | None = None,
 ) -> str:
-    """Minimal GeoTIFF writer (float64 samples, strip layout, optional
-    DEFLATE; 2-d array → single band, 3-d (h, w, bands) → chunky
-    interleaved) — the deterministic test/fixture producer; everything it
-    emits, read_tiff_meta/decode_strip round-trip bit-exactly."""
+    """Minimal GeoTIFF writer (float64 samples, strip layout or COG-style
+    tiles via tile_size=(width, length), optional DEFLATE; 2-d array →
+    single band, 3-d (h, w, bands) → chunky interleaved) — the
+    deterministic test/fixture producer; everything it emits,
+    read_tiff_meta/decode_strip round-trip bit-exactly."""
     arr = np.ascontiguousarray(array, dtype="<f8")
     if arr.ndim == 2:
-        height, width = arr.shape
-        spp = 1
-    else:
-        height, width, spp = arr.shape
+        arr = arr[:, :, None]
+    height, width, spp = arr.shape
     strips = []
-    for r0 in range(0, height, rows_per_strip):
-        raw = arr[r0 : r0 + rows_per_strip].tobytes()
-        strips.append(zlib.compress(raw) if compression == 8 else raw)
+    if tile_size:
+        tw, tl = tile_size
+        for r0 in range(0, height, tl):
+            for c0 in range(0, width, tw):
+                tile = np.zeros((tl, tw, spp), dtype="<f8")
+                block = arr[r0 : r0 + tl, c0 : c0 + tw]
+                tile[: block.shape[0], : block.shape[1]] = block
+                raw = tile.tobytes()
+                strips.append(zlib.compress(raw) if compression == 8 else raw)
+    else:
+        for r0 in range(0, height, rows_per_strip):
+            raw = arr[r0 : r0 + rows_per_strip].tobytes()
+            strips.append(zlib.compress(raw) if compression == 8 else raw)
+    if spp == 1:
+        arr = arr[:, :, 0]
 
     entries = []  # (tag, type, count, value_bytes_or_int)
     extra: list[bytes] = []
@@ -262,15 +312,21 @@ def write_tiff(
     def add(tag, typ, values):
         entries.append((tag, typ, values))
 
+    offsets_tag = 324 if tile_size else 273
+    counts_tag = 325 if tile_size else 279
     add(256, 4, [width])
     add(257, 4, [height])
     add(258, 3, [64] * spp)
     add(259, 3, [compression if compression == 8 else 1])
     add(262, 3, [1])
-    add(273, 4, None)  # strip offsets — patched below
+    add(offsets_tag, 4, None)  # strip/tile offsets — patched below
     add(277, 3, [spp])
-    add(278, 4, [rows_per_strip])
-    add(279, 4, [len(s) for s in strips])
+    if tile_size:
+        add(322, 4, [tile_size[0]])
+        add(323, 4, [tile_size[1]])
+    else:
+        add(278, 4, [rows_per_strip])
+    add(counts_tag, 4, [len(s) for s in strips])
     add(284, 3, [1])  # chunky interleave
     add(339, 3, [3] * spp)
     add(33550, 12, [dx, dy, 0.0])
@@ -289,7 +345,7 @@ def write_tiff(
     blobs: dict[int, tuple[int, bytes]] = {}
     cursor = data_off
     for tag, typ, values in entries:
-        if tag == 273:
+        if tag == offsets_tag:
             values = [0] * len(strips)  # placeholder, patched after layout
         if typ == 2:
             data = values
@@ -306,17 +362,17 @@ def write_tiff(
     # re-encode strip offsets with real positions
     so_data = struct.pack(f"<{len(strip_offs)}I", *strip_offs)
     if len(so_data) > 4:
-        if 273 in blobs:
-            blobs[273] = (blobs[273][0], so_data)
+        if offsets_tag in blobs:
+            blobs[offsets_tag] = (blobs[offsets_tag][0], so_data)
         else:
-            blobs[273] = (cursor, so_data)
+            blobs[offsets_tag] = (cursor, so_data)
             cursor += len(so_data)
 
     with open(path, "wb") as f:
         f.write(struct.pack("<2sHI", b"II", 42, ifd_off))
         f.write(struct.pack("<H", n))
         for tag, typ, values in entries:
-            if tag == 273:
+            if tag == offsets_tag:
                 values = strip_offs
             if typ == 2:
                 data = values

@@ -92,6 +92,24 @@ def test_multiband_chunky_roundtrip(spark, tmp_path):
     assert int(pdf["value"].isna().sum()) == 1
 
 
+def test_tiled_layout_roundtrip(spark, tmp_path):
+    """COG-style tiled layout: padded edge tiles crop correctly and the
+    tile-parallel pixel table equals the strip-layout one."""
+    meta = RasterMeta(width=70, height=34)  # not multiples of the tile size
+    arr = _synthetic_array(meta)
+    p_tiled = str(tmp_path / "tiled.tif")
+    p_strip = str(tmp_path / "strip.tif")
+    for p, kw in ((p_tiled, {"tile_size": (32, 16)}), (p_strip, {})):
+        write_tiff(p, arr, lon0=meta.lon0, lat1=meta.lat1, dx=meta.dx,
+                   dy=meta.dy, nodata=-9999.0, **kw)
+    m = read_tiff_meta(p_tiled)
+    assert m.tile_width == 32 and m.tiles_across == 3 and m.tiles_down == 3
+    a = tiff_pixel_table(spark, p_tiled).toPandas().sort_values(["py", "px"]).reset_index(drop=True)
+    b = tiff_pixel_table(spark, p_strip).toPandas().sort_values(["py", "px"]).reset_index(drop=True)
+    assert len(a) == len(b) == meta.width * meta.height
+    assert a.equals(b)
+
+
 def test_big_endian_rejection_and_errors(tmp_path):
     p = str(tmp_path / "x.bin")
     with open(p, "wb") as f:
