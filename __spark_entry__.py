@@ -548,8 +548,22 @@ def q_geotiff_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giga_spatial_spark.operators.raster import RasterMeta
     from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
 
+    import getpass
+    import hashlib
+
     rmeta = RasterMeta()
-    path = "/tmp/spark_graft_geotiff/synth_r2.tif"
+    # Cache keyed by the generating parameters AND scoped per-user so a
+    # stale file from an older formula, or a same-named file owned by
+    # another tenant of the shared /tmp, can never change the output
+    # (round-2 advisor finding). The key covers formula version + grid.
+    params = (
+        f"v2|w={rmeta.width}|h={rmeta.height}|lon0={rmeta.lon0!r}|"
+        f"lat1={rmeta.lat1!r}|dx={rmeta.dx!r}|dy={rmeta.dy!r}|"
+        "vals=(px*31+py*17+1)%997/10|nodata=(px*7+py*13)%23==0:-9999"
+    )
+    key = hashlib.sha256(params.encode()).hexdigest()[:16]
+    user = getpass.getuser()
+    path = f"/tmp/spark_graft_geotiff_{user}/synth_{key}.tif"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         px = np.arange(rmeta.width)[None, :]

@@ -48,13 +48,13 @@ class _Reader:
         self.pos += 4
         return v
 
-    def coords(self, bo: str, n: int) -> np.ndarray:
+    def coords(self, bo: str, n: int, ndims: int = 2) -> np.ndarray:
         arr = np.frombuffer(
-            self.buf, dtype=("<f8" if bo == "<" else ">f8"), count=2 * n,
+            self.buf, dtype=("<f8" if bo == "<" else ">f8"), count=ndims * n,
             offset=self.pos,
         ).astype(np.float64)
-        self.pos += 16 * n
-        return arr.reshape(n, 2)
+        self.pos += 8 * ndims * n
+        return arr.reshape(n, ndims)[:, :2]
 
 
 def _open_ring(ring: np.ndarray) -> np.ndarray:
@@ -66,13 +66,32 @@ def _open_ring(ring: np.ndarray) -> np.ndarray:
 def _parse_one(r: _Reader) -> tuple[str, object]:
     bo = "<" if r.u8() == 1 else ">"
     gtype = r.u32(bo)
-    base = gtype % 1000  # tolerate EWKB-style 1000-offset Z types (XY only)
+    # Dimensionality: ISO WKB offsets type by 1000 (Z), 2000 (M), 3000 (ZM);
+    # PostGIS EWKB sets flag bits 0x80000000 (Z) / 0x40000000 (M) and may
+    # carry an SRID (0x20000000).  Extra ordinates are read and dropped so
+    # the stream stays aligned for later members of Multi* geometries
+    # (round-2 advisor finding: Z previously interleaved into x/y).
+    has_z = bool(gtype & 0x80000000)
+    has_m = bool(gtype & 0x40000000)
+    if gtype & 0x20000000:  # EWKB SRID
+        r.u32(bo)
+    iso = (gtype & 0x1FFFFFFF) // 1000
+    if iso in (1, 3):
+        has_z = True
+    if iso in (2, 3):
+        has_m = True
+    if iso > 3:
+        raise ValueError(f"unsupported WKB geometry type {gtype}")
+    ndims = 2 + has_z + has_m
+    base = (gtype & 0x1FFFFFFF) % 1000
     if base == _POINT:
-        return "Point", r.coords(bo, 1)[0]
+        return "Point", r.coords(bo, 1, ndims)[0]
     if base == _LINESTRING:
-        return "LineString", r.coords(bo, r.u32(bo))
+        return "LineString", r.coords(bo, r.u32(bo), ndims)
     if base == _POLYGON:
-        rings = [_open_ring(r.coords(bo, r.u32(bo))) for _ in range(r.u32(bo))]
+        rings = [
+            _open_ring(r.coords(bo, r.u32(bo), ndims)) for _ in range(r.u32(bo))
+        ]
         return "Polygon", rings
     if base in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON):
         n = r.u32(bo)

@@ -22,11 +22,33 @@ def _drop_table_and_location(spark: SparkSession, table: str) -> None:
     """Drop the catalog entry AND any orphaned warehouse directory. A fresh
     derby metastore does not know about tables a previous session wrote, but
     their parquet locations survive on disk — saveAsTable then fails with
-    LOCATION_ALREADY_EXISTS. Idempotent writes must clear both."""
+    LOCATION_ALREADY_EXISTS. Idempotent writes must clear both.
+
+    Location resolution order (round-2 advisor fix): if the table exists,
+    ask the catalog for its real LOCATION; otherwise derive the default
+    warehouse path, honoring qualified `db.table` names. Only file:// (or
+    scheme-less local) locations are rmtree'd — hdfs://, s3a:// etc. are
+    left to the catalog DROP, which owns remote data for managed tables."""
+    location = None
+    if spark.catalog.tableExists(table):
+        try:
+            location = next(
+                r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+                if r["col_name"] == "Location"
+            )
+        except StopIteration:
+            location = None
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    path = urlparse(warehouse).path or warehouse
-    shutil.rmtree(f"{path}/{table.lower()}", ignore_errors=True)
+    if location is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        parts = table.lower().split(".")
+        name = parts[-1]
+        db = parts[-2] if len(parts) > 1 and parts[-2] != "default" else None
+        location = f"{warehouse}/{db}.db/{name}" if db else f"{warehouse}/{name}"
+    scheme = urlparse(location).scheme
+    if scheme in ("", "file"):
+        shutil.rmtree(urlparse(location).path or location, ignore_errors=True)
 
 
 def write_bucketed(

@@ -81,6 +81,10 @@ def write_xlsx(df: DataFrame, path: str) -> str:
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
         if isinstance(v, (int, float)):
+            # NaN/Inf are not valid SpreadsheetML numbers (Excel/openpyxl
+            # reject them) — emit an empty cell, like the csv writer's null.
+            if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+                return ""
             return f'<c r="{ref}"><v>{v!r}</v></c>'
         return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
 
@@ -114,6 +118,33 @@ def _ref_col(ref: str) -> int:
     return i - 1
 
 
+def _first_sheet_part(z: zipfile.ZipFile) -> str:
+    """Resolve the workbook's FIRST sheet via xl/workbook.xml and its rels —
+    zip namelist order is arbitrary for externally-produced workbooks (e.g.
+    sheet10.xml can precede sheet2.xml), so "first by namelist" is wrong."""
+    _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_target = {
+            r.get("Id"): r.get("Target")
+            for r in rels
+            if (r.get("Type") or "").endswith("/worksheet")
+        }
+        first = next(iter(wb.iter(f"{_NS}sheet")))
+        target = rel_target[first.get(f"{_R}id")]
+        part = target if target.startswith("xl/") else "xl/" + target.lstrip("/")
+        if part in z.namelist():
+            return part
+    except (KeyError, StopIteration, ET.ParseError):
+        pass
+    # fallback: lowest numeric suffix wins
+    cands = [
+        n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+    ]
+    return min(cands, key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)))
+
+
 def read_xlsx(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
     """.xlsx → Spark DataFrame (first sheet). Handles inline strings,
     shared strings, numbers, booleans; columns typed long / double / string
@@ -124,10 +155,7 @@ def read_xlsx(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
-        sheet = next(
-            n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
-        )
-        root = ET.fromstring(z.read(sheet))
+        root = ET.fromstring(z.read(_first_sheet_part(z)))
     grid: list[dict[int, object]] = []
     for row in root.iter(f"{_NS}row"):
         cells: dict[int, object] = {}

@@ -82,6 +82,48 @@ def test_xlsx_roundtrip(spark, tmp_path):
     assert read_dataset(spark, p2).count() == 3
 
 
+def test_xlsx_nonfinite_floats_become_nulls(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, float("-inf")), (4, 2.5)],
+        "id long, v double",
+    )
+    path = str(tmp_path / "nf.xlsx")
+    write_xlsx(df, path)
+    # the sheet XML must not contain invalid numeric cells
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        xml = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "nan" not in xml and "inf" not in xml
+    rows = {r["id"]: r["v"] for r in read_xlsx(spark, path).collect()}
+    assert rows[1] is None and rows[2] is None and rows[3] is None and rows[4] == 2.5
+
+
+def test_xlsx_sheet_resolved_by_workbook_order(spark, tmp_path):
+    """An externally-produced workbook whose zip lists sheet10.xml before
+    sheet2.xml must still resolve 'first sheet' via workbook.xml."""
+    import zipfile
+
+    src = str(tmp_path / "one.xlsx")
+    write_xlsx(spark.createDataFrame([(1, "right")], "id long, tag string"), src)
+    dst = str(tmp_path / "multi.xlsx")
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(dst, "w") as zout:
+        sheet_xml = zin.read("xl/worksheets/sheet1.xml")
+        wrong = sheet_xml.replace(b">right<", b">WRONG<")
+        # decoy part written FIRST so a namelist-order reader picks it;
+        # workbook.xml's first sheet (rId1) is rewired to sheet2.xml
+        zout.writestr("xl/worksheets/sheet10.xml", wrong)
+        for n in zin.namelist():
+            data = zin.read(n)
+            if n == "xl/_rels/workbook.xml.rels":
+                data = data.replace(b"worksheets/sheet1.xml", b"worksheets/sheet2.xml")
+            if n == "xl/worksheets/sheet1.xml":
+                n = "xl/worksheets/sheet2.xml"
+            zout.writestr(n, data)
+    back = read_xlsx(spark, dst)
+    assert [r["tag"] for r in back.collect()] == ["right"]
+
+
 def test_admin_helpers(spark):
     df = spark.createDataFrame(
         [("  new york ",), ("UNKNOWN",), ("sÃo paulo",)], "admin1 string"

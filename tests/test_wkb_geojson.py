@@ -55,6 +55,44 @@ def test_linestring_and_errors():
         wkb.parse_wkb(struct.pack("<BI", 1, 99))
 
 
+def test_iso_z_types_parse_xy():
+    # ISO WKB Z: LineString Z (type 1002) with 3 doubles per vertex — the
+    # round-2 advisor case where Z previously interleaved into x/y.
+    pts = [(0.0, 1.0, 9.0), (2.0, 3.0, 8.0), (4.0, 5.0, 7.0)]
+    buf = struct.pack("<BII", 1, 1002, len(pts))
+    for x, y, z in pts:
+        buf += struct.pack("<ddd", x, y, z)
+    t, c = wkb.parse_wkb(buf)
+    assert t == "LineString"
+    assert np.array_equal(c, np.array([[0, 1], [2, 3], [4, 5]], dtype=float))
+
+    # Point ZM (3001): 4 doubles, keep xy
+    buf = struct.pack("<BIdddd", 1, 3001, 1.5, -2.5, 10.0, 20.0)
+    t, c = wkb.parse_wkb(buf)
+    assert t == "Point" and c[0] == 1.5 and c[1] == -2.5
+
+    # MultiLineString Z (1005): stream must stay aligned across members
+    m = struct.pack("<BII", 1, 1005, 2)
+    for member in (pts, [(9.0, 8.0, 1.0), (7.0, 6.0, 2.0)]):
+        m += struct.pack("<BII", 1, 1002, len(member))
+        for x, y, z in member:
+            m += struct.pack("<ddd", x, y, z)
+    t, parts = wkb.parse_wkb(m)
+    assert t == "MultiLineString" and len(parts) == 2
+    assert np.array_equal(parts[1], np.array([[9, 8], [7, 6]], dtype=float))
+
+
+def test_ewkb_flags_and_srid():
+    # EWKB point with Z flag + SRID flag: 0x80000000 | 0x20000000 | 1
+    gtype = 0x80000000 | 0x20000000 | 1
+    buf = struct.pack("<BIIddd", 1, gtype, 4326, 3.25, -4.5, 100.0)
+    t, c = wkb.parse_wkb(buf)
+    assert t == "Point" and c[0] == 3.25 and c[1] == -4.5
+    # unsupported ISO offset still raises
+    with pytest.raises(ValueError):
+        wkb.parse_wkb(struct.pack("<BIdd", 1, 4001, 0.0, 0.0))
+
+
 def test_with_parsed_rings_spark(spark):
     polys = synth.make_admin_polygons()
     rows = [(zid, bytearray(wkb.dump_polygon(p))) for zid, p in sorted(polys.items())]
