@@ -871,6 +871,139 @@ def q_pip_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join_native(pts, polys, zoom=PIP_ZOOM).select("doc_id", "zone_id")
 
 
+def _geo_fixture(kind: str) -> str:
+    """Build (once, per-user, content-keyed — see q_geotiff_zonal) an admin-
+    polygon layer in the requested geo format and return its path. The
+    vertex doubles round-trip bit-exactly in every format (.shp/.gpkg store
+    IEEE doubles; .kml coordinates are written with repr(), which Python
+    parses back exactly), so PIP membership is identical to ADMIN_POLYS."""
+    import getpass
+    import hashlib
+    import os
+
+    params = "admin_v1|" + "|".join(
+        f"{zid}:{poly.tobytes().hex()[:32]}" for zid, poly in sorted(ADMIN_POLYS.items())
+    )
+    key = hashlib.sha256(params.encode()).hexdigest()[:16]
+    d = f"/tmp/spark_graft_geofix_{getpass.getuser()}/{key}"
+    os.makedirs(d, exist_ok=True)
+    path = f"{d}/admin.{kind}"
+    if os.path.exists(path):
+        return path
+    tmp = path + ".tmp"
+    if kind == "shp":
+        from giga_spatial_spark.sources.shapefile import write_shapefile
+
+        feats = [
+            ("Polygon", p, {"zone_id": zid}) for zid, p in sorted(ADMIN_POLYS.items())
+        ]
+        write_shapefile(feats, f"{d}/.build_admin.shp")
+        # sidecars first, the existence-checked .shp last
+        for ext in (".shx", ".dbf", ".shp"):
+            os.replace(f"{d}/.build_admin{ext}", f"{d}/admin{ext}")
+        return path
+    if kind == "kml":
+        pms = []
+        for zid, poly in sorted(ADMIN_POLYS.items()):
+            coords = " ".join(f"{x!r},{y!r}" for x, y in poly)
+            first = f"{poly[0][0]!r},{poly[0][1]!r}"
+            pms.append(
+                "<Placemark><ExtendedData>"
+                f'<Data name="zone_id"><value>{zid}</value></Data></ExtendedData>'
+                "<Polygon><outerBoundaryIs><LinearRing><coordinates>"
+                f"{coords} {first}"
+                "</coordinates></LinearRing></outerBoundaryIs></Polygon></Placemark>"
+            )
+        doc = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+            + "".join(pms)
+            + "</Document></kml>"
+        )
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(doc)
+        os.replace(tmp, path)
+        return path
+    raise ValueError(kind)
+
+
+def _geo_fixture_gpkg(spark: SparkSession) -> str:
+    """GPKG fixture derives from the .shp one (write_gpkg needs a frame)."""
+    import os
+
+    shp = _geo_fixture("shp")
+    path = shp[:-4] + ".gpkg"
+    if not os.path.exists(path):
+        from giga_spatial_spark.sources.gpkg import write_gpkg
+        from giga_spatial_spark.sources.shapefile import read_shapefile
+
+        write_gpkg(read_shapefile(spark, shp), path + ".tmp", table="admin")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _pip_from_feature_table(
+    spark: SparkSession, sf_dir: str, feature_df: DataFrame
+) -> DataFrame:
+    """Normalized feature table → polys dict → native PIP join (the shared
+    tail of every file-sourced PIP query). Rings are normalized to CCW —
+    shapefiles wind outer rings CW per spec, and the convex edge-sign refine
+    expects CCW; reversal permutes the identical doubles, so membership
+    stays bit-exact vs ADMIN_POLYS."""
+    import numpy as np
+
+    def ccw(ring: "np.ndarray") -> "np.ndarray":
+        x, y = ring[:, 0], ring[:, 1]
+        area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        return ring[::-1] if area2 < 0 else ring
+
+    polys = {
+        int(r["properties"]["zone_id"]): ccw(
+            np.asarray(r["rings"][0], dtype=np.float64)
+        )
+        for r in feature_df.select("rings", "properties").collect()
+    }
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    return pip_join_native(pts, polys, zoom=PIP_ZOOM).select("doc_id", "zone_id")
+
+
+def q_pip_shp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join whose polygons arrive from an ESRI Shapefile decoded by the
+    from-scratch stdlib codec (sources/shapefile.py; reference
+    GEO_READERS['.shp'], readers.py:122-175): .shx-indexed records decoded
+    executor-side, .dbf attributes carrying the zone ids. Doubles round-trip
+    bit-exactly, so the oracle is the same zone-predicate SQL as q_pip_tag."""
+    from giga_spatial_spark.sources.shapefile import read_shapefile
+
+    return _pip_from_feature_table(
+        spark, sf_dir, read_shapefile(spark, _geo_fixture("shp"))
+    )
+
+
+def q_pip_gpkg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join whose polygons arrive from a GeoPackage (sources/gpkg.py —
+    stdlib sqlite3 + the engine WKB codec; reference GEO_READERS['.gpkg']):
+    rows SELECTed executor-side by rowid range, GP-headered WKB blobs
+    decoded to rings. Same bit-exact-doubles oracle as q_pip_tag."""
+    from giga_spatial_spark.sources.gpkg import read_gpkg
+
+    return _pip_from_feature_table(
+        spark, sf_dir, read_gpkg(spark, _geo_fixture_gpkg(spark))
+    )
+
+
+def q_pip_kml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join whose polygons arrive from a KML document (sources/kml.py —
+    stdlib ElementTree; reference GEO_READERS['.kml'] / read_kmz): repr()-
+    printed coordinates parse back to the identical doubles, so the oracle
+    is the same zone-predicate SQL as q_pip_tag."""
+    from giga_spatial_spark.sources.kml import read_kml
+
+    return _pip_from_feature_table(
+        spark, sf_dir, read_kml(spark, _geo_fixture("kml"))
+    )
+
+
 HEX_RES = 5
 
 
@@ -973,6 +1106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hex_assign": q_hex_assign,
         "q_hex_zonal": q_hex_zonal,
         "q_pip_wkb": q_pip_wkb,
+        "q_pip_shp": q_pip_shp,
+        "q_pip_gpkg": q_pip_gpkg,
+        "q_pip_kml": q_pip_kml,
         "q_normalize_enums": q_normalize_enums,
         "q_coverage": q_coverage,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1379,6 +1515,9 @@ def oracle_sql() -> dict[str, str]:
         "q_pip_tag": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_tag_rtree": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_wkb": f"SELECT doc_id, zone_id FROM ({pip})",
+        "q_pip_shp": f"SELECT doc_id, zone_id FROM ({pip})",
+        "q_pip_gpkg": f"SELECT doc_id, zone_id FROM ({pip})",
+        "q_pip_kml": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_zonal_count": (
             f"WITH pip AS ({pip}), z(zone_id) AS (VALUES {zone_ids}) "
             "SELECT z.zone_id, coalesce(c.cnt, 0) AS point_count FROM z "

@@ -137,6 +137,21 @@ def dump_polygon(rings: np.ndarray | list) -> bytes:
     return out
 
 
+def dump_multipoint(coords: np.ndarray) -> bytes:
+    coords = np.asarray(coords, dtype=np.float64)
+    out = struct.pack("<BII", 1, _MULTIPOINT, len(coords))
+    for x, y in coords:
+        out += dump_point(float(x), float(y))
+    return out
+
+
+def dump_multilinestring(lines: list) -> bytes:
+    out = struct.pack("<BII", 1, _MULTILINESTRING, len(lines))
+    for ls in lines:
+        out += dump_linestring(np.asarray(ls))
+    return out
+
+
 def dump_multipolygon(polys: list) -> bytes:
     out = struct.pack("<BII", 1, _MULTIPOLYGON, len(polys))
     for p in polys:

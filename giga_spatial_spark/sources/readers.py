@@ -22,6 +22,24 @@ def read_dataset(spark: SparkSession, path: str, **options) -> DataFrame:
         from .xlsx import read_xlsx
 
         return read_xlsx(spark, path, **options)
+    if name.endswith(".shp"):
+        from .shapefile import read_shapefile
+
+        return read_shapefile(spark, path)
+    if name.endswith(".gpkg"):
+        from .gpkg import read_gpkg
+
+        return read_gpkg(spark, path, **options)
+    if name.endswith(".kml"):
+        from .kml import read_kml
+
+        return read_kml(spark, path)
+    if name.endswith(".kmz"):
+        from .kml import read_kmz
+
+        return read_kmz(spark, path)
+    if name.endswith(".geojsonl") or name.endswith(".geojsonseq"):
+        return read_geojsonl(spark, path)
     if name.endswith(".geojson"):
         return read_geojson(spark, path)
     if name.endswith(".geoparquet"):
@@ -36,6 +54,36 @@ def read_dataset(spark: SparkSession, path: str, **options) -> DataFrame:
     if name.endswith(".json"):
         return spark.read.options(multiLine=True, **options).json(path)
     raise ValueError(f"unsupported dataset format: {path}")
+
+
+def geojson_rings(geom) -> list | None:
+    """GeoJSON geometry dict → the engine's flattened open-ring convention
+    (shared by read_geojson / read_geojsonl)."""
+    if geom is None:
+        return None
+    t, c = geom.get("type"), geom.get("coordinates")
+    if t == "Point":
+        return [[[float(c[0]), float(c[1])]]]
+    if t in ("LineString", "MultiPoint"):
+        return [[[float(x), float(y)] for x, y, *_ in c]]
+    if t in ("Polygon", "MultiLineString"):
+        out = []
+        for ring in c:
+            vs = [[float(x), float(y)] for x, y, *_ in ring]
+            if t == "Polygon" and len(vs) >= 2 and vs[0] == vs[-1]:
+                vs = vs[:-1]
+            out.append(vs)
+        return out
+    if t == "MultiPolygon":
+        out = []
+        for poly in c:
+            for ring in poly:
+                vs = [[float(x), float(y)] for x, y, *_ in ring]
+                if len(vs) >= 2 and vs[0] == vs[-1]:
+                    vs = vs[:-1]
+                out.append(vs)
+        return out
+    return None
 
 
 def read_geojson(spark: SparkSession, path: str) -> DataFrame:
@@ -65,33 +113,6 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
         ]
     )
 
-    def _rings(geom) -> list | None:
-        if geom is None:
-            return None
-        t, c = geom.get("type"), geom.get("coordinates")
-        if t == "Point":
-            return [[[float(c[0]), float(c[1])]]]
-        if t in ("LineString", "MultiPoint"):
-            return [[[float(x), float(y)] for x, y, *_ in c]]
-        if t in ("Polygon", "MultiLineString"):
-            out = []
-            for ring in c:
-                vs = [[float(x), float(y)] for x, y, *_ in ring]
-                if t == "Polygon" and len(vs) >= 2 and vs[0] == vs[-1]:
-                    vs = vs[:-1]
-                out.append(vs)
-            return out
-        if t == "MultiPolygon":
-            out = []
-            for poly in c:
-                for ring in poly:
-                    vs = [[float(x), float(y)] for x, y, *_ in ring]
-                    if len(vs) >= 2 and vs[0] == vs[-1]:
-                        vs = vs[:-1]
-                    out.append(vs)
-            return out
-        return None
-
     def kernel(batches):
         for pdf in batches:
             for doc in pdf["value"]:
@@ -102,7 +123,7 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
                     "geom_type": [
                         (f.get("geometry") or {}).get("type") for f in feats
                     ],
-                    "rings": [_rings(f.get("geometry")) for f in feats],
+                    "rings": [geojson_rings(f.get("geometry")) for f in feats],
                     "properties": [
                         {str(k): (None if v is None else str(v))
                          for k, v in (f.get("properties") or {}).items()}
@@ -112,6 +133,51 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return raw.mapInPandas(kernel, schema=schema)
+
+
+def read_geojsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Newline-delimited GeoJSON (one Feature per line — the reference's
+    .geojsonl/.ndjson geo branch, GEO_READERS): fully distributed, each
+    partition parses its own lines; feature_id is the per-file line number
+    so write_geojsonl → read_geojsonl round-trips ids."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, MapType, StringType, StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("feature_id", LongType()),
+            StructField("geom_type", StringType()),
+            StructField("rings", ArrayType(ArrayType(ArrayType(DoubleType())))),
+            StructField("properties", MapType(StringType(), StringType())),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"feature_id": [], "geom_type": [], "rings": [], "properties": []}
+            for line in pdf["value"]:
+                line = line.strip()
+                if not line:
+                    continue
+                f = _json.loads(line)
+                geom = f.get("geometry")
+                rows["feature_id"].append(f.get("id"))
+                rows["geom_type"].append((geom or {}).get("type"))
+                rows["rings"].append(geojson_rings(geom))
+                rows["properties"].append(
+                    {
+                        str(k): (None if v is None else str(v))
+                        for k, v in (f.get("properties") or {}).items()
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.read.text(path).mapInPandas(kernel, schema=schema)
 
 
 def read_geoparquet(
@@ -145,7 +211,8 @@ def read_datasets(spark: SparkSession, paths: list[str], **options) -> DataFrame
 
 
 def write_dataset(df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrite") -> str:
-    """Dispatch-write (reference writers.py:31-133)."""
+    """Dispatch-write (reference writers.py:31-133 — GEO_WRITERS adds
+    geojson/gpkg/geoparquet next to the tabular formats)."""
     if fmt is None:
         ext = os.path.splitext(path)[1].lstrip(".").lower()
         fmt = {"pq": "parquet"}.get(ext, ext or "parquet")
@@ -153,6 +220,24 @@ def write_dataset(df: DataFrame, path: str, fmt: str | None = None, mode: str = 
         from .xlsx import write_xlsx
 
         return write_xlsx(df, path)
+    if fmt == "shp":
+        raise ValueError("shapefile writing: use sources.shapefile.write_shapefile")
+    if fmt == "geojson":
+        from .geo_writers import write_geojson
+
+        return write_geojson(df, path)
+    if fmt in ("geojsonl", "geojsonseq"):
+        from .geo_writers import write_geojsonl
+
+        return write_geojsonl(df, path)
+    if fmt == "gpkg":
+        from .gpkg import write_gpkg
+
+        return write_gpkg(df, path)
+    if fmt == "geoparquet":
+        from .geo_writers import write_geoparquet
+
+        return write_geoparquet(df, path, mode=mode)
     writer = df.write.mode(mode).format(fmt)
     if fmt == "csv":
         writer = writer.option("header", True)

@@ -13,6 +13,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+GEO_FORMATS = ("geojson", "geojsonl", "gpkg", "geoparquet")
+
+
+def _props_expr(df: DataFrame, exclude: tuple[str, ...]):
+    attr_cols = [c for c in df.columns if c not in exclude]
+    return F.map_from_arrays(
+        F.array(*[F.lit(c) for c in attr_cols]),
+        F.array(*[F.col(c).cast("string") for c in attr_cols]),
+    ).alias("properties")
+
+
+def _save_view(view: DataFrame, path: str, fmt: str, to_features) -> str:
+    """Shared save_view tail: geo formats route the generator's feature
+    table through write_dataset's GEO_WRITERS branch (reference poi.py
+    to_geodataframe → writers.py GEO_WRITERS); tabular formats write the
+    raw view directly."""
+    if fmt in GEO_FORMATS:
+        from .sources.readers import write_dataset
+
+        return write_dataset(to_features(), path, fmt=fmt)
+    view.write.mode("overwrite").format(fmt).save(path)
+    return path
+
 
 class PoiViewGenerator:
     """points: DataFrame with (poi_id, lon, lat). Reference poi.py:63-232
@@ -90,9 +113,24 @@ class PoiViewGenerator:
     def to_dataframe(self) -> DataFrame:
         return self._view
 
+    def to_feature_table(self) -> DataFrame:
+        """Point view → normalized (geom_type, rings, properties) — pure
+        column expressions, so geo export stays distributed and codegen'd."""
+        return self._view.select(
+            F.lit("Point").alias("geom_type"),
+            F.array(
+                F.array(
+                    F.array(
+                        F.col(self.lon).cast("double"),
+                        F.col(self.lat).cast("double"),
+                    )
+                )
+            ).alias("rings"),
+            _props_expr(self._view, (self.lon, self.lat)),
+        )
+
     def save_view(self, path: str, fmt: str = "parquet") -> str:
-        self._view.write.mode("overwrite").format(fmt).save(path)
-        return path
+        return _save_view(self._view, path, fmt, self.to_feature_table)
 
 
 class HexViewGenerator:
@@ -173,9 +211,29 @@ class HexViewGenerator:
     def to_dataframe(self) -> DataFrame:
         return self._view
 
+    def to_feature_table(self) -> DataFrame:
+        """Hex view → Polygon features: each cell's 6-vertex boundary
+        (cells_hex.cell_boundary; reference cells_to_geo, grid/h3.py:
+        326-335) joined onto the enriched view. The boundary table is
+        dim-sized (the view's own cells), so the join broadcasts."""
+        from . import cells_hex
+
+        rings = self.spark.createDataFrame(
+            [
+                (int(c), [[ [float(x), float(y)] for x, y in cells_hex.cell_boundary(int(c))]])
+                for c in self.cells
+            ],
+            "hex_cell long, rings array<array<array<double>>>",
+        )
+        joined = self._view.join(F.broadcast(rings), "hex_cell")
+        return joined.select(
+            F.lit("Polygon").alias("geom_type"),
+            "rings",
+            _props_expr(self._view, ("center_lon", "center_lat")),
+        )
+
     def save_view(self, path: str, fmt: str = "parquet") -> str:
-        self._view.write.mode("overwrite").format(fmt).save(path)
-        return path
+        return _save_view(self._view, path, fmt, self.to_feature_table)
 
 
 class ZonalViewGenerator:
@@ -227,6 +285,21 @@ class ZonalViewGenerator:
     def to_dataframe(self) -> DataFrame:
         return self._view
 
+    def to_feature_table(self) -> DataFrame:
+        """Zonal view → Polygon features from the generator's own polygon
+        dict (dim-sized by construction), broadcast-joined to the view."""
+        spark = self._view.sparkSession
+        rings = spark.createDataFrame(
+            [
+                (zid, [[[float(x), float(y)] for x, y in poly]])
+                for zid, poly in self.polys.items()
+            ],
+            f"{self.zone_key} int, rings array<array<array<double>>>",
+        )
+        joined = self._view.join(F.broadcast(rings), self.zone_key)
+        return joined.select(
+            F.lit("Polygon").alias("geom_type"), "rings", _props_expr(self._view, ())
+        )
+
     def save_view(self, path: str, fmt: str = "parquet") -> str:
-        self._view.write.mode("overwrite").format(fmt).save(path)
-        return path
+        return _save_view(self._view, path, fmt, self.to_feature_table)

@@ -1,0 +1,292 @@
+"""Geo-format IO: Shapefile (.shp/.shx/.dbf/.prj), GeoPackage, KML/KMZ
+readers and GeoJSON/GeoJSONL/GPKG/GeoParquet writers — reference
+core/io/readers.py:122-175 (GEO_READERS) and writers.py:31-133
+(GEO_WRITERS), reimplemented from the public format specs (no GDAL)."""
+
+import json
+import os
+import struct
+import zipfile
+
+import numpy as np
+import pytest
+
+from giga_spatial_spark import synth
+from giga_spatial_spark.sources.gpkg import (
+    gpkg_blob,
+    list_feature_tables,
+    parse_gpkg_blob,
+    read_gpkg,
+    write_gpkg,
+)
+from giga_spatial_spark.sources.kml import parse_kml_features, read_kml, read_kmz
+from giga_spatial_spark.sources.readers import read_dataset, write_dataset
+from giga_spatial_spark.sources.shapefile import (
+    decode_record,
+    read_shapefile,
+    read_shp_meta,
+    write_shapefile,
+)
+
+POLYS = synth.make_admin_polygons()
+WGS84 = 'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]]]'
+
+
+def canon_ring(a):
+    """Cycle+direction-invariant canonical form of a ring."""
+    a = np.asarray(a, dtype=np.float64)
+    best = None
+    for cand in (a, a[::-1]):
+        i = np.lexsort((cand[:, 1], cand[:, 0]))[0]
+        rolled = np.roll(cand, -i, axis=0).tobytes()
+        best = rolled if best is None or rolled < best else best
+    return best
+
+
+@pytest.fixture(scope="module")
+def admin_shp(tmp_path_factory):
+    d = tmp_path_factory.mktemp("shp")
+    path = str(d / "admin.shp")
+    feats = [
+        ("Polygon", p, {"zone_id": zid, "name": f"zone {zid}"})
+        for zid, p in sorted(POLYS.items())
+    ]
+    write_shapefile(feats, path, crs_wkt=WGS84)
+    return path
+
+
+def test_shp_meta_and_sidecars(admin_shp):
+    m = read_shp_meta(admin_shp)
+    assert m.n_records == len(POLYS) and m.shape_type == 5
+    assert [f[0] for f in m.dbf_fields] == ["zone_id", "name"]
+    assert m.crs_wkt.startswith("GEOGCS")
+    assert len(m.offsets) == m.n_records
+
+
+def test_shp_roundtrip_rings_and_dbf(spark, admin_shp):
+    rows = {int(r["properties"]["zone_id"]): r
+            for r in read_shapefile(spark, admin_shp).collect()}
+    assert len(rows) == len(POLYS)
+    for zid, poly in POLYS.items():
+        r = rows[zid]
+        assert r["geom_type"] == "Polygon"
+        assert canon_ring(r["rings"][0]) == canon_ring(poly)
+        assert r["properties"]["name"] == f"zone {zid}"
+
+
+def test_shp_without_shx_falls_back_to_scan(spark, admin_shp, tmp_path):
+    import shutil
+
+    dst = str(tmp_path / "noidx.shp")
+    shutil.copy(admin_shp, dst)
+    shutil.copy(admin_shp[:-4] + ".dbf", dst[:-4] + ".dbf")
+    assert read_shapefile(spark, dst).count() == len(POLYS)
+
+
+def test_shp_polygon_with_hole_and_multipolygon(spark, tmp_path):
+    outer = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 8.0], [0.0, 8.0]])
+    hole = np.array([[2.0, 2.0], [4.0, 2.0], [4.0, 4.0], [2.0, 4.0]])
+    island = np.array([[20.0, 20.0], [24.0, 20.0], [22.0, 23.0]])
+    path = str(tmp_path / "multi.shp")
+    write_shapefile(
+        [
+            ("Polygon", [outer, hole], {"id": 1}),
+            ("MultiPolygon", [[outer], [island]], {"id": 2}),
+        ],
+        path,
+    )
+    rows = {int(r["properties"]["id"]): r for r in read_shapefile(spark, path).collect()}
+    assert rows[1]["geom_type"] == "Polygon" and len(rows[1]["rings"]) == 2
+    assert canon_ring(rows[1]["rings"][1]) == canon_ring(hole)
+    assert rows[2]["geom_type"] == "MultiPolygon" and len(rows[2]["rings"]) == 2
+
+
+def test_shp_handpacked_z_and_null_records():
+    # PointZ (type 11) — x,y then z(+m): decode must take only x,y
+    content = struct.pack("<iddd", 11, 3.5, -1.25, 99.0)
+    gt, rings = decode_record(content)
+    assert gt == "Point" and rings == [[[3.5, -1.25]]]
+    # Null shape
+    assert decode_record(struct.pack("<i", 0)) == (None, None)
+    # MultiPoint
+    mp = struct.pack("<i4di", 8, 0, 0, 2, 2, 2) + struct.pack("<4d", 0, 0, 2, 2)
+    gt, rings = decode_record(mp)
+    assert gt == "MultiPoint" and rings == [[[0.0, 0.0], [2.0, 2.0]]]
+    # PolyLine with two parts → MultiLineString
+    pts = np.array([[0, 0], [1, 1], [5, 5], [6, 5]], dtype="<f8")
+    pl = (
+        struct.pack("<i4d2i", 3, 0, 0, 6, 5, 2, 4)
+        + np.array([0, 2], dtype="<i4").tobytes()
+        + pts.tobytes()
+    )
+    gt, rings = decode_record(pl)
+    assert gt == "MultiLineString" and len(rings) == 2 and rings[1][0] == [5.0, 5.0]
+
+
+def test_gpkg_roundtrip(spark, admin_shp, tmp_path):
+    base = read_shapefile(spark, admin_shp)
+    path = str(tmp_path / "admin.gpkg")
+    write_gpkg(base, path, table="admin")
+    assert list_feature_tables(path) == ["admin"]
+    back = {int(r["properties"]["zone_id"]): r
+            for r in read_gpkg(spark, path).collect()}
+    for zid, poly in POLYS.items():
+        assert canon_ring(back[zid]["rings"][0]) == canon_ring(poly)
+        assert back[zid]["geom_type"] == "Polygon"
+        assert back[zid]["properties"]["name"] == f"zone {zid}"
+
+
+def test_gpkg_blob_parse_edges():
+    from giga_spatial_spark.functions import wkb
+
+    blob = gpkg_blob(wkb.dump_point(1.5, 2.5))
+    assert parse_gpkg_blob(blob)[0] == "Point"
+    # envelope-carrying blob (indicator 1 → 4 doubles)
+    env = b"GP" + bytes([0, 0x03]) + struct.pack("<i", 4326)
+    env += struct.pack("<4d", 0, 0, 1, 1) + wkb.dump_point(0.5, 0.5)
+    t, c = parse_gpkg_blob(env)
+    assert t == "Point" and c[0] == 0.5
+    # empty-flag blob and garbage → None
+    assert parse_gpkg_blob(b"GP" + bytes([0, 0x11]) + struct.pack("<i", 0)) is None
+    assert parse_gpkg_blob(b"NOPE") is None and parse_gpkg_blob(None) is None
+
+
+def test_kml_and_kmz(spark, tmp_path):
+    kml = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+<Placemark><name>pt</name><ExtendedData><Data name="kind"><value>school</value></Data></ExtendedData>
+<Point><coordinates>10.5,-3.25,0</coordinates></Point></Placemark>
+<Placemark><name>zone</name><Polygon><outerBoundaryIs><LinearRing>
+<coordinates>0,0 4,0 4,3 0,3 0,0</coordinates></LinearRing></outerBoundaryIs>
+<innerBoundaryIs><LinearRing><coordinates>1,1 2,1 2,2 1,2 1,1</coordinates></LinearRing></innerBoundaryIs>
+</Polygon></Placemark>
+<Placemark><name>multi</name><MultiGeometry>
+<Polygon><outerBoundaryIs><LinearRing><coordinates>0,0 1,0 1,1 0,1 0,0</coordinates></LinearRing></outerBoundaryIs></Polygon>
+<Polygon><outerBoundaryIs><LinearRing><coordinates>5,5 6,5 6,6 5,6 5,5</coordinates></LinearRing></outerBoundaryIs></Polygon>
+</MultiGeometry></Placemark>
+<Placemark><name>attrs</name><ExtendedData><SchemaData>
+<SimpleData name="pop">1234</SimpleData></SchemaData></ExtendedData>
+<LineString><coordinates>0,0 1,1 2,0.5</coordinates></LineString></Placemark>
+</Document></kml>"""
+    feats = parse_kml_features(kml)
+    assert [f["geom_type"] for f in feats] == [
+        "Point", "Polygon", "MultiPolygon", "LineString",
+    ]
+    assert feats[0]["properties"] == {"name": "pt", "kind": "school"}
+    assert feats[1]["rings"] == [
+        [[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]],
+        [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]],
+    ]
+    assert feats[3]["properties"]["pop"] == "1234"
+
+    kml_path = str(tmp_path / "t.kml")
+    with open(kml_path, "w") as f:
+        f.write(kml)
+    assert read_kml(spark, kml_path).count() == 4
+    kmz_path = str(tmp_path / "t.kmz")
+    with zipfile.ZipFile(kmz_path, "w") as z:
+        z.writestr("styles/ignored.txt", "x")
+        z.writestr("doc.kml", kml)
+    assert read_kmz(spark, kmz_path).count() == 4
+
+
+def test_geojson_write_read_roundtrip(spark, admin_shp, tmp_path):
+    base = read_shapefile(spark, admin_shp)
+    path = str(tmp_path / "admin.geojson")
+    write_dataset(base, path)
+    doc = json.load(open(path))
+    assert doc["type"] == "FeatureCollection" and len(doc["features"]) == len(POLYS)
+    # polygon rings are closed in the document
+    ring0 = doc["features"][0]["geometry"]["coordinates"][0]
+    assert ring0[0] == ring0[-1]
+    back = {int(r["properties"]["zone_id"]): r
+            for r in read_dataset(spark, path).collect()}
+    for zid, poly in POLYS.items():
+        assert canon_ring(back[zid]["rings"][0]) == canon_ring(poly)
+
+
+def test_geojsonl_distributed_roundtrip(spark, admin_shp, tmp_path):
+    base = read_shapefile(spark, admin_shp)
+    path = str(tmp_path / "admin.geojsonl")
+    write_dataset(base, path, fmt="geojsonl")
+    assert os.path.isdir(path)  # distributed text write, no driver collect
+    back = read_dataset(spark, path)
+    got = {int(r["properties"]["zone_id"]): r for r in back.collect()}
+    assert len(got) == len(POLYS)
+    assert canon_ring(got[5]["rings"][0]) == canon_ring(POLYS[5])
+
+
+def test_geoparquet_write_read_roundtrip(spark, admin_shp, tmp_path):
+    base = read_shapefile(spark, admin_shp)
+    path = str(tmp_path / "admin.geoparquet")
+    write_dataset(base, path)
+    back = read_dataset(spark, path)
+    assert "rings" in back.columns and "geometry" in back.columns
+    got = {int(r["properties"]["zone_id"]): r for r in back.collect()}
+    for zid, poly in POLYS.items():
+        assert canon_ring(np.asarray(got[zid]["rings"][0])) == canon_ring(poly)
+
+
+def test_geojson_multipolygon_regrouping_by_winding(spark, tmp_path):
+    """MultiPolygon members regroup from the flattened rings by winding:
+    write → read must preserve member count and holes."""
+    from giga_spatial_spark.sources.geo_writers import (
+        group_rings,
+        rings_to_geojson_geometry,
+    )
+
+    outer1 = [[0.0, 0.0], [10.0, 0.0], [10.0, 8.0], [0.0, 8.0]]  # CCW
+    hole1 = [[2.0, 2.0], [2.0, 4.0], [4.0, 4.0], [4.0, 2.0]]  # CW
+    outer2 = [[20.0, 20.0], [24.0, 20.0], [22.0, 23.0]]  # CCW
+    members = group_rings([outer1, hole1, outer2])
+    assert [len(m) for m in members] == [2, 1]
+    geom = rings_to_geojson_geometry("MultiPolygon", [outer1, hole1, outer2])
+    assert len(geom["coordinates"]) == 2 and len(geom["coordinates"][0]) == 2
+
+
+def test_write_dataset_shp_raises(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="write_shapefile"):
+        write_dataset(df, "/tmp/x.shp")
+
+
+def test_poi_view_geo_export(spark, tmp_path):
+    """save_view persists a geometry-bearing point view in every geo format
+    (VERDICT r2 item #2)."""
+    from giga_spatial_spark.views import PoiViewGenerator
+
+    pts = spark.createDataFrame(
+        [(1, 10.5, -3.25, "a"), (2, -20.0, 40.0, "b")],
+        "poi_id long, lon double, lat double, tag string",
+    )
+    gen = PoiViewGenerator(pts)
+    for fmt in ("geojson", "geojsonl", "gpkg", "geoparquet"):
+        path = str(tmp_path / f"poi.{fmt}")
+        gen.save_view(path, fmt=fmt)
+        back = read_dataset(spark, path).collect()
+        assert len(back) == 2
+        by_tag = {r["properties"]["tag"]: r for r in back}
+        assert by_tag["a"]["geom_type"] == "Point"
+        assert list(by_tag["a"]["rings"][0][0]) == [10.5, -3.25]
+        assert by_tag["b"]["properties"]["poi_id"] == "2"
+
+
+def test_zonal_and_hex_view_geo_export(spark, tmp_path):
+    from giga_spatial_spark.views import HexViewGenerator, ZonalViewGenerator
+
+    zones_dim = spark.createDataFrame([(z,) for z in sorted(POLYS)], "zone_id int")
+    zpath = str(tmp_path / "zones.geojson")
+    ZonalViewGenerator(zones_dim, POLYS).save_view(zpath, fmt="geojson")
+    zback = {int(r["properties"]["zone_id"]): r
+             for r in read_dataset(spark, zpath).collect()}
+    assert len(zback) == len(POLYS)
+    assert zback[3]["geom_type"] == "Polygon"
+    assert canon_ring(zback[3]["rings"][0]) == canon_ring(POLYS[3])
+
+    boundary = np.array([[0.0, 0.0], [8.0, 0.0], [8.0, 6.0], [0.0, 6.0]])
+    hgen = HexViewGenerator(spark, boundary, resolution=3)
+    hpath = str(tmp_path / "hex.gpkg")
+    hgen.save_view(hpath, fmt="gpkg")
+    hback = read_dataset(spark, hpath).collect()
+    assert len(hback) == len(hgen.cells) > 0
+    assert all(r["geom_type"] == "Polygon" and len(r["rings"][0]) == 6 for r in hback)
