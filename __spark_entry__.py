@@ -902,6 +902,16 @@ def _geo_fixture(kind: str) -> str:
         for ext in (".shx", ".dbf", ".shp"):
             os.replace(f"{d}/.build_admin{ext}", f"{d}/admin{ext}")
         return path
+    if kind == "fgb":
+        from giga_spatial_spark.sources.fgb import write_fgb
+
+        feats = [
+            ("Polygon", [p.tolist()], {"zone_id": str(zid)})
+            for zid, p in sorted(ADMIN_POLYS.items())
+        ]
+        write_fgb(feats, tmp, index_node_size=4)
+        os.replace(tmp, path)
+        return path
     if kind == "kml":
         pms = []
         for zid, poly in sorted(ADMIN_POLYS.items()):
@@ -989,6 +999,20 @@ def q_pip_gpkg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _pip_from_feature_table(
         spark, sf_dir, read_gpkg(spark, _geo_fixture_gpkg(spark))
+    )
+
+
+def q_pip_fgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join whose polygons arrive from a FlatGeobuf file decoded by the
+    from-scratch flatbuffer codec (sources/fgb.py; reference
+    GEO_READERS['.fgb']), INDEXED variant — feature offsets come from the
+    packed-R-tree leaf nodes and features decode executor-side by byte
+    range. IEEE doubles round-trip bit-exactly, so the oracle is the same
+    zone-predicate SQL as q_pip_tag."""
+    from giga_spatial_spark.sources.fgb import read_fgb
+
+    return _pip_from_feature_table(
+        spark, sf_dir, read_fgb(spark, _geo_fixture("fgb"))
     )
 
 
@@ -1109,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_shp": q_pip_shp,
         "q_pip_gpkg": q_pip_gpkg,
         "q_pip_kml": q_pip_kml,
+        "q_pip_fgb": q_pip_fgb,
         "q_normalize_enums": q_normalize_enums,
         "q_coverage": q_coverage,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1518,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pip_shp": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_gpkg": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_kml": f"SELECT doc_id, zone_id FROM ({pip})",
+        "q_pip_fgb": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_zonal_count": (
             f"WITH pip AS ({pip}), z(zone_id) AS (VALUES {zone_ids}) "
             "SELECT z.zone_id, coalesce(c.cnt, 0) AS point_count FROM z "

@@ -26,20 +26,50 @@ def add_spatial_jitter(
     lat: str = "lat",
     amount_deg: float = 0.0001,
     seed: int = 42,
+    max_rounds: int = 16,
+    _offsets=None,
 ) -> DataFrame:
-    """Jitter duplicate coordinates (reference add_spatial_jitter,
-    geo.py:327-409): rows sharing an exact (lon, lat) get a deterministic
-    offset; first occurrence stays put. Duplicate detection via a window
-    count; offset from a seeded rand so runs are reproducible."""
-    w = Window.partitionBy(lon, lat).orderBy(F.monotonically_increasing_id())
-    dup_rank = F.row_number().over(w)
-    jx = (F.rand(seed) * 2 - 1) * amount_deg
-    jy = (F.rand(seed + 1) * 2 - 1) * amount_deg
-    return (
-        df.withColumn("__rk", dup_rank)
-        .withColumn(lon, F.when(F.col("__rk") > 1, F.col(lon) + jx).otherwise(F.col(lon)))
-        .withColumn(lat, F.when(F.col("__rk") > 1, F.col(lat) + jy).otherwise(F.col(lat)))
-        .drop("__rk")
+    """Jitter duplicate coordinates until NONE remain (reference
+    add_spatial_jitter, geo.py:327-409): every member of a duplicate group
+    moves (pandas `duplicated(keep=False)` semantics), and if the jittered
+    frame still contains duplicates the pass repeats with DOUBLED amplitude
+    — the reference's recursive tail, closed here as a driver loop with a
+    localCheckpoint per round (iterative plans otherwise snowball).
+
+    ``amount_deg`` must be positive (reference raises too). ``_offsets`` is
+    a test seam: round → (dlon_col, dlat_col) unit offsets in [-1, 1];
+    default seeded F.rand, so runs are reproducible."""
+    if amount_deg <= 0:
+        raise ValueError("Jitter amount must be positive")
+    if _offsets is None:
+        def _offsets(rnd: int):  # noqa: ANN202
+            return (
+                F.rand(seed + 2 * rnd) * 2 - 1,
+                F.rand(seed + 2 * rnd + 1) * 2 - 1,
+            )
+
+    amount = amount_deg
+    for rnd in range(max_rounds):
+        w = Window.partitionBy(lon, lat)
+        df = df.withColumn("__dup", F.count(F.lit(1)).over(w) > 1)
+        if df.where(F.col("__dup")).isEmpty():
+            return df.drop("__dup")
+        ux, uy = _offsets(rnd)
+        df = (
+            df.withColumn(
+                lon,
+                F.when(F.col("__dup"), F.col(lon) + ux * amount).otherwise(F.col(lon)),
+            )
+            .withColumn(
+                lat,
+                F.when(F.col("__dup"), F.col(lat) + uy * amount).otherwise(F.col(lat)),
+            )
+            .drop("__dup")
+            .localCheckpoint()
+        )
+        amount *= 2
+    raise RuntimeError(
+        f"jitter failed to separate duplicate coordinates in {max_rounds} rounds"
     )
 
 
@@ -94,6 +124,59 @@ def simplify_polyline(points: np.ndarray, tolerance: float) -> np.ndarray:
             stack.append((s, k))
             stack.append((k, e))
     return points[keep]
+
+
+def _segments_cross(p1, p2, p3, p4) -> bool:
+    """Proper crossing of open segments p1p2 / p3p4 (shared endpoints and
+    collinear touching do not count — ring neighbors always share a vertex)."""
+    d1 = np.cross(p4 - p3, p1 - p3)
+    d2 = np.cross(p4 - p3, p2 - p3)
+    d3 = np.cross(p2 - p1, p3 - p1)
+    d4 = np.cross(p2 - p1, p4 - p1)
+    return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and (
+        d1 != 0 or d2 != 0
+    ) and (d3 != 0 or d4 != 0)
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """True when the closed ring has no self-intersection (O(k²) over the
+    ring's segments — rings are simplification OUTPUT, so k is small)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    n = len(ring)
+    if n < 3:
+        return False
+    segs = [(ring[i], ring[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # ring-adjacent pair
+            if _segments_cross(*segs[i], *segs[j]):
+                return False
+    return True
+
+
+def simplify_ring_preserve_topology(
+    ring: np.ndarray, tolerance: float
+) -> np.ndarray:
+    """Topology-preserving ring simplification (reference
+    simplify_geometries, geo.py:480-520, wraps shapely.simplify with
+    preserve_topology=True — the result is guaranteed valid). Strategy:
+    Douglas–Peucker on the closed ring, then REPAIR — if the simplified
+    ring self-intersects or collapses, retry with halved tolerance until it
+    is simple again (tolerance → 0 reproduces the input, which is simple by
+    precondition, so the loop terminates)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) < 4:
+        return ring
+    tol = float(tolerance)
+    while True:
+        closed = np.vstack([ring, ring[:1]])
+        simp = simplify_polyline(closed, tol)[:-1]
+        if len(simp) >= 3 and ring_is_simple(simp):
+            return simp
+        tol /= 2.0
+        if tol < 1e-12:
+            return ring
 
 
 def mercator_meters_per_pixel(lat: Column, zoom: int) -> Column:

@@ -38,6 +38,10 @@ def read_dataset(spark: SparkSession, path: str, **options) -> DataFrame:
         from .kml import read_kmz
 
         return read_kmz(spark, path)
+    if name.endswith(".fgb"):
+        from .fgb import read_fgb
+
+        return read_fgb(spark, path)
     if name.endswith(".geojsonl") or name.endswith(".geojsonseq"):
         return read_geojsonl(spark, path)
     if name.endswith(".geojson"):

@@ -208,6 +208,23 @@ class HexViewGenerator:
         self._view = out
         return self
 
+    def with_density(self, count_col: str, out_col: str | None = None
+                     ) -> "HexViewGenerator":
+        """Per-km² density from a count column using the LATITUDE-CORRECTED
+        cell ground area (cells_hex.cell_area_m2_col) — the planar degree²
+        area would bias densities by cos(lat) (reference exposes true ~
+        uniform H3 cell areas, grid/h3.py:257-273)."""
+        from . import cells_hex
+
+        out_col = out_col or f"{count_col}_per_km2"
+        area_km2 = cells_hex.cell_area_m2_col(
+            self.resolution, F.col("center_lat")
+        ) / F.lit(1e6)
+        self._view = self._view.withColumn(
+            out_col, F.col(count_col) / area_km2
+        )
+        return self
+
     def to_dataframe(self) -> DataFrame:
         return self._view
 

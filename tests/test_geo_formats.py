@@ -244,6 +244,69 @@ def test_geojson_multipolygon_regrouping_by_winding(spark, tmp_path):
     assert len(geom["coordinates"]) == 2 and len(geom["coordinates"][0]) == 2
 
 
+def test_fgb_roundtrip_no_index(spark, tmp_path):
+    """FlatGeobuf (from-scratch flatbuffer codec, sources/fgb.py; reference
+    GEO_READERS['.fgb']): mixed geometries, holes, string properties."""
+    from giga_spatial_spark.sources.fgb import read_fgb_meta, write_fgb
+
+    outer = [[0.0, 0.0], [10.0, 0.0], [10.0, 8.0], [0.0, 8.0]]
+    hole = [[2.0, 2.0], [2.0, 4.0], [4.0, 4.0], [4.0, 2.0]]
+    island = [[20.0, 20.0], [24.0, 20.0], [22.0, 23.0]]
+    feats = [
+        ("Polygon", [p.tolist()], {"zone_id": str(z)})
+        for z, p in sorted(POLYS.items())
+    ] + [
+        ("Polygon", [outer, hole], {"zone_id": "77"}),
+        ("MultiPolygon", [outer, hole, island], {"zone_id": "78"}),
+        ("Point", [[[1.5, -2.5]]], {"zone_id": "79"}),
+        ("LineString", [[[0.0, 0.0], [1.0, 1.0], [2.0, 0.5]]], {"zone_id": "80"}),
+    ]
+    path = str(tmp_path / "t.fgb")
+    write_fgb(feats, path)
+    m = read_fgb_meta(path)
+    assert m.features_count == len(feats) and m.index_node_size == 0
+    assert m.columns == [("zone_id", 11)]
+    rows = {int(r["properties"]["zone_id"]): r
+            for r in read_dataset(spark, path).collect()}
+    for zid, poly in POLYS.items():
+        assert rows[zid]["geom_type"] == "Polygon"
+        assert canon_ring(rows[zid]["rings"][0]) == canon_ring(poly)
+    assert rows[77]["geom_type"] == "Polygon" and len(rows[77]["rings"]) == 2
+    assert canon_ring(rows[77]["rings"][1]) == canon_ring(hole)
+    assert rows[78]["geom_type"] == "MultiPolygon" and len(rows[78]["rings"]) == 3
+    assert list(rows[79]["rings"][0][0]) == [1.5, -2.5]
+    assert rows[80]["geom_type"] == "LineString"
+
+
+def test_fgb_indexed_reader_uses_leaf_offsets(spark, tmp_path):
+    """With a packed-R-tree index present, the reader must derive feature
+    offsets from the index LEAF nodes (skipping the index bytes)."""
+    from giga_spatial_spark.sources.fgb import read_fgb_meta, write_fgb
+
+    feats = [
+        ("Polygon", [p.tolist()], {"zone_id": str(z)})
+        for z, p in sorted(POLYS.items())
+    ]
+    plain = str(tmp_path / "plain.fgb")
+    indexed = str(tmp_path / "indexed.fgb")
+    write_fgb(feats, plain)
+    write_fgb(feats, indexed, index_node_size=4)
+    m = read_fgb_meta(indexed)
+    assert m.index_node_size == 4 and len(m.feature_offsets) == len(POLYS)
+    a = sorted(
+        (r["geom_type"], r["properties"]["zone_id"])
+        for r in read_dataset(spark, plain).collect()
+    )
+    b = sorted(
+        (r["geom_type"], r["properties"]["zone_id"])
+        for r in read_dataset(spark, indexed).collect()
+    )
+    assert a == b
+    ra = {r["properties"]["zone_id"]: r["rings"]
+          for r in read_dataset(spark, indexed).collect()}
+    assert canon_ring(ra["3"][0]) == canon_ring(POLYS[3])
+
+
 def test_write_dataset_shp_raises(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="write_shapefile"):
