@@ -42,7 +42,10 @@ def _pick_n_pages() -> int:
                 os.path.join(CACHE, d, "_SUCCESS")
             ):
                 cached.append(int(d.split("_")[1]))
-    big = [n for n in cached if n >= 480_000]
+    # cap at 6M: larger cached tables (e.g. the 60M sf1-evidence table) are
+    # for the dedicated scale runs in BENCH/BASELINE.md, not the per-round
+    # headline suite
+    big = [n for n in cached if 480_000 <= n <= 6_000_000]
     return max(big) if big else 960_000
 
 
