@@ -1028,6 +1028,74 @@ def q_pip_kml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOS_N_POINTS = 64
+
+
+def _los_links() -> list[tuple]:
+    """Deterministic LOS link fixture — pure integer-derived doubles so both
+    engines see identical literals. Mixes short links (tall towers — pass),
+    long links (earth bulge dominates — fail, knife-edge computed), and
+    links whose profile may touch nodata (NULL-row parity)."""
+    rows = []
+    for i in range(24):
+        lon1 = -150.0 + (i * 37 % 300) * 0.9
+        lat1 = -60.0 + (i * 53 % 120) * 0.9
+        short = i % 2 == 0
+        span = 0.06 + (i % 5) * 0.01 if short else 0.6 + (i % 7) * 0.1
+        lat2 = lat1 + span * (1 if i % 4 < 2 else -1)
+        lon2 = lon1 + span * 0.7 * (1 if i % 3 < 2 else -1)
+        tx = 90.0 + (i * 11 % 50) if short else 10.0 + (i * 7 % 40)
+        rx = 70.0 + (i * 13 % 40) if short else 5.0 + (i * 5 % 25)
+        freq = [2400.0, 5800.0, 11000.0][i % 3]
+        rows.append((i, lon1, lat1, lon2, lat2, tx, rx, freq))
+    return rows
+
+
+def _los_oracle_sql() -> str:
+    from giga_spatial_spark.operators.los import los_analyze_sql
+    from giga_spatial_spark.operators.raster import RasterMeta, synthetic_raster_sql
+
+    values = ", ".join(
+        "(" + ", ".join(repr(v) for v in row) + ")" for row in _los_links()
+    )
+    return los_analyze_sql(
+        values, synthetic_raster_sql(RasterMeta()), RasterMeta(),
+        num_points=LOS_N_POINTS,
+    )
+
+
+def q_los(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-of-sight / Fresnel link analysis (reference LOSAnalyzer,
+    processing/elevation/los_analyzer.py:310-1043 — SURVEY §2.12): visual
+    LOS, dual-k-factor clearance margins, worst-case bottleneck, ITU-R
+    P.526 knife-edge loss, azimuth and tilt — ALL native column math over
+    bilinear elevation sampling of the synthetic raster; the oracle
+    replays every expression in SQL (operators/los.los_analyze_sql)."""
+    from giga_spatial_spark.operators.los import los_analyze
+    from giga_spatial_spark.operators.raster import RasterMeta, synthetic_raster
+
+    links = spark.createDataFrame(
+        _los_links(),
+        "link_id long, lon1 double, lat1 double, lon2 double, lat2 double, "
+        "tx_height_m double, rx_height_m double, frequency_mhz double",
+    )
+    pixels = synthetic_raster(spark, RasterMeta())
+    out = los_analyze(links, pixels, RasterMeta(), num_points=LOS_N_POINTS)
+    # round float outputs to 6 decimals: the 64-sample trig chain
+    # accumulates ~1e-12 cross-engine ulp noise, far below the quantum
+    floats = [
+        "margin_median_m", "margin_worst_case_m",
+        "bottleneck_distance_worst_case_km", "knife_edge_loss_worst_case_db",
+        "azimuth_deg", "elevation_angle_deg", "total_distance_km",
+    ]
+    return out.select(
+        *[
+            F.round(F.col(c), 6).alias(c) if c in floats else c
+            for c in out.columns
+        ]
+    )
+
+
 HEX_RES = 5
 
 
@@ -1134,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_gpkg": q_pip_gpkg,
         "q_pip_kml": q_pip_kml,
         "q_pip_fgb": q_pip_fgb,
+        "q_los": q_los,
         "q_normalize_enums": q_normalize_enums,
         "q_coverage": q_coverage,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1544,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pip_gpkg": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_kml": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_fgb": f"SELECT doc_id, zone_id FROM ({pip})",
+        "q_los": _los_oracle_sql(),
         "q_zonal_count": (
             f"WITH pip AS ({pip}), z(zone_id) AS (VALUES {zone_ids}) "
             "SELECT z.zone_id, coalesce(c.cnt, 0) AS point_count FROM z "
