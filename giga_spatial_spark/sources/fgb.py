@@ -183,10 +183,9 @@ def read_fgb_meta(path: str) -> FgbMeta:
         )
         feat_start = data_start + idx_bytes
         if idx_bytes:
-            # leaf level = FIRST n_features nodes of the flattened tree in
-            # file order? No: packed tree is stored root-first; leaves are
-            # the LAST features_count nodes. Each node: 4 doubles + u64
-            # offset relative to feature-section start.
+            # the packed tree is stored root level first, leaves last; each
+            # 40-byte node = 4 bbox doubles + u64 offset, leaf offsets
+            # relative to the feature-section start
             f.seek(feat_start - features_count * 40)
             leaf = np.frombuffer(
                 f.read(features_count * 40),
@@ -268,6 +267,8 @@ def _decode_properties(
     while pos + 2 <= len(buf):
         (ci,) = struct.unpack_from("<H", buf, pos)
         pos += 2
+        if ci >= len(columns):  # column index past the schema: stop cleanly
+            break
         name, ctype = columns[ci]
         size = _COL_SIZES.get(ctype)
         if size is None:  # length-prefixed (string/json/datetime/binary)

@@ -243,6 +243,12 @@ def write_gpkg(
             + "".join(f', "{k}"' for k in prop_keys)
             + ") VALUES (" + ",".join("?" * (2 + len(prop_keys))) + ")"
         )
+        # fid is a PRIMARY KEY: only carry the input feature_id through when
+        # the ids are actually unique (multi-file reads can restart ids)
+        use_fid = False
+        if "feature_id" in df.columns:
+            fids = [r["feature_id"] for r in rows]
+            use_fid = None not in fids and len(set(fids)) == len(fids)
         for i, r in enumerate(rows):
             w = rings_to_wkb(r["geom_type"], r["rings"])
             blob = gpkg_blob(w, srs_id) if w is not None else None
@@ -252,10 +258,9 @@ def write_gpkg(
                         xs.append(x)
                         ys.append(y)
             props = r["properties"] or {}
-            fid = r["feature_id"] if "feature_id" in df.columns else None
             con.execute(
                 ins,
-                [int(fid) if fid is not None else i + 1, blob]
+                [int(r["feature_id"]) if use_fid else i + 1, blob]
                 + [props.get(k) for k in prop_keys],
             )
         con.execute(

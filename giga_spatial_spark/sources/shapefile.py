@@ -276,6 +276,12 @@ def write_shapefile(
     engine convention — Point: (x, y); Polygon: [outer, *holes] open rings.
     All property dicts must share keys; values are written as C (text)
     fields."""
+    kinds = {("Point" if gt == "Point" else "Polygon") for gt, _, _ in features}
+    if len(kinds) > 1:
+        raise ValueError(
+            "a shapefile holds ONE shape type; split Point and Polygon "
+            f"features into separate files (got {sorted(kinds)})"
+        )
     shp_type = _POINT if features and features[0][0] == "Point" else _POLYGON
     records = []
     for gt, coords, _ in features:

@@ -313,6 +313,36 @@ def test_write_dataset_shp_raises(spark):
         write_dataset(df, "/tmp/x.shp")
 
 
+def test_gpkg_duplicate_feature_ids_fall_back_to_rownum(spark, tmp_path):
+    """feature_id is only carried into the fid PRIMARY KEY when unique —
+    multi-file reads restart ids at 0 per file."""
+    rows = [
+        (0, "Point", [[[1.0, 2.0]]], {"tag": "a"}),
+        (0, "Point", [[[3.0, 4.0]]], {"tag": "b"}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "feature_id long, geom_type string, "
+        "rings array<array<array<double>>>, properties map<string,string>",
+    )
+    path = str(tmp_path / "dup.gpkg")
+    write_gpkg(df, path)
+    back = read_gpkg(spark, path).collect()
+    assert sorted(r["properties"]["tag"] for r in back) == ["a", "b"]
+    assert sorted(r["feature_id"] for r in back) == [1, 2]  # row numbers
+
+
+def test_shapefile_mixed_types_rejected(tmp_path):
+    with pytest.raises(ValueError, match="ONE shape type"):
+        write_shapefile(
+            [
+                ("Point", (0.0, 0.0), {"id": 1}),
+                ("Polygon", np.array([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]]), {"id": 2}),
+            ],
+            str(tmp_path / "mixed.shp"),
+        )
+
+
 def test_poi_view_geo_export(spark, tmp_path):
     """save_view persists a geometry-bearing point view in every geo format
     (VERDICT r2 item #2)."""
