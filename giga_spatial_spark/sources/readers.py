@@ -42,6 +42,8 @@ def read_dataset(spark: SparkSession, path: str, **options) -> DataFrame:
         from .fgb import read_fgb
 
         return read_fgb(spark, path)
+    if name.endswith(".zip"):
+        return read_zipped_shapefile(spark, path)
     if name.endswith(".geojsonl") or name.endswith(".geojsonseq"):
         return read_geojsonl(spark, path)
     if name.endswith(".geojson"):
@@ -58,6 +60,40 @@ def read_dataset(spark: SparkSession, path: str, **options) -> DataFrame:
     if name.endswith(".json"):
         return spark.read.options(multiLine=True, **options).json(path)
     raise ValueError(f"unsupported dataset format: {path}")
+
+
+def read_zipped_shapefile(spark: SparkSession, path: str) -> DataFrame:
+    """.zip → shapefile reader (reference GEO_READERS['.zip'] routes zip
+    archives to gpd.read_file, which handles zipped shapefiles). The
+    archive is extracted once to a content-addressed temp dir (zip is not
+    a seekable container for the byte-range executor reads the .shp codec
+    does), then read normally — sidecars (.shx/.dbf/.prj/.cpg) included."""
+    import getpass
+    import hashlib
+    import zipfile
+
+    from .shapefile import read_shapefile
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    digest = h.hexdigest()[:16]
+    dest = f"/tmp/spark_graft_zipshp_{getpass.getuser()}/{digest}"
+    shp_name = None
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+        shp_name = next((n for n in names if n.lower().endswith(".shp")), None)
+        if shp_name is None:
+            raise ValueError(f"no .shp member in {path}")
+        if not os.path.exists(os.path.join(dest, shp_name)):
+            os.makedirs(dest, exist_ok=True)
+            base = shp_name[:-4].lower()
+            for n in names:
+                stem, ext = os.path.splitext(n)
+                if stem.lower() == base and not n.endswith("/"):
+                    z.extract(n, dest)
+    return read_shapefile(spark, os.path.join(dest, shp_name))
 
 
 def geojson_rings(geom) -> list | None:

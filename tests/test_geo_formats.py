@@ -313,6 +313,25 @@ def test_write_dataset_shp_raises(spark):
         write_dataset(df, "/tmp/x.shp")
 
 
+def test_zipped_shapefile(spark, admin_shp, tmp_path):
+    """GEO_READERS['.zip'] parity: a zip archive holding .shp + sidecars
+    reads like the bare shapefile."""
+    zpath = str(tmp_path / "admin.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for ext in (".shp", ".shx", ".dbf", ".prj"):
+            z.write(admin_shp[:-4] + ext, "layers/admin" + ext)
+        z.writestr("readme.txt", "not a sidecar")
+    back = {int(r["properties"]["zone_id"]): r
+            for r in read_dataset(spark, zpath).collect()}
+    assert len(back) == len(POLYS)
+    assert canon_ring(back[7]["rings"][0]) == canon_ring(POLYS[7])
+    with pytest.raises(ValueError, match="no .shp member"):
+        bad = str(tmp_path / "noshp.zip")
+        with zipfile.ZipFile(bad, "w") as z:
+            z.writestr("a.txt", "x")
+        read_dataset(spark, bad)
+
+
 def test_gpkg_duplicate_feature_ids_fall_back_to_rownum(spark, tmp_path):
     """feature_id is only carried into the fid PRIMARY KEY when unique —
     multi-file reads restart ids at 0 per file."""
