@@ -307,6 +307,55 @@ def test_fgb_indexed_reader_uses_leaf_offsets(spark, tmp_path):
     assert canon_ring(ra["3"][0]) == canon_ring(POLYS[3])
 
 
+def test_fgb_randomized_roundtrip_stress(spark, tmp_path):
+    """Seeded randomized feature sets through the flatbuffer builder/parser:
+    vertex doubles, property strings (incl. unicode + empty), ring counts
+    and geometry mix must survive exactly, with and without the index."""
+    rng = np.random.RandomState(99)
+    feats = []
+    for i in range(120):
+        kind = i % 4
+        props = {
+            "id": str(i),
+            "name": ["", "héllo wörld", "a" * (i % 37), "x,y\tz"][i % 4],
+        }
+        if kind == 0:
+            feats.append(
+                ("Point", [[[float(rng.uniform(-180, 180)),
+                             float(rng.uniform(-85, 85))]]], props)
+            )
+        elif kind == 1:
+            n = rng.randint(2, 12)
+            feats.append(
+                ("LineString",
+                 [rng.uniform(-100, 100, (n, 2)).tolist()], props)
+            )
+        else:
+            n = rng.randint(3, 9)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            cx, cy = rng.uniform(-90, 90, 2)
+            ring = np.column_stack(
+                [cx + np.cos(ang) * rng.uniform(0.5, 3),
+                 cy + np.sin(ang) * rng.uniform(0.5, 3)]
+            ).tolist()
+            feats.append(("Polygon", [ring], props))
+    for node_size in (0, 7):
+        path = str(tmp_path / f"stress_{node_size}.fgb")
+        from giga_spatial_spark.sources.fgb import write_fgb
+
+        write_fgb(feats, path, index_node_size=node_size)
+        back = {int(r["properties"]["id"]): r
+                for r in read_dataset(spark, path).collect()}
+        assert len(back) == len(feats)
+        for i, (gt, rings, props) in enumerate(feats):
+            r = back[i]
+            assert r["geom_type"] == gt
+            assert r["properties"]["name"] == props["name"]
+            got = np.asarray([[list(v) for v in ring] for ring in r["rings"]][0])
+            want = np.asarray(rings[0])
+            assert got.shape == want.shape and np.array_equal(got, want), i
+
+
 def test_write_dataset_shp_raises(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="write_shapefile"):
