@@ -882,7 +882,7 @@ def _geo_fixture(kind: str) -> str:
     import os
 
     params = "admin_v1|" + "|".join(
-        f"{zid}:{poly.tobytes().hex()[:32]}" for zid, poly in sorted(ADMIN_POLYS.items())
+        f"{zid}:{poly.tobytes().hex()}" for zid, poly in sorted(ADMIN_POLYS.items())
     )
     key = hashlib.sha256(params.encode()).hexdigest()[:16]
     d = f"/tmp/spark_graft_geofix_{getpass.getuser()}/{key}"

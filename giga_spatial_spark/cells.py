@@ -144,11 +144,13 @@ def polygon_cover(poly: np.ndarray, zoom: int, exact: bool = True) -> list[tuple
     edges + bbox sides) — analog of the reference's exact intersect filter
     after RegionCoverer (grid/s2.py:133-187). Vectorized over candidate
     tiles and memoized (covers are re-requested per query plan build)."""
+    from .geometry import ensure_ccw, polygon_bbox
+
+    poly = ensure_ccw(np.asarray(poly, dtype=np.float64))
     key = (poly.tobytes(), zoom, exact)
     hit = _cover_cache.get(key)
     if hit is not None:
         return hit
-    from .geometry import polygon_bbox
 
     minx, miny, maxx, maxy = polygon_bbox(poly)
     cand = bbox_cover(minx, miny, maxx, maxy, zoom)

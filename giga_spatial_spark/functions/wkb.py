@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
+from ..winding import wind_member
+
 _POINT, _LINESTRING, _POLYGON = 1, 2, 3
 _MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON = 4, 5, 6
 _NAMES = {
@@ -185,10 +187,16 @@ def with_parsed_rings(
             if gtype == "LineString":
                 return [[list(v) for v in coords]]
             if gtype == "Polygon":
-                return [[list(v) for v in ring] for ring in coords]
+                return wind_member(
+                    [[list(v) for v in ring] for ring in coords]
+                )
             if gtype == "MultiPolygon":
                 return [
-                    [list(v) for v in ring] for poly in coords for ring in poly
+                    ring
+                    for poly in coords
+                    for ring in wind_member(
+                        [[list(v) for v in r] for r in poly]
+                    )
                 ]
             if gtype in ("MultiPoint", "MultiLineString"):
                 return [[list(v) for v in np.atleast_2d(part)] for part in coords]

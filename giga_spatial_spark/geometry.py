@@ -38,13 +38,25 @@ def haversine_np(lat1, lon1, lat2, lon2, R: float = EARTH_RADIUS_M):
     return R * (2 * np.arcsin(np.sqrt(a)))
 
 
+def ensure_ccw(poly: np.ndarray) -> np.ndarray:
+    """Return the ring oriented counter-clockwise (identity when already
+    CCW). Convex primitives (edge-sign tests, cover SAT) assume CCW, but
+    the engine's storage convention winds outer rings CW (winding.py), so
+    every convex kernel normalizes at entry rather than trusting callers."""
+    x, y = poly[:, 0], poly[:, 1]
+    area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    return poly[::-1] if area2 < 0 else poly
+
+
 def convex_contains(poly: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Boundary-inclusive containment of points in a CCW convex polygon.
+    """Boundary-inclusive containment of points in a convex polygon (either
+    winding — normalized to CCW at entry).
 
     Point p is inside iff for every directed edge (v_i -> v_{i+1}):
       cross(v_{i+1}-v_i, p-v_i) >= 0.
     Vectorized over points; loops over the (few) edges.
     """
+    poly = ensure_ccw(poly)
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     inside = np.ones(x.shape, dtype=bool)

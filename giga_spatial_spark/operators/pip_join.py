@@ -49,9 +49,13 @@ def zone_cover_df(spark, polys: dict[int, np.ndarray], zoom: int,
 
 
 def convex_contains_expr(poly: np.ndarray, lon: str, lat: str):
-    """Native-column containment predicate for one CCW convex polygon:
-    AND over edges of cross(v2-v1, p-v1) >= 0 — the same arithmetic as
+    """Native-column containment predicate for one convex polygon (either
+    winding — normalized to CCW here): AND over edges of
+    cross(v2-v1, p-v1) >= 0 — the same arithmetic as
     geometry.convex_contains and synth.convex_contains_sql."""
+    from ..geometry import ensure_ccw
+
+    poly = ensure_ccw(np.asarray(poly, dtype=np.float64))
     pred = None
     n = len(poly)
     for i in range(n):

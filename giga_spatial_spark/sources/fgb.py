@@ -34,6 +34,8 @@ from dataclasses import dataclass, field
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
+from ..winding import wind_member
+
 MAGIC = b"fgb\x03fgb\x00"
 
 GEOM_TYPES = {
@@ -245,7 +247,9 @@ def _geometry_rings(geom: _FB, gtype: int) -> tuple[str | None, list | None]:
             if name == "Polygon" and len(ring) >= 2 and (ring[0] == ring[-1]).all():
                 ring = ring[:-1]
             rings.append(ring.tolist())
-        return name, rings
+        # FGB imposes no ring orientation; normalize while outer/hole roles
+        # are explicit (first ring = outer)
+        return name, (wind_member(rings) if name == "Polygon" else rings)
     if name in ("MultiPolygon", "GeometryCollection"):
         parts = geom.table_vector(7)
         rings: list = []
@@ -507,9 +511,12 @@ def _build_index(
 ) -> bytes:
     """Packed R-tree, root-first layout with leaves LAST (matching the
     reader's leaf-extraction at the tail of the index block). Parent bboxes
-    aggregate their children; leaf nodes carry byte offsets into the
-    feature section. Features keep file order (a conformant reader never
-    requires Hilbert order — the sort is a locality optimization)."""
+    aggregate their children; per spec a parent's offset field is the BYTE
+    OFFSET OF ITS FIRST CHILD NODE within the index block (so a conformant
+    tree-traversing / HTTP-range reader can descend), while leaf nodes
+    carry byte offsets into the feature section. Features keep file order
+    (a conformant reader never requires Hilbert order — the sort is a
+    locality optimization)."""
     leaves = [(b, o) for b, o in zip(bboxes, offsets)]
     levels = [leaves]
     while len(levels[-1]) > 1:
@@ -523,9 +530,18 @@ def _build_index(
             )
             parents.append((bb, 0))
         levels.append(parents)
+    ordered = list(reversed(levels))  # root level first, leaves last
+    starts = []  # node index of each written level's first node
+    acc = 0
+    for lv in ordered:
+        starts.append(acc)
+        acc += len(lv)
     out = b""
-    for level in reversed(levels):  # root level first, leaves last
-        for bb, off in level:
+    for li, level in enumerate(ordered):
+        child_start = starts[li + 1] if li + 1 < len(ordered) else None
+        for p, (bb, off) in enumerate(level):
+            if child_start is not None:  # interior node → first-child byte off
+                off = (child_start + p * node_size) * 40
             out += struct.pack("<4dQ", *bb, off)
     return out
 

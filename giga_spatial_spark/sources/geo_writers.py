@@ -10,10 +10,12 @@ also writes distributed; GeoJSON proper is a single monolithic JSON
 document, so it collects with a row cap, like write_xlsx (dim layers only).
 
 Ring-grouping convention: the engine's normalized `rings` column flattens
-MultiPolygon members (readers emit consistently-wound rings — .shp outer
-rings CW per spec, holes CCW). `group_rings` reconstructs members by
-winding: a ring wound like the first starts a new member, an opposite-wound
-ring is a hole of the current member.
+MultiPolygon members. Every reader GUARANTEES consistent winding (outer CW,
+holes CCW — enforced by winding.wind_member at parse time, while member
+structure is still explicit in the source format, because real-world
+GeoJSON/KML routinely violates RFC 7946 orientation). `group_rings`
+reconstructs members by winding: a ring wound like the first starts a new
+member, an opposite-wound ring is a hole of the current member.
 """
 
 from __future__ import annotations

@@ -26,6 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import wkb as _wkb
+from ..winding import wind_member
 
 GPKG_WRITE_LIMIT = 5_000_000  # dim-layer guard, same role as xlsx's cap
 _GP_APP_ID = 0x47504B47  # "GPKG"
@@ -67,9 +68,13 @@ def _coords_to_rings(gtype: str, coords) -> list | None:
     if gtype == "LineString":
         return [[list(v) for v in coords]]
     if gtype == "Polygon":
-        return [[list(v) for v in ring] for ring in coords]
+        return wind_member([[list(v) for v in ring] for ring in coords])
     if gtype == "MultiPolygon":
-        return [[list(v) for v in ring] for poly in coords for ring in poly]
+        return [
+            ring
+            for poly in coords
+            for ring in wind_member([[list(v) for v in r] for r in poly])
+        ]
     if gtype in ("MultiPoint", "MultiLineString"):
         return [[list(v) for v in np.atleast_2d(part)] for part in coords]
     return None
@@ -93,10 +98,15 @@ def read_gpkg(
             if not tables:
                 raise ValueError(f"no feature tables in {path}")
             table = tables[0]
-        (geom_col,) = con.execute(
+        geom_row = con.execute(
             "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?",
             (table,),
         ).fetchone()
+        if geom_row is None:
+            raise ValueError(
+                f"table {table!r} has no gpkg_geometry_columns entry in {path}"
+            )
+        (geom_col,) = geom_row
         cols = [
             r[1]
             for r in con.execute(f'PRAGMA table_info("{table}")').fetchall()
@@ -128,32 +138,36 @@ def read_gpkg(
     )
 
     def kernel(batches):
-        con = _connect_ro(abspath)
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                r0, r1 = int(row["r0"]), int(row["r1"])
-                rows = {
-                    "feature_id": [], "geom_type": [], "rings": [], "properties": [],
-                }
-                for rec in con.execute(
-                    f'SELECT {sel} FROM "{table}" '
-                    f"WHERE rowid BETWEEN {r0} AND {r1} ORDER BY rowid"
-                ):
-                    parsed = parse_gpkg_blob(rec[1])
-                    gt = rings = None
-                    if parsed is not None:
-                        gt, coords = parsed
-                        rings = _coords_to_rings(gt, coords)
-                    rows["feature_id"].append(int(rec[0]))
-                    rows["geom_type"].append(gt)
-                    rows["rings"].append(rings)
-                    rows["properties"].append(
-                        {
-                            c: (None if v is None else str(v))
-                            for c, v in zip(attr_cols, rec[2:])
-                        }
-                    )
-                yield pd.DataFrame(rows)
+        import contextlib
+
+        # close per-invocation — executors are long-lived; leaking one fd
+        # per task eventually exhausts the process limit
+        with contextlib.closing(_connect_ro(abspath)) as con:
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    r0, r1 = int(row["r0"]), int(row["r1"])
+                    rows = {
+                        "feature_id": [], "geom_type": [], "rings": [], "properties": [],
+                    }
+                    for rec in con.execute(
+                        f'SELECT {sel} FROM "{table}" '
+                        f"WHERE rowid BETWEEN {r0} AND {r1} ORDER BY rowid"
+                    ):
+                        parsed = parse_gpkg_blob(rec[1])
+                        gt = rings = None
+                        if parsed is not None:
+                            gt, coords = parsed
+                            rings = _coords_to_rings(gt, coords)
+                        rows["feature_id"].append(int(rec[0]))
+                        rows["geom_type"].append(gt)
+                        rows["rings"].append(rings)
+                        rows["properties"].append(
+                            {
+                                c: (None if v is None else str(v))
+                                for c, v in zip(attr_cols, rec[2:])
+                            }
+                        )
+                    yield pd.DataFrame(rows)
 
     rng = spark.createDataFrame(ranges or [(0, -1)], "r0 long, r1 long").repartition(
         max(1, len(ranges))

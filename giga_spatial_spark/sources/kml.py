@@ -29,6 +29,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..winding import wind_member
+
 _SCHEMA = StructType(
     [
         StructField("feature_id", LongType()),
@@ -83,7 +85,9 @@ def _parse_geometry(el) -> tuple[str | None, list | None]:
                 if _local(c.tag) == "coordinates":
                     # outer boundary first: KML order already guarantees it
                     rings.insert(0, c) if btag == "outerBoundaryIs" else rings.append(c)
-        parsed = [_open_ring(_coords_text(c)) for c in rings]
+        # normalize winding while outer/inner roles are explicit (KML tags
+        # carry no orientation guarantee)
+        parsed = wind_member([_open_ring(_coords_text(c)) for c in rings])
         return ("Polygon", parsed) if parsed else (None, None)
     if tag == "MultiGeometry":
         types, rings = [], []

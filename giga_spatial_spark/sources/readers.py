@@ -10,6 +10,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..winding import wind_member
+
 
 def read_dataset(spark: SparkSession, path: str, **options) -> DataFrame:
     """Dispatch on extension (compression sniffed by Spark natively)."""
@@ -79,20 +81,37 @@ def read_zipped_shapefile(spark: SparkSession, path: str) -> DataFrame:
         for chunk in iter(lambda: f.read(1 << 20), b""):
             h.update(chunk)
     digest = h.hexdigest()[:16]
-    dest = f"/tmp/spark_graft_zipshp_{getpass.getuser()}/{digest}"
-    shp_name = None
+    root = f"/tmp/spark_graft_zipshp_{getpass.getuser()}"
+    dest = os.path.join(root, digest)
     with zipfile.ZipFile(path) as z:
         names = z.namelist()
         shp_name = next((n for n in names if n.lower().endswith(".shp")), None)
         if shp_name is None:
             raise ValueError(f"no .shp member in {path}")
-        if not os.path.exists(os.path.join(dest, shp_name)):
-            os.makedirs(dest, exist_ok=True)
-            base = shp_name[:-4].lower()
-            for n in names:
-                stem, ext = os.path.splitext(n)
-                if stem.lower() == base and not n.endswith("/"):
-                    z.extract(n, dest)
+        base = shp_name[:-4].lower()
+        members = [
+            n
+            for n in names
+            if os.path.splitext(n)[0].lower() == base and not n.endswith("/")
+        ]
+        # atomic: extract every sidecar into a tmp dir, then os.replace into
+        # the content-addressed path — a crash mid-extract can never leave a
+        # partial dir that passes the existence check with .dbf/.shx missing
+        if not all(os.path.exists(os.path.join(dest, n)) for n in members):
+            import shutil
+
+            os.makedirs(root, exist_ok=True)
+            tmp = f"{dest}.tmp.{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)
+            for n in members:
+                z.extract(n, tmp)
+            shutil.rmtree(dest, ignore_errors=True)  # stale partial extract
+            try:
+                os.replace(tmp, dest)
+            except OSError:
+                # lost a race to a concurrent extractor of the same digest;
+                # its (complete, content-identical) dir wins
+                shutil.rmtree(tmp, ignore_errors=True)
     return read_shapefile(spark, os.path.join(dest, shp_name))
 
 
@@ -113,15 +132,19 @@ def geojson_rings(geom) -> list | None:
             if t == "Polygon" and len(vs) >= 2 and vs[0] == vs[-1]:
                 vs = vs[:-1]
             out.append(vs)
-        return out
+        # RFC 7946 winding is widely violated in the wild; normalize while
+        # the outer/hole roles are still explicit (ring order)
+        return wind_member(out) if t == "Polygon" else out
     if t == "MultiPolygon":
         out = []
         for poly in c:
+            member = []
             for ring in poly:
                 vs = [[float(x), float(y)] for x, y, *_ in ring]
                 if len(vs) >= 2 and vs[0] == vs[-1]:
                     vs = vs[:-1]
-                out.append(vs)
+                member.append(vs)
+            out.extend(wind_member(member))
         return out
     return None
 

@@ -119,11 +119,15 @@ def admin_zones_df(spark: SparkSession, polys: dict[int, np.ndarray] | None = No
 
 
 def convex_contains_sql(poly: np.ndarray, x_sql: str, y_sql: str) -> str:
-    """ANSI SQL predicate: point inside CCW convex polygon (boundary incl.).
+    """ANSI SQL predicate: point inside convex polygon (boundary incl.;
+    either winding — normalized to CCW like every convex kernel).
 
     Emits the identical arithmetic the numpy kernel (geometry.convex_contains)
     and the native edge-join evaluate, so all three engines agree exactly.
     """
+    from .geometry import ensure_ccw
+
+    poly = ensure_ccw(np.asarray(poly, dtype=np.float64))
     n = len(poly)
     terms = []
     for i in range(n):
