@@ -220,6 +220,35 @@ def q_fractional_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fractional_nonconvex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL fractional overlay (reference gpd.overlay(how='intersection')
+    on arbitrary polygons, _fractional_aggregation geo.py:1051-1116): box
+    parcels × NON-CONVEX rectilinear zones (L/U/plus shapes + one zone with
+    a hole) through the triangulate-and-clip kernel
+    (operators/overlay.fractional_overlay_general). The oracle replays the
+    exact areas as closed-form sums over each zone's disjoint box
+    decomposition (synth.rectilinear_overlay_sql)."""
+    from giga_spatial_spark.operators.overlay import fractional_overlay_general
+
+    parcels = synth.parcels_df(spark, sf_dir).select(
+        "parcel_id",
+        F.array(
+            F.array("pminx", "pminy"),
+            F.array("pmaxx", "pminy"),
+            F.array("pmaxx", "pmaxy"),
+            F.array("pminx", "pmaxy"),
+        ).alias("vertices"),
+        "value",
+    )
+    zones = synth.rectilinear_zone_rings()
+    out = fractional_overlay_general(parcels, zones)
+    return out.select(
+        "zone_id",
+        F.round(F.col("value_weighted_sum"), 1).alias("wsum"),
+        "parcel_count",
+    )
+
+
 def q_distance_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-distance graph edge list (reference build_distance_graph,
     algorithms.py:24-204): directed doc→doc edges within 500 km, excluding
@@ -1162,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_count": q_range_count,
         "q_polygon_agg": q_polygon_agg,
         "q_fractional_overlay": q_fractional_overlay,
+        "q_fractional_nonconvex": q_fractional_nonconvex,
         "q_distance_graph": q_distance_graph,
         "q_proximity_dedup": q_proximity_dedup,
         "q_bounds_filter": q_bounds_filter,
@@ -1627,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "q_range_count": range_count,
         "q_polygon_agg": polygon_agg,
         "q_fractional_overlay": overlay,
+        "q_fractional_nonconvex": synth.rectilinear_overlay_sql(),
         "q_distance_graph": distance_graph,
         "q_proximity_dedup": dedup,
         "q_bounds_filter": (

@@ -238,3 +238,114 @@ class GridIndex:
         if not out_idx:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
         return np.concatenate(out_idx), np.asarray(out_pid, dtype=object)
+
+# ------------------------------------------------- general (non-convex) area
+def is_convex(poly: np.ndarray) -> bool:
+    """True if the simple polygon is convex (all non-zero edge cross
+    products share a sign; collinear runs allowed)."""
+    p = np.asarray(poly, dtype=np.float64)
+    a, b, c = p, np.roll(p, -1, axis=0), np.roll(p, -2, axis=0)
+    cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (
+        c[:, 0] - a[:, 0]
+    )
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
+def _in_tri_closed(a, b, c, p) -> bool:
+    """p inside OR on the boundary of CCW triangle abc."""
+    d1 = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+    d2 = (c[0] - b[0]) * (p[1] - b[1]) - (c[1] - b[1]) * (p[0] - b[0])
+    d3 = (a[0] - c[0]) * (p[1] - c[1]) - (a[1] - c[1]) * (p[0] - c[0])
+    return d1 >= 0 and d2 >= 0 and d3 >= 0
+
+
+def ear_clip_triangulate(poly: np.ndarray) -> list[np.ndarray]:
+    """Exact triangulation of an arbitrary simple polygon (either winding)
+    via O(n²) ear clipping. Returns CCW (3,2) triangles that partition the
+    polygon; degenerate (zero-area) corners are consumed without emitting a
+    triangle. The general-overlay kernel reduces non-convex intersection to
+    convex clips against these ears (the 'triangulate-and-clip' plan —
+    reference gpd.overlay(how='intersection') accepts arbitrary simple
+    polygons, processing/geo.py:1051-1116)."""
+    p = ensure_ccw(np.asarray(poly, dtype=np.float64))
+    idx = list(range(len(p)))
+    tris: list[np.ndarray] = []
+
+    def corner_cross(k: int, ids: list[int]) -> float:
+        a, b, c = p[ids[k - 1]], p[ids[k]], p[ids[(k + 1) % len(ids)]]
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    while len(idx) > 3:
+        n = len(idx)
+        reflex = [idx[k] for k in range(n) if corner_cross(k, idx) < 0]
+        best_fallback, best_cross = 0, -np.inf
+        clipped = False
+        for k in range(n):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % n]
+            a, b, c = p[i0], p[i1], p[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross > best_cross:
+                best_fallback, best_cross = k, cross
+            if cross < 0:
+                continue  # reflex corner — not an ear
+            if cross == 0:
+                del idx[k]  # degenerate (collinear/spike) corner: zero area
+                clipped = True
+                break
+            # textbook ear criterion: no REFLEX vertex inside or ON the
+            # candidate triangle (closed test — a reflex vertex exactly on
+            # the diagonal still invalidates the ear; convex vertices on
+            # the boundary cannot intrude)
+            if any(
+                _in_tri_closed(a, b, c, p[j])
+                for j in reflex
+                if j not in (i0, i1, i2)
+            ):
+                continue
+            tris.append(np.array([a, b, c]))
+            del idx[k]
+            clipped = True
+            break
+        if not clipped:
+            # numerically stuck (near-degenerate input): clip the most
+            # convex corner anyway — keeps the partition area-exact up to
+            # the degeneracy already present in the input
+            k = best_fallback
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % n]
+            tris.append(np.array([p[i0], p[i1], p[i2]]))
+            del idx[k]
+    if len(idx) == 3:
+        last = p[idx]
+        if polygon_area(last) > 0:
+            tris.append(ensure_ccw(last))
+    return tris
+
+
+def polygon_intersection_area(
+    A: np.ndarray,
+    B: np.ndarray,
+    tri_b: list[np.ndarray] | None = None,
+) -> float:
+    """Exact intersection area of two arbitrary simple polygons: triangulate
+    each non-convex side, then Sutherland–Hodgman every (convex) triangle
+    pair — convex×convex clips are unambiguous, so the pairwise sum is the
+    exact area of A∩B. Pass tri_b to reuse a precomputed triangulation of B
+    (the overlay operator triangulates each zone once per task)."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    tri_a = [ensure_ccw(A)] if is_convex(A) else ear_clip_triangulate(A)
+    if tri_b is None:
+        tri_b = [ensure_ccw(B)] if is_convex(B) else ear_clip_triangulate(B)
+    total = 0.0
+    for ta in tri_a:
+        axmin, aymin, axmax, aymax = polygon_bbox(ta)
+        for tb in tri_b:
+            if (
+                tb[:, 0].min() > axmax or tb[:, 0].max() < axmin
+                or tb[:, 1].min() > aymax or tb[:, 1].max() < aymin
+            ):
+                continue
+            inter = clip_polygon_convex(ta, tb)
+            if len(inter) >= 3:
+                total += polygon_area(inter)
+    return total

@@ -21,7 +21,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..geometry import clip_polygon_convex, polygon_area
+from ..geometry import (
+    clip_polygon_convex,
+    ear_clip_triangulate,
+    ensure_ccw,
+    is_convex,
+    polygon_area,
+    polygon_intersection_area,
+)
 
 
 def fractional_overlay_boxes(
@@ -104,6 +111,96 @@ def fractional_overlay_convex(
                         if a > 0:
                             frac = a / total
                             recs.append((pid, zid, frac, val * frac))
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=["parcel_id", "zone_id", "frac", "weighted"]
+                )
+
+    pairs = parcels.mapInPandas(kernel, schema=out_schema)
+    return pairs.groupBy("zone_id").agg(
+        F.sum("weighted").alias(f"{value_col}_weighted_sum"),
+        F.count(F.lit(1)).alias("parcel_count"),
+    )
+
+
+def _zone_signed_triangles(
+    zone,
+) -> list[tuple[np.ndarray, float]]:
+    """Zone geometry → [(CCW triangle, sign)] — outer ring triangles carry
+    +1, hole-ring triangles −1, so Σ sign·area(parcel ∩ tri) is the exact
+    parcel∩zone area for zones with holes."""
+    rings = [zone] if isinstance(zone, np.ndarray) else list(zone)
+    out: list[tuple[np.ndarray, float]] = []
+    for i, ring in enumerate(rings):
+        ring = np.asarray(ring, dtype=np.float64)
+        sign = 1.0 if i == 0 else -1.0
+        tris = [ensure_ccw(ring)] if is_convex(ring) else ear_clip_triangulate(ring)
+        out.extend((t, sign) for t in tris)
+    return out
+
+
+def fractional_overlay_general(
+    parcels: DataFrame,
+    zone_polys: dict[int, "np.ndarray | list"],
+    value_col: str = "value",
+    vertices_col: str = "vertices",
+) -> DataFrame:
+    """Fully general fractional overlay: arbitrary simple polygons on BOTH
+    sides (non-convex allowed; zones may carry holes as [outer, *holes]).
+    Reference parity: _fractional_aggregation runs gpd.overlay(
+    how='intersection') on arbitrary polygons (processing/geo.py:1051-1116);
+    here each zone is ear-clipped into signed triangles ONCE per task, each
+    parcel is triangulated only if non-convex, and every convex triangle
+    pair goes through the unambiguous Sutherland–Hodgman clip — the
+    pairwise area sum is exact (geometry.polygon_intersection_area).
+
+    Scale design matches fractional_overlay_convex: zones broadcast (small
+    dim), parcels stream through one Arrow pass, per-zone bbox prefilter
+    skips almost all pairs, then one partial+final agg — no shuffle of the
+    parcel side, no driver collect."""
+    spark = parcels.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {int(k): _zone_signed_triangles(v) for k, v in zone_polys.items()}
+    )
+    out_schema = "parcel_id bigint, zone_id int, frac double, weighted double"
+
+    def kernel(batches):
+        ztris = bc.value
+        zboxes = {}
+        for zid, tris in ztris.items():
+            allv = np.vstack([t for t, _ in tris])
+            zboxes[zid] = (
+                allv[:, 0].min(), allv[:, 1].min(),
+                allv[:, 0].max(), allv[:, 1].max(),
+            )
+        for pdf in batches:
+            recs = []
+            for pid, verts, val in zip(
+                pdf["parcel_id"], pdf[vertices_col], pdf[value_col]
+            ):
+                poly = np.stack([np.asarray(v, dtype=np.float64) for v in verts])
+                total = polygon_area(poly)
+                if total <= 0:
+                    continue
+                tri_p = (
+                    [ensure_ccw(poly)]
+                    if is_convex(poly)
+                    else ear_clip_triangulate(poly)
+                )
+                bxmin, bymin = poly[:, 0].min(), poly[:, 1].min()
+                bxmax, bymax = poly[:, 0].max(), poly[:, 1].max()
+                for zid, tris in ztris.items():
+                    zxmin, zymin, zxmax, zymax = zboxes[zid]
+                    if bxmin > zxmax or bxmax < zxmin or bymin > zymax or bymax < zymin:
+                        continue
+                    area = 0.0
+                    for tz, sign in tris:
+                        area += sign * polygon_intersection_area(
+                            tz, poly, tri_b=tri_p
+                        )
+                    if area > 0:
+                        frac = area / total
+                        recs.append((pid, zid, frac, val * frac))
             if recs:
                 yield pd.DataFrame(
                     recs, columns=["parcel_id", "zone_id", "frac", "weighted"]

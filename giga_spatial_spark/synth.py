@@ -257,3 +257,81 @@ PARCELS_SQL = (
     f"({lat_sql('p_partkey')} + {PARCEL_HALF_W_SQL}) AS pmaxy, "
     "p_retailprice AS value FROM part"
 )
+
+
+# ------------------------------------------- rectilinear non-convex zones
+def make_rectilinear_zones() -> dict[int, dict]:
+    """Deterministic NON-CONVEX rectilinear zones for the general fractional
+    overlay (reference gpd.overlay on arbitrary polygons, geo.py:1051-1116).
+    Each zone carries BOTH representations: the polygon outline(s) the
+    general triangulate-and-clip kernel consumes (``rings`` — [outer] or
+    [outer, hole]) and an exact disjoint axis-aligned box decomposition
+    (``boxes`` — (x1, y1, x2, y2)) the DuckDB oracle sums closed-form box∩box
+    areas over. Integer vertices keep every literal exact in both engines."""
+    z = {
+        # L-shape
+        0: {
+            "boxes": [(-60.0, -20.0, -40.0, -10.0), (-60.0, -10.0, -52.0, 10.0)],
+            "rings": [[[-60.0, -20.0], [-40.0, -20.0], [-40.0, -10.0],
+                       [-52.0, -10.0], [-52.0, 10.0], [-60.0, 10.0]]],
+        },
+        # U-shape (two legs + base)
+        1: {
+            "boxes": [(30.0, 20.0, 36.0, 44.0), (52.0, 20.0, 58.0, 44.0),
+                      (36.0, 20.0, 52.0, 28.0)],
+            "rings": [[[30.0, 20.0], [58.0, 20.0], [58.0, 44.0], [52.0, 44.0],
+                       [52.0, 28.0], [36.0, 28.0], [36.0, 44.0], [30.0, 44.0]]],
+        },
+        # plus / cross
+        2: {
+            "boxes": [(100.0, -40.0, 124.0, -32.0), (108.0, -52.0, 116.0, -40.0),
+                      (108.0, -32.0, 116.0, -24.0)],
+            "rings": [[[100.0, -40.0], [108.0, -40.0], [108.0, -52.0],
+                       [116.0, -52.0], [116.0, -40.0], [124.0, -40.0],
+                       [124.0, -32.0], [116.0, -32.0], [116.0, -24.0],
+                       [108.0, -24.0], [108.0, -32.0], [100.0, -32.0]]],
+        },
+        # square with a square hole (signed-triangle path)
+        3: {
+            "boxes": [(-150.0, 30.0, -140.0, 60.0), (-130.0, 30.0, -120.0, 60.0),
+                      (-140.0, 30.0, -130.0, 40.0), (-140.0, 50.0, -130.0, 60.0)],
+            "rings": [
+                [[-150.0, 30.0], [-120.0, 30.0], [-120.0, 60.0], [-150.0, 60.0]],
+                [[-140.0, 40.0], [-130.0, 40.0], [-130.0, 50.0], [-140.0, 50.0]],
+            ],
+        },
+    }
+    return z
+
+
+def rectilinear_zone_rings() -> dict[int, list[np.ndarray]]:
+    """zone_id → [outer(, hole)] vertex arrays (the kernel-side view)."""
+    return {
+        zid: [np.asarray(r, dtype=np.float64) for r in spec["rings"]]
+        for zid, spec in make_rectilinear_zones().items()
+    }
+
+
+def rectilinear_overlay_sql() -> str:
+    """DuckDB oracle for the general fractional overlay over the
+    rectilinear zones: per zone, intersection area = Σ over its disjoint
+    decomposition boxes of the closed-form box∩box area."""
+    branches = []
+    for zid, spec in sorted(make_rectilinear_zones().items()):
+        terms = [
+            f"(greatest(0.0, least(pmaxx, {x2!r}) - greatest(pminx, {x1!r})) * "
+            f"greatest(0.0, least(pmaxy, {y2!r}) - greatest(pminy, {y1!r})))"
+            for x1, y1, x2, y2 in spec["boxes"]
+        ]
+        area = " + ".join(terms)
+        branches.append(
+            f"SELECT {zid} AS zone_id, value * ({area}) / "
+            "((pmaxx - pminx) * (pmaxy - pminy)) AS wv "
+            f"FROM p WHERE ({area}) > 0"
+        )
+    un = " UNION ALL ".join(branches)
+    return (
+        f"WITH p AS ({PARCELS_SQL}), j AS ({un}) "
+        "SELECT zone_id, round(sum(wv), 1) AS wsum, count(*) AS parcel_count "
+        "FROM j GROUP BY zone_id"
+    )

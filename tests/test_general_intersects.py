@@ -91,3 +91,123 @@ def test_wkt_multipolygon_roundtrip():
     assert np.array_equal(polys[0][1], hole)
     assert np.array_equal(polys[1][0], tri)
     assert parse_multipolygon("POLYGON ((0 0, 1 0, 1 1, 0 0))") is None
+
+
+# -------------------------------------------- general fractional overlay (r4)
+def test_ear_clip_partitions_exactly():
+    """Triangulation must partition: areas sum to the polygon area and no
+    two triangles overlap — for rectilinear shapes (incl. collinear-heavy
+    plus/U), stars, staircases and random simple polygons."""
+    from giga_spatial_spark.geometry import (
+        ear_clip_triangulate,
+        polygon_area,
+        polygon_intersection_area,
+    )
+
+    def check(poly):
+        poly = np.asarray(poly, dtype=np.float64)
+        tris = ear_clip_triangulate(poly)
+        total = sum(polygon_area(t) for t in tris)
+        assert abs(total - polygon_area(poly)) < 1e-9 * max(1, polygon_area(poly))
+        for i in range(len(tris)):
+            for j in range(i + 1, len(tris)):
+                assert polygon_intersection_area(tris[i], tris[j]) < 1e-8
+
+    for spec in synth.make_rectilinear_zones().values():
+        for ring in spec["rings"]:
+            check(ring)
+    check(synth.make_star_polygon())
+    rng = np.random.RandomState(5)
+    for t in range(10):
+        m = rng.randint(5, 16)
+        gaps = rng.uniform(0.2, 1.0, m)
+        ang = 2 * np.pi * np.cumsum(gaps) / gaps.sum()
+        r = rng.uniform(1, 10, m)
+        check(np.column_stack([r * np.cos(ang), r * np.sin(ang)]))
+
+
+def test_polygon_intersection_area_analytic_and_symmetric():
+    from giga_spatial_spark.geometry import polygon_intersection_area
+
+    L = np.array([[0, 0], [20, 0], [20, 10], [8, 10], [8, 30], [0, 30]], float)
+    box = np.array([[5, 5], [15, 5], [15, 20], [5, 20]], float)
+    # L = [0,20]×[0,10] ∪ [0,8]×[10,30]; box∩ = 10×5 + 3×10 = 80
+    assert abs(polygon_intersection_area(box, L) - 80.0) < 1e-9
+    assert abs(polygon_intersection_area(L, box) - 80.0) < 1e-9
+    # disjoint
+    far = box + np.array([100.0, 0.0])
+    assert polygon_intersection_area(far, L) == 0.0
+    # non-convex × non-convex, symmetric
+    star = synth.make_star_polygon(cx=10.0, cy=10.0)
+    a1 = polygon_intersection_area(star, L)
+    a2 = polygon_intersection_area(L, star)
+    assert a1 > 0 and abs(a1 - a2) < 1e-9
+
+
+def test_fractional_general_matches_convex_path_on_convex_inputs(spark):
+    """On convex zones the general kernel must reproduce
+    fractional_overlay_convex exactly (same parcels, same zones)."""
+    from giga_spatial_spark.operators.overlay import (
+        fractional_overlay_convex,
+        fractional_overlay_general,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for pid in range(80):
+        cx, cy = rng.uniform(-40, 40, 2)
+        w, h = rng.uniform(1, 6, 2)
+        rows.append(
+            (
+                pid,
+                [[float(cx - w), float(cy - h)], [float(cx + w), float(cy - h)],
+                 [float(cx + w), float(cy + h)], [float(cx - w), float(cy + h)]],
+                float(rng.uniform(10, 100)),
+            )
+        )
+    parcels = spark.createDataFrame(
+        rows, "parcel_id long, vertices array<array<double>>, value double"
+    )
+    zones = {k: v for k, v in list(synth.make_admin_polygons().items())[:4]}
+    a = {
+        r["zone_id"]: r
+        for r in fractional_overlay_convex(parcels, zones).collect()
+    }
+    b = {
+        r["zone_id"]: r
+        for r in fractional_overlay_general(parcels, zones).collect()
+    }
+    assert set(a) == set(b) and len(a) > 0
+    for zid in a:
+        assert a[zid]["parcel_count"] == b[zid]["parcel_count"]
+        assert abs(
+            a[zid]["value_weighted_sum"] - b[zid]["value_weighted_sum"]
+        ) < 1e-6
+
+
+def test_fractional_general_hole_zone(spark):
+    """A zone with a hole: parcel fully inside the hole contributes 0;
+    parcel spanning the hole contributes outer∩ − hole∩."""
+    from giga_spatial_spark.operators.overlay import fractional_overlay_general
+
+    outer = [[0.0, 0.0], [30.0, 0.0], [30.0, 30.0], [0.0, 30.0]]
+    hole = [[10.0, 10.0], [20.0, 10.0], [20.0, 20.0], [10.0, 20.0]]
+    parcels = spark.createDataFrame(
+        [
+            # fully inside the hole → dropped
+            (1, [[12.0, 12.0], [18.0, 12.0], [18.0, 18.0], [12.0, 18.0]], 100.0),
+            # spans hole boundary: [5,15]×[12,18] → inside-zone part is [5,10]×[12,18]=30 of 60
+            (2, [[5.0, 12.0], [15.0, 12.0], [15.0, 18.0], [5.0, 18.0]], 100.0),
+            # fully in solid part
+            (3, [[1.0, 1.0], [5.0, 1.0], [5.0, 5.0], [1.0, 5.0]], 40.0),
+        ],
+        "parcel_id long, vertices array<array<double>>, value double",
+    )
+    out = {
+        r["zone_id"]: r
+        for r in fractional_overlay_general(
+            parcels, {7: [np.asarray(outer), np.asarray(hole)]}
+        ).collect()
+    }
+    assert out[7]["parcel_count"] == 2  # parcel 1 contributes nothing
+    assert abs(out[7]["value_weighted_sum"] - (100.0 * 0.5 + 40.0)) < 1e-9
