@@ -495,8 +495,10 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # synthetic embeddings are near-random (top-1 cosine ≈ 0.4-0.5), so the
-    # demo threshold sits below that to produce a non-empty pair set
-    return embedding_near_dup_pairs(emb, threshold=0.4)
+    # demo threshold sits below that to produce a non-empty pair set.
+    # n_planes pinned so the SQL oracle replays identical buckets (the
+    # library default is adaptive_n_planes(corpus size))
+    return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=10)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

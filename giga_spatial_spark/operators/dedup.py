@@ -14,6 +14,8 @@ the build brief), designed around shuffle economics:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -33,6 +35,8 @@ from ..functions.hashing import (
     shingle_hashes,
     simhash,
 )
+
+_LOG = logging.getLogger("giga_spatial_spark.dedup")
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -88,8 +92,39 @@ def minhash_band_table(
     )
 
 
-def minhash_candidate_pairs(band_table: DataFrame) -> DataFrame:
-    """Distinct candidate (a, b) doc pairs sharing ≥1 LSH bucket, a < b."""
+def cap_hot_buckets(
+    table: DataFrame, key: str, max_bucket: int, what: str = "lsh"
+) -> DataFrame:
+    """Drop every row belonging to a bucket with > max_bucket members —
+    the guard against m²-per-bucket candidate blowup from boilerplate
+    mega-clusters at 100 TB. NEVER silent: the dropped bucket/row counts
+    are logged (warning) before filtering; the count costs one extra
+    aggregation keyed identically to the downstream self-join."""
+    sizes = table.groupBy(key).count()
+    hot = sizes.where(F.col("count") > max_bucket)
+    stats = hot.agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("count").alias("rows")
+    ).collect()[0]
+    if stats["nb"]:
+        _LOG.warning(
+            "%s: dropping %d hot buckets (%d rows) over cap %d — raise "
+            "max_bucket or pre-collapse exact duplicates to recover recall",
+            what, stats["nb"], stats["rows"], max_bucket,
+        )
+    return table.join(hot.select(key), key, "left_anti")
+
+
+def minhash_candidate_pairs(
+    band_table: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct candidate (a, b) doc pairs sharing ≥1 LSH bucket, a < b.
+    max_bucket caps per-bucket membership (logged skip, cap_hot_buckets) —
+    an exact-duplicate cluster of m docs otherwise contributes m²/2
+    candidates per band before distinct()."""
+    if max_bucket is not None:
+        band_table = cap_hot_buckets(
+            band_table, "band_key", max_bucket, "minhash_candidate_pairs"
+        )
     l = band_table.select(F.col("doc_id").alias("a"), "band_key")
     r = band_table.select(F.col("doc_id").alias("b"), "band_key")
     return (
@@ -100,23 +135,19 @@ def minhash_candidate_pairs(band_table: DataFrame) -> DataFrame:
     )
 
 
-def minhash_near_dup_pairs(
+def _minhash_verify_pairs(
     docs: DataFrame,
-    threshold: float = 0.7,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_perm: int = 64,
-    bands: int = 16,
-    k_shingle: int = 5,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    k_shingle: int,
+    max_bucket: int | None,
 ) -> DataFrame:
-    """Candidate pairs verified by exact shingle Jaccard ≥ threshold.
-
-    Verify joins the candidate pair list back to the texts (broadcast-safe
-    at dim sizes; shuffle-hash at scale) and recomputes shingles per pair
-    inside an Arrow UDF.
-    """
+    """Band → candidate → exact-Jaccard-verify core (no exact-dup collapse)."""
     bands_tbl = minhash_band_table(docs, id_col, text_col, num_perm, bands, k_shingle)
-    cand = minhash_candidate_pairs(bands_tbl)
+    cand = minhash_candidate_pairs(bands_tbl, max_bucket=max_bucket)
     texts = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
     pairs = (
         cand.join(texts.withColumnRenamed("__id", "a").withColumnRenamed("__text", "text_a"), "a")
@@ -143,21 +174,108 @@ def minhash_near_dup_pairs(
     return pairs.mapInPandas(verify, schema=out_schema)
 
 
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k_shingle: int = 5,
+    collapse_exact: bool = True,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs verified by exact shingle Jaccard ≥ threshold.
+
+    collapse_exact (default on — the dominant 100 TB guard): byte-identical
+    duplicates (boilerplate pages, the dominant mass in web corpora) share
+    ALL band keys, so an m-copy cluster would inject m²/2 candidates per
+    band into the bucket self-join. Instead, exact duplicates collapse to
+    one survivor per md5 digest BEFORE signatures (one digest-keyed
+    shuffle, same as exact_dedup), MinHash runs on survivors only, and the
+    full pair list is reconstructed afterwards: within-cluster pairs carry
+    Jaccard 1.0 by identity (matching jaccard(∅,∅)=1.0 for empty texts),
+    cross-cluster survivor pairs expand through the member lists. The
+    OUTPUT is exactly the pair set the uncollapsed path produces — only
+    the candidate economics change (O(survivors²/buckets), not O(m²)).
+
+    max_bucket additionally caps residual hot buckets (near-identical but
+    not byte-identical mega-clusters) with a logged skip — see
+    cap_hot_buckets. Verify joins candidates back to the texts and
+    recomputes shingles per pair inside an Arrow UDF.
+    """
+    if not collapse_exact:
+        return _minhash_verify_pairs(
+            docs, threshold, id_col, text_col, num_perm, bands, k_shingle,
+            max_bucket,
+        )
+    keyed = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).withColumn("__digest", F.md5(F.col("__text").cast("binary")))
+    surv = keyed.groupBy("__digest").agg(F.min("__id").alias("__sid"))
+    sdocs = (
+        keyed.join(surv, "__digest")
+        .where(F.col("__id") == F.col("__sid"))
+        .select(F.col("__id").alias(id_col), F.col("__text").alias(text_col))
+    )
+    spairs = _minhash_verify_pairs(
+        sdocs, threshold, id_col, text_col, num_perm, bands, k_shingle,
+        max_bucket,
+    )
+    members = keyed.join(surv, "__digest").select("__sid", "__id")
+    cross = (
+        spairs.join(
+            members.select(F.col("__sid").alias("a"), F.col("__id").alias("ma")),
+            "a",
+        )
+        .join(
+            members.select(F.col("__sid").alias("b"), F.col("__id").alias("mb")),
+            "b",
+        )
+        .select(
+            F.least("ma", "mb").alias("a"),
+            F.greatest("ma", "mb").alias("b"),
+            "jaccard",
+        )
+    )
+    w = keyed.select("__digest", "__id")
+    within = (
+        w.select(F.col("__digest"), F.col("__id").alias("a"))
+        .join(w.select(F.col("__digest"), F.col("__id").alias("b")), "__digest")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
     dim: int = 64,
-    n_planes: int = 10,
+    n_planes: int | None = None,
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH candidates
     (same-bucket equi-join) verified by the exact native cosine — the
-    embedding analog of MinHash dedup. O(candidates), never O(n²)."""
-    from .ann import cosine_expr, lsh_bucket_table
+    embedding analog of MinHash dedup. O(candidates), never O(n²).
 
+    n_planes=None (default) scales with the corpus: ≈ log₂(n)+4 (one
+    count() action) so expected bucket size stays ~2⁻⁴·n⁰ as n grows —
+    a fixed plane count leaves ~n/2^planes vectors per bucket, which at
+    n=10⁹ with 10 planes is ~10⁶-vector buckets (~10¹² scored pairs per
+    table). max_bucket caps residual hot buckets with a logged skip."""
+    from .ann import adaptive_n_planes, cosine_expr, lsh_bucket_table
+
+    if n_planes is None:
+        n_planes = adaptive_n_planes(vectors.count())
     buckets = lsh_bucket_table(vectors, dim, n_planes, n_tables, id_col, vec_col)
+    if max_bucket is not None:
+        buckets = cap_hot_buckets(
+            buckets, "bucket", max_bucket, "embedding_near_dup_pairs"
+        )
     v = vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
     l = buckets.select(F.col("vec_id").alias("a"), "bucket")
     r = buckets.select(F.col("vec_id").alias("b"), "bucket")
@@ -190,50 +308,105 @@ def ngram_jaccard_pairs(
 
 
 def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash, chunk0..chunk3) — 16-bit chunks for the pigeonhole
-    banded join."""
+    """(doc_id, simhash) — the fingerprint itself; banding happens natively
+    downstream (simhash_band_table), so the Python kernel only computes the
+    64-bit hash once per doc."""
 
     schema = StructType(
         [
             StructField("doc_id", LongType()),
             StructField("simhash", LongType()),
-            StructField("c0", LongType()),
-            StructField("c1", LongType()),
-            StructField("c2", LongType()),
-            StructField("c3", LongType()),
         ]
     )
 
     def kernel(batches):
         for pdf in batches:
-            hs = [simhash(t) for t in pdf[text_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "simhash": hs,
-                    "c0": [h & 0xFFFF for h in hs],
-                    "c1": [(h >> 16) & 0xFFFF for h in hs],
-                    "c2": [(h >> 32) & 0xFFFF for h in hs],
-                    "c3": [(h >> 48) & 0xFFFF for h in hs],
+                    "simhash": [simhash(t) for t in pdf[text_col]],
                 }
             )
 
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming (<4 ⇒ at least
-    one 16-bit chunk matches exactly — pigeonhole over 4 banded equi-joins)."""
+def simhash_blocks(n_blocks: int) -> list[tuple[int, int]]:
+    """[(shift, width)] partitioning the 64 fingerprint bits into n_blocks
+    near-equal blocks (the top bit is always 0 — hashing.py keeps simhash in
+    signed-long range — so its block is just one bit narrower in practice)."""
+    base, extra = divmod(64, n_blocks)
+    out, shift = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
+def simhash_band_table(
+    t: DataFrame, n_blocks: int = 6, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_id, simhash) → exploded (combo, k, doc_id, simhash) band rows —
+    Manku-style multi-block banding (Manku, Jain & Sarma, WWW'07 §3):
+    hamming ≤ r flips bits in ≤ r blocks, so the pair agrees exactly on
+    some (n_blocks − r)-subset of blocks; one band row per subset, key =
+    packed concatenation of that subset's block values.
+
+    vs the previous fixed 4×16-bit chunk scheme: keys are ≥ 32 bits
+    (n_blocks=6, r=3 → C(6,3)=20 combos of 3×~11-bit blocks), so uniform-
+    hash bucket collision mass shrinks by ~2^16·(20/4)⁻¹ ≈ 2^13 — the
+    difference between ~1.5e13 accidental candidate pairs at n=1e9 and
+    ~5e9. All native column math (shift/mask/explode), no UDF."""
+    from itertools import combinations
+
+    blocks = simhash_blocks(n_blocks)
+    keep = n_blocks - max_hamming
+    if keep <= 0:
+        raise ValueError("n_blocks must exceed max_hamming (pigeonhole)")
+    structs = []
+    for ci, combo in enumerate(combinations(range(n_blocks), keep)):
+        key = F.lit(0).cast("long")
+        acc = 0
+        for bi in combo:
+            sh, w = blocks[bi]
+            chunk = F.shiftrightunsigned(F.col("simhash"), sh).bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
+            key = key.bitwiseOR(F.shiftleft(chunk, acc))
+            acc += w
+        structs.append(F.struct(F.lit(ci).alias("combo"), key.alias("k")))
+    return t.select(
+        "doc_id", "simhash", F.explode(F.array(*structs)).alias("band")
+    ).select(
+        "doc_id", "simhash",
+        F.col("band.combo").alias("combo"), F.col("band.k").alias("k"),
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_blocks: int = 6
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming — EXACT, via
+    the multi-block banded self-join (every qualifying pair shares at least
+    one (combo, key) band row; see simhash_band_table) + native bit_count
+    verify. One shuffle on (combo, k); ids-only rows until the verify."""
     t = simhash_table(docs)
-    parts = []
-    for c in ["c0", "c1", "c2", "c3"]:
-        l = t.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), F.col(c).alias("k"))
-        r = t.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), F.col(c).alias("k"))
-        parts.append(l.join(r, "k").where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb"))
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.distinct()
+    bt = simhash_band_table(
+        t.select("doc_id", "simhash"), n_blocks=n_blocks, max_hamming=max_hamming
+    )
+    l = bt.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "combo", "k"
+    )
+    r = bt.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "combo", "k"
+    )
+    cand = (
+        l.join(r, ["combo", "k"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         cand.withColumn("hamming", hamming.cast("int"))

@@ -284,3 +284,150 @@ def test_greedy_proximity_dedup_matches_reference_replay(spark, docs_pdf):
         kept[mask] = False
     expected = sorted(pdf.loc[kept, "doc_id"].tolist())
     assert got == expected
+
+
+def test_simhash_multiblock_bucket_mass_shrinks(spark):
+    """Verdict r3 #2: multi-block banding joins on ≥32-bit keys — on
+    uniform fingerprints the accidental candidate-pair mass must shrink by
+    orders of magnitude vs the old fixed 4×16-bit chunk scheme, while
+    staying exact (pigeonhole over C(6,3) block subsets)."""
+    from giga_spatial_spark.operators.dedup import simhash_band_table
+
+    rng = np.random.RandomState(11)
+    n = 30000
+    hs = rng.randint(0, 2**62, size=n, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(i), int(h)) for i, h in enumerate(hs)], "doc_id long, simhash long"
+    )
+    bt = simhash_band_table(df, n_blocks=6, max_hamming=3)
+    new_pairs = (
+        bt.groupBy("combo", "k")
+        .count()
+        .agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs")
+        )
+        .collect()[0]["pairs"]
+    )
+    old_pairs = 0
+    for sh in (0, 16, 32, 48):
+        _, counts = np.unique((hs >> sh) & 0xFFFF, return_counts=True)
+        old_pairs += int((counts.astype(np.int64) * (counts - 1) // 2).sum())
+    # 16-bit buckets collide heavily at n=30k (4 · n²/2 / 65536 ≈ 2.7e4)
+    assert old_pairs > 10_000
+    # 32-bit keys: 20 · n²/2 / 2^32 ≈ 2 expected accidental pairs
+    assert new_pairs < old_pairs / 100
+    assert new_pairs < 100
+
+
+def test_simhash_banding_exact_planted(spark):
+    """Every planted pair within hamming ≤ r must share a band key (for a
+    non-default r/n_blocks combination too)."""
+    from giga_spatial_spark.operators.dedup import simhash_band_table
+
+    rng = np.random.RandomState(7)
+    rows, want = [], set()
+    nid = 0
+    for i in range(150):
+        base = int(rng.randint(0, 2**62, dtype=np.int64))
+        rows.append((nid, base))
+        a = nid
+        nid += 1
+        flipped = base
+        for b in rng.choice(62, size=rng.randint(0, 3), replace=False):
+            flipped ^= 1 << int(b)
+        rows.append((nid, flipped))
+        want.add((a, nid))
+        nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    bt = simhash_band_table(df, n_blocks=8, max_hamming=2)
+    l = bt.select(F.col("doc_id").alias("a"), F.col("combo"), F.col("k"))
+    r = bt.select(F.col("doc_id").alias("b"), F.col("combo"), F.col("k"))
+    got = {
+        (x["a"], x["b"])
+        for x in l.join(r, ["combo", "k"]).where(F.col("a") < F.col("b")).distinct().collect()
+    }
+    import itertools
+
+    hmap = dict(rows)
+    for a, b in want:
+        if bin(hmap[a] ^ hmap[b]).count("1") <= 2:
+            assert (a, b) in got, (a, b)
+
+
+def test_minhash_collapse_exact_output_parity(spark):
+    """collapse_exact=True must produce EXACTLY the pair set of the
+    uncollapsed path (within-cluster pairs at jaccard 1.0, cross-cluster
+    pairs expanded through member lists), incl. identical empty docs."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and once"
+    rows = (
+        [(i, base) for i in range(5)]
+        + [(10 + i, near) for i in range(2)]
+        + [(20, "completely different text about spark and parquet files")]
+        + [(30, ""), (31, "")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.3, num_perm=64, bands=32, k_shingle=3)
+    a = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(df, collapse_exact=False, **kw).collect()
+    }
+    b = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(df, collapse_exact=True, **kw).collect()
+    }
+    assert set(a) == set(b) and len(a) > 0
+    for pair in a:
+        assert abs(a[pair] - b[pair]) < 1e-12
+    # identical empty docs pair at jaccard 1.0 (jaccard(∅,∅) convention)
+    assert b[(30, 31)] == 1.0
+
+
+def test_minhash_hot_cluster_economics(spark):
+    """Verdict r3 #3: a 1000-copy duplicate cluster must NOT reach the
+    band self-join — exact collapse reduces it to one survivor, and the
+    reconstructed output still carries all C(m,2) pairs."""
+    from giga_spatial_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_candidate_pairs,
+    )
+
+    m = 1000
+    rows = [(i, "boilerplate cookie banner accept terms") for i in range(m)] + [
+        (5000 + i, f"distinct document number {i} with its own words") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_near_dup_pairs(df, threshold=0.9)
+    assert out.where("jaccard = 1.0").count() == m * (m - 1) // 2
+    # survivor-side candidate economics: collapsed corpus has 6 distinct
+    # texts → band table ≤ 6·bands rows, candidates ≤ C(6,2)
+    keyed = df.withColumn("d", F.md5(F.col("text").cast("binary")))
+    surv = keyed.groupBy("d").agg(F.min("doc_id").alias("doc_id"))
+    sdocs = keyed.join(surv, ["d", "doc_id"]).select("doc_id", "text")
+    cand_n = minhash_candidate_pairs(minhash_band_table(sdocs)).count()
+    assert cand_n <= 15  # C(6,2)
+
+
+def test_cap_hot_buckets_logged_skip(spark, caplog):
+    """Bucket cap drops oversize buckets' rows with a logged (non-silent)
+    warning; normal buckets keep producing pairs."""
+    import logging
+
+    from giga_spatial_spark.operators.dedup import minhash_candidate_pairs
+
+    rows = [(i, 1) for i in range(200)]  # hot bucket: 200 members
+    rows += [(1000 + i, 2) for i in range(10)]  # normal bucket: 10 members
+    bt = spark.createDataFrame(rows, "doc_id long, band_key long")
+    with caplog.at_level(logging.WARNING, logger="giga_spatial_spark.dedup"):
+        got = minhash_candidate_pairs(bt, max_bucket=50).count()
+    assert got == 10 * 9 // 2  # only the normal bucket survives
+    assert any("hot bucket" in r.message for r in caplog.records)
+
+
+def test_adaptive_n_planes_scales():
+    from giga_spatial_spark.operators.ann import adaptive_n_planes
+
+    assert adaptive_n_planes(1000) == 14
+    assert adaptive_n_planes(10**9) == 24  # clamped at hi
+    assert adaptive_n_planes(100) < adaptive_n_planes(10**6) <= 24
+    assert adaptive_n_planes(1) == 8
