@@ -1169,6 +1169,41 @@ def q_hex_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MercatorViewGenerator zonal flow (reference generators/zonal/
+    mercator.py): tiles polyfilling zone 1 at zoom 6 (center mode), per-tile
+    doc counts through the generator API. The oracle recomputes membership
+    independently: tile center via the inverse mercator transform in SQL
+    (cells.tile_center_sql) ray-cast against the polygon — equal to
+    center-mode polyfill by definition."""
+    from giga_spatial_spark.views import MercatorViewGenerator
+
+    gen = MercatorViewGenerator(spark, ADMIN_POLYS[1], zoom=6)
+    gen.map_points(_docs_pts(spark, sf_dir))
+    return (
+        gen.to_dataframe()
+        .where(F.col("point_count") > 0)
+        .select("tile", F.col("point_count").alias("doc_count"))
+    )
+
+
+def q_s2_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2ViewGenerator zonal flow (reference generators/zonal/s2.py): level-6
+    cells polyfilling zone 1 (center mode), per-cell doc counts through the
+    generator API. Oracle: the unrolled INVERSE Hilbert transform in SQL
+    (cells_s2.cell_center_sql) recomputes each cell's center, ray-cast
+    against the polygon."""
+    from giga_spatial_spark.views import S2ViewGenerator
+
+    gen = S2ViewGenerator(spark, ADMIN_POLYS[1], level=6)
+    gen.map_points(_docs_pts(spark, sf_dir))
+    return (
+        gen.to_dataframe()
+        .where(F.col("point_count") > 0)
+        .select("s2_cell", F.col("point_count").alias("doc_count"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIP-tag + tile assignment + zonal rollup at sf0.001."""
     pts = _docs_pts(spark, SF0001).select("doc_id", "lon", "lat")
@@ -1229,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grid_filter": q_grid_filter,
         "q_hex_assign": q_hex_assign,
         "q_hex_zonal": q_hex_zonal,
+        "q_tile_zonal": q_tile_zonal,
+        "q_s2_zonal": q_s2_zonal,
         "q_pip_wkb": q_pip_wkb,
         "q_pip_shp": q_pip_shp,
         "q_pip_gpkg": q_pip_gpkg,
@@ -1581,9 +1618,38 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY 1"
     )
 
+    clon6, clat6 = cells.tile_center_sql(6, "tile_x", "tile_y")
+    tile_zonal = (
+        f"WITH d AS ({docs}), "
+        f"t AS (SELECT doc_id, {cells.tile_id_sql('lon', 'lat', 6)} AS tile FROM d), "
+        "c AS (SELECT tile, tile // 4294967296 AS tile_x, tile % 4294967296 AS tile_y "
+        "FROM (SELECT DISTINCT tile FROM t)), "
+        f"ctr AS (SELECT tile, {clon6} AS clon, {clat6} AS clat FROM c), "
+        f"m AS (SELECT tile FROM ctr WHERE "
+        f"{synth.raycast_contains_sql(ADMIN_POLYS[1], 'clon', 'clat')}) "
+        "SELECT t.tile, count(*) AS doc_count FROM t JOIN m USING (tile) GROUP BY 1"
+    )
+
+    s2_assign_sql = cells_s2.cell_id_sql(docs, level=6)
+    s2_centers_sql = cells_s2.cell_center_sql("SELECT s2_cell FROM agg", level=6)
+    # h referenced once (pre-aggregated) and ctr MATERIALIZED: the unrolled
+    # Hilbert chains explode DuckDB's CTE inlining if the raycast WHERE
+    # re-expands clon/clat per polygon edge (measured: planner hang)
+    s2_zonal = (
+        f"WITH h AS ({s2_assign_sql}), "
+        "agg AS (SELECT s2_cell, count(*) AS doc_count FROM h GROUP BY 1), "
+        f"ctr AS MATERIALIZED ({s2_centers_sql}) "
+        "SELECT agg.s2_cell, agg.doc_count FROM agg JOIN "
+        f"(SELECT s2_cell FROM ctr WHERE "
+        f"{synth.raycast_contains_sql(ADMIN_POLYS[1], 'clon', 'clat')}) m "
+        "USING (s2_cell)"
+    )
+
     return {
         "q_hex_assign": hex_assign,
         "q_hex_zonal": hex_zonal,
+        "q_tile_zonal": tile_zonal,
+        "q_s2_zonal": s2_zonal,
         "q3_shipping": q3,
         "q_extract_invariant": extract_invariant,
         "q_minhash_near_dup": HS.shingle_jaccard_pairs_sql(5, 0.5),

@@ -245,3 +245,64 @@ def ring_min_distance_m(lat: float, zoom: int, k: int) -> float:
     m_per_deg_lon = m_per_deg_lat * max(math.cos(math.radians(abs(lat) + tile_deg_lon)), 1e-6)
     tile_m = min(tile_deg_lon * m_per_deg_lon, tile_deg_lon * m_per_deg_lat)
     return k * tile_m
+
+
+def tile_center(x: int, y: int, zoom: int) -> tuple[float, float]:
+    """(lon, lat) of the tile's mercator midpoint ((x+0.5, y+0.5) inverse-
+    projected) — the standard web-mercator tile center."""
+    n = 2.0**zoom
+    lon = (x + 0.5) / n * 360.0 - 180.0
+    lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 0.5) / n))))
+    return lon, lat
+
+
+def tile_center_sql(zoom: int, x_sql: str = "tile_x", y_sql: str = "tile_y") -> tuple[str, str]:
+    """(clon, clat) SQL twins of tile_center — identical arithmetic so a
+    DuckDB oracle recomputes centers bit-for-bit (modulo 1-ulp trig)."""
+    n = float(2.0**zoom)
+    clon = f"(({x_sql} + 0.5) / {n!r} * 360.0 - 180.0)"
+    t = f"(pi() * (1 - 2 * ({y_sql} + 0.5) / {n!r}))"
+    # DuckDB has no sinh(): (e^t - e^-t)/2 differs from math.sinh by ≤1 ulp,
+    # far inside the raycast margins the center-membership oracles rely on
+    clat = f"degrees(atan((exp({t}) - exp(-{t})) / 2))"
+    return clon, clat
+
+
+def tile_polyfill(
+    boundary: np.ndarray, zoom: int, mode: str = "center"
+) -> list[tuple[int, int]]:
+    """Tiles covering a boundary polygon (reference MercatorTiles.from_
+    polygon role, mercator_tiles.py): bbox candidates, then
+      mode='center'      keeps tiles whose mercator center is inside
+      mode='intersects'  keeps tiles whose box intersects the polygon
+    (exact box-vs-simple-polygon test — non-convex boundaries allowed)."""
+    from .geometry import point_in_polygon
+
+    b = np.asarray(boundary, dtype=np.float64)
+    cand = bbox_cover(
+        float(b[:, 0].min()), float(b[:, 1].min()),
+        float(b[:, 0].max()), float(b[:, 1].max()), zoom,
+    )
+    if not cand:
+        return []
+    if mode == "center":
+        ctr = np.array([tile_center(x, y, zoom) for x, y in cand])
+        keep = point_in_polygon(b, ctr[:, 0], ctr[:, 1])
+        return [t for t, k in zip(cand, keep) if k]
+    if mode == "intersects":
+        from .operators.overlay import _box_intersects_poly_np
+
+        bb = np.array([tile_bounds(x, y, zoom) for x, y in cand])
+        keep = _box_intersects_poly_np(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], b)
+        return [t for t, k in zip(cand, keep) if k]
+    raise ValueError(f"unknown polyfill mode {mode!r}")
+
+
+def tile_area_m2(x: int, y: int, zoom: int, radius_m: float = 6371e3) -> float:
+    """Exact spherical area of the tile's lon/lat box:
+    R² · Δλ · (sin φmax − sin φmin)."""
+    min_lon, min_lat, max_lon, max_lat = tile_bounds(x, y, zoom)
+    dlam = math.radians(max_lon - min_lon)
+    return radius_m * radius_m * dlam * (
+        math.sin(math.radians(max_lat)) - math.sin(math.radians(min_lat))
+    )

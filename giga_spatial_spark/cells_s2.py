@@ -322,3 +322,148 @@ def neighbors(cid: int) -> np.ndarray:
         lat, lon = _face_uv_to_latlon(face, u, v)
         out.append(int(cell_id(lat, lon, level)[0]))
     return np.array(sorted(set(out)), dtype=np.int64)
+
+
+def assign_cells_df(points, level: int, lon: str = "lon", lat: str = "lat",
+                    out_col: str = "s2_cell"):
+    """points DataFrame → + s2_cell column (Arrow-batched numpy kernel —
+    the Hilbert state machine is branch-heavy, so unlike the hex/mercator
+    grids there is no native-column twin; the batch kernel amortizes it)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(points.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf.copy()
+            out[out_col] = cell_id(
+                pdf[lat].to_numpy(np.float64), pdf[lon].to_numpy(np.float64),
+                level,
+            )
+            yield out
+
+    return points.mapInPandas(kernel, schema=schema)
+
+
+def polyfill(boundary: np.ndarray, level: int, mode: str = "center") -> np.ndarray:
+    """Cells of `level` covering a boundary polygon (reference
+    S2ViewGenerator source polyfill role, generators/zonal/s2.py): candidate
+    cells come from a deterministic bbox sample grid at ≤ quarter-cell step
+    (every cell overlapping the bbox receives ≥1 sample), then
+      mode='center'      keeps cells whose CENTER is inside the polygon
+      mode='intersects'  keeps cells whose quad intersects the polygon.
+    Driver-side like the reference's RegionCoverer usage — covers are dims."""
+    from .geometry import point_in_polygon
+    from .operators.overlay import polygons_intersect
+
+    b = np.asarray(boundary, dtype=np.float64)
+    minx, miny = b[:, 0].min(), b[:, 1].min()
+    maxx, maxy = b[:, 0].max(), b[:, 1].max()
+    # face spans ~90° over st∈[0,1] → cell angular size ≈ 90/2^level
+    step = max(90.0 / (1 << level) / 4.0, 1e-4)
+    xs = np.arange(minx - step, maxx + 2 * step, step)
+    ys = np.arange(miny - step, maxy + 2 * step, step)
+    gx, gy = np.meshgrid(xs, ys)
+    cand = np.unique(cell_id(gy.ravel(), gx.ravel(), level))
+    keep = []
+    for cid in cand:
+        if mode == "center":
+            lat, lon = cell_center_latlon(int(cid))
+            if point_in_polygon(b, np.array([lon]), np.array([lat]))[0]:
+                keep.append(int(cid))
+        elif mode == "intersects":
+            if polygons_intersect(cell_polygon(int(cid)), b):
+                keep.append(int(cid))
+        else:
+            raise ValueError(f"unknown polyfill mode {mode!r}")
+    return np.array(sorted(keep), dtype=np.int64)
+
+
+def cell_center_sql(src: str, level: int, cell_col: str = "s2_cell") -> str:
+    """DuckDB SQL recomputing cell_center_latlon per row of ``src`` (a query
+    exposing `cell_col`) → SELECT {cell_col}, clat, clon. The exact inverse
+    of cell_id_sql: unpack face/pos, unrolled inverse-Hilbert rounds (same
+    orientation state machine, POS_TO_IJ direction), inverse quadratic
+    st→uv, face frame → atan2 lat/lon. Powers center-mode polyfill oracles
+    (q_s2_zonal) the same way the hex oracle inverts the axial transform."""
+    n = 1 << level
+    f_shift = 1 << (2 * MAX_LEVEL + 1)
+    p_shift = 1 << (2 * (MAX_LEVEL - level) + 1)
+    pos_mask = (1 << (2 * level)) - 1
+    # (o, p) -> (quad, next_o)
+    trans = {}
+    for o in range(4):
+        for p in range(4):
+            quad = int(_POS_TO_IJ[o, p])
+            trans[o, p] = (quad, o ^ int(_POS_TO_ORIENTATION[p]))
+    rounds = []
+    for idx in range(level):
+        k = level - 1 - idx
+        p_expr = f"((pos >> {2 * k}) & 3)"
+        prev = "d0" if idx == 0 else f"d{idx}"
+        quad_cases = " ".join(
+            f"WHEN {o * 4 + p} THEN {trans[o, p][0]}"
+            for o in range(4)
+            for p in range(4)
+        )
+        o_cases = " ".join(
+            f"WHEN {o * 4 + p} THEN {trans[o, p][1]}"
+            for o in range(4)
+            for p in range(4)
+        )
+        prev_i = "0" if idx == 0 else f"i{idx}"
+        prev_j = "0" if idx == 0 else f"j{idx}"
+        prev_o = "o0" if idx == 0 else f"o{idx}"
+        # two CTEs per round so each big CASE appears exactly once — a
+        # single-CTE form repeats the quad CASE for i and j, and CTE
+        # inlining then blows the expression tree up exponentially with
+        # level (measured: DuckDB planning hangs at level 6)
+        rounds.append(
+            f"q{idx} AS (SELECT *, "
+            f"CASE {prev_o} * 4 + {p_expr} {quad_cases} END AS quad{idx}, "
+            f"CASE {prev_o} * 4 + {p_expr} {o_cases} END AS o{idx + 1} "
+            f"FROM {prev})"
+        )
+        rounds.append(
+            f"d{idx + 1} AS (SELECT *, "
+            f"{prev_i} * 2 + (quad{idx} >> 1) AS i{idx + 1}, "
+            f"{prev_j} * 2 + (quad{idx} & 1) AS j{idx + 1} "
+            f"FROM q{idx})"
+        )
+    rounds_sql = ",\n".join(rounds)
+    uv = (
+        "CASE WHEN {s} >= 0.5 THEN (4 * {s} * {s} - 1) / 3.0 "
+        "ELSE (1 - 4 * (1 - {s}) * (1 - {s})) / 3.0 END"
+    )
+    return f"""
+WITH cellsrc AS ({src}),
+u64 AS (SELECT {cell_col},
+  (CASE WHEN {cell_col} < 0 THEN {cell_col}::HUGEINT + {1 << 64}::HUGEINT
+        ELSE {cell_col}::HUGEINT END) AS uid FROM cellsrc),
+d0 AS (SELECT {cell_col},
+  (uid // {f_shift})::BIGINT AS face,
+  ((uid // {p_shift}) % {pos_mask + 1})::BIGINT AS pos,
+  CASE WHEN (uid // {f_shift})::BIGINT % 2 = 1 THEN {_SWAP_MASK} ELSE 0 END AS o0
+  FROM u64),
+{rounds_sql},
+st AS (SELECT {cell_col}, face,
+  (i{level} + 0.5) / {n} AS s, (j{level} + 0.5) / {n} AS t FROM d{level}),
+uvq AS (SELECT {cell_col}, face, {uv.format(s='s')} AS u, {uv.format(s='t')} AS v FROM st),
+xyz AS MATERIALIZED (SELECT {cell_col},
+  CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -u WHEN 2 THEN -u
+            WHEN 3 THEN -1.0 WHEN 4 THEN v ELSE v END AS x,
+  CASE face WHEN 0 THEN u WHEN 1 THEN 1.0 WHEN 2 THEN -v
+            WHEN 3 THEN -v WHEN 4 THEN -1.0 ELSE u END AS y,
+  CASE face WHEN 0 THEN v WHEN 1 THEN v WHEN 2 THEN 1.0
+            WHEN 3 THEN -u WHEN 4 THEN -u ELSE -1.0 END AS z
+  FROM uvq)
+SELECT {cell_col},
+  degrees(atan2(z, sqrt(x * x + y * y))) AS clat,
+  degrees(atan2(y, x)) AS clon
+FROM xyz
+"""

@@ -320,3 +320,241 @@ class ZonalViewGenerator:
 
     def save_view(self, path: str, fmt: str = "parquet") -> str:
         return _save_view(self._view, path, fmt, self.to_feature_table)
+
+
+class MercatorViewGenerator:
+    """Web-mercator tile zonal view (reference MercatorViewGenerator,
+    generators/zonal/mercator.py): zones are the tiles polyfilling a
+    boundary polygon at a zoom; enrichment aggregates points/rasters per
+    tile. The reference call shape
+        MercatorViewGenerator(source=boundary, zoom=9).map_points(...)
+    ports to
+        MercatorViewGenerator(spark, boundary, zoom=9).map_points(...)
+    Tile assignment is pure native column math (cells.tile_id — codegen,
+    no UDF), so the big point side never leaves the JVM."""
+
+    def __init__(self, spark, boundary, zoom: int = 7,
+                 contain_mode: str = "center"):
+        from . import cells
+
+        self.spark = spark
+        self.zoom = zoom
+        self.tiles = cells.tile_polyfill(boundary, zoom, mode=contain_mode)
+        rows = []
+        for x, y in self.tiles:
+            lon_c, lat_c = cells.tile_center(x, y, zoom)
+            rows.append(
+                (
+                    int(cells.pack_tile(x, y)), int(x), int(y),
+                    float(lon_c), float(lat_c),
+                    float(cells.tile_area_m2(x, y, zoom)),
+                )
+            )
+        self.zones_dim = spark.createDataFrame(
+            rows,
+            "tile bigint, tile_x bigint, tile_y bigint, "
+            "center_lon double, center_lat double, area_m2 double",
+        )
+        self._view = self.zones_dim
+
+    def _cell_col(self, lon, lat):
+        from . import cells
+
+        return cells.tile_id(lon, lat, self.zoom)
+
+    def map_points(self, points: DataFrame, aggregation: str = "count",
+                   value_columns=None, lon: str = "lon", lat: str = "lat",
+                   suffix: str = "") -> "MercatorViewGenerator":
+        """Per-tile point aggregation, reference fill rules (0 for counts,
+        NULL otherwise)."""
+        from .operators.zonal import agg_exprs
+
+        exprs, meta = agg_exprs(aggregation, value_columns, suffix)
+        tagged = points.withColumn("tile", self._cell_col(F.col(lon), F.col(lat)))
+        agged = tagged.groupBy("tile").agg(*exprs)
+        out = self._view.join(F.broadcast(agged), "tile", "left")
+        for name, fn in meta:
+            if fn == "count":
+                out = out.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0)).cast("long")
+                )
+        self._view = out
+        return self
+
+    def map_rasters(self, pixels: DataFrame, stats=("count", "mean"),
+                    value_col: str = "value") -> "MercatorViewGenerator":
+        from .operators.zonal import _AGG_FNS
+
+        valid = pixels.where(F.col(value_col).isNotNull()).withColumn(
+            "tile", self._cell_col(F.col("lon"), F.col("lat"))
+        )
+        exprs = [_AGG_FNS[s](F.col(value_col)).alias(f"{value_col}_{s}") for s in stats]
+        agged = valid.groupBy("tile").agg(*exprs)
+        out = self._view.join(F.broadcast(agged), "tile", "left")
+        if "count" in stats:
+            out = out.withColumn(
+                f"{value_col}_count",
+                F.coalesce(F.col(f"{value_col}_count"), F.lit(0)).cast("long"),
+            )
+        self._view = out
+        return self
+
+    def with_density(self, count_col: str, out_col: str | None = None
+                     ) -> "MercatorViewGenerator":
+        """Per-km² density from the EXACT spherical tile area
+        (R²·Δλ·Δsinφ — mercator tiles shrink with |latitude|, so the naive
+        constant-area-per-zoom assumption would bias densities)."""
+        out_col = out_col or f"{count_col}_per_km2"
+        self._view = self._view.withColumn(
+            out_col, F.col(count_col) / (F.col("area_m2") / F.lit(1e6))
+        )
+        return self
+
+    def to_dataframe(self) -> DataFrame:
+        return self._view
+
+    def to_feature_table(self) -> DataFrame:
+        """Tile view → Polygon features (tile lon/lat boxes)."""
+        from . import cells
+
+        rings = self.spark.createDataFrame(
+            [
+                (
+                    int(cells.pack_tile(x, y)),
+                    [[[bx[0], bx[1]], [bx[2], bx[1]], [bx[2], bx[3]], [bx[0], bx[3]]]],
+                )
+                for x, y in self.tiles
+                for bx in [cells.tile_bounds(x, y, self.zoom)]
+            ],
+            "tile bigint, rings array<array<array<double>>>",
+        )
+        joined = self._view.join(F.broadcast(rings), "tile")
+        return joined.select(
+            F.lit("Polygon").alias("geom_type"),
+            "rings",
+            _props_expr(self._view, ("center_lon", "center_lat", "area_m2")),
+        )
+
+    def save_view(self, path: str, fmt: str = "parquet") -> str:
+        return _save_view(self._view, path, fmt, self.to_feature_table)
+
+
+class S2ViewGenerator:
+    """S2-cell zonal view (reference S2ViewGenerator, generators/zonal/
+    s2.py): zones are the S2 cells polyfilling a boundary polygon at a
+    level. Cell assignment for the point side runs through the Arrow-batched
+    Hilbert kernel (cells_s2.assign_cells_df); the cell dim (polyfill) is
+    driver-computed like the reference's RegionCoverer."""
+
+    def __init__(self, spark, boundary, level: int = 8,
+                 contain_mode: str = "center"):
+        from . import cells_s2
+
+        self.spark = spark
+        self.level = level
+        self.cells = cells_s2.polyfill(boundary, level, mode=contain_mode)
+        rows = []
+        for c in self.cells:
+            lat_c, lon_c = cells_s2.cell_center_latlon(int(c))
+            rows.append((int(c), float(lon_c), float(lat_c)))
+        self.zones_dim = spark.createDataFrame(
+            rows, "s2_cell long, center_lon double, center_lat double"
+        )
+        self._view = self.zones_dim
+
+    def _assign(self, points: DataFrame, lon: str, lat: str) -> DataFrame:
+        from . import cells_s2
+
+        return cells_s2.assign_cells_df(points, self.level, lon=lon, lat=lat)
+
+    def map_points(self, points: DataFrame, aggregation: str = "count",
+                   value_columns=None, lon: str = "lon", lat: str = "lat",
+                   suffix: str = "") -> "S2ViewGenerator":
+        from .operators.zonal import agg_exprs
+
+        exprs, meta = agg_exprs(aggregation, value_columns, suffix)
+        tagged = self._assign(points, lon, lat)
+        agged = tagged.groupBy("s2_cell").agg(*exprs)
+        out = self._view.join(F.broadcast(agged), "s2_cell", "left")
+        for name, fn in meta:
+            if fn == "count":
+                out = out.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0)).cast("long")
+                )
+        self._view = out
+        return self
+
+    def map_rasters(self, pixels: DataFrame, stats=("count", "mean"),
+                    value_col: str = "value") -> "S2ViewGenerator":
+        from .operators.zonal import _AGG_FNS
+
+        valid = self._assign(
+            pixels.where(F.col(value_col).isNotNull()), "lon", "lat"
+        )
+        exprs = [_AGG_FNS[s](F.col(value_col)).alias(f"{value_col}_{s}") for s in stats]
+        agged = valid.groupBy("s2_cell").agg(*exprs)
+        out = self._view.join(F.broadcast(agged), "s2_cell", "left")
+        if "count" in stats:
+            out = out.withColumn(
+                f"{value_col}_count",
+                F.coalesce(F.col(f"{value_col}_count"), F.lit(0)).cast("long"),
+            )
+        self._view = out
+        return self
+
+    def with_density(self, count_col: str, out_col: str | None = None
+                     ) -> "S2ViewGenerator":
+        """Per-km² density from each cell's exact quad area (UTM-exact
+        planar area of the cell polygon via functions.geo — S2 cells at a
+        level vary ~2× in ground area across a face)."""
+        import numpy as np
+
+        from . import cells_s2
+        from .geometry import polygon_area
+
+        # per-cell spherical quad area via the girard/planar hybrid: the
+        # cell polygons are small at usable levels, so the equirectangular
+        # planar area at the cell's own latitude is exact to ~1e-4
+        rows = []
+        for c in self.cells:
+            poly = cells_s2.cell_polygon(int(c))
+            lat_c = float(np.mean(poly[:, 1]))
+            coslat = float(np.cos(np.radians(lat_c)))
+            scaled = np.column_stack([poly[:, 0] * coslat, poly[:, 1]])
+            deg2_m2 = (111_194.92664455873) ** 2  # (π·R/180)² — meters per degree²
+            rows.append((int(c), polygon_area(scaled) * deg2_m2))
+        areas = self.spark.createDataFrame(rows, "s2_cell long, __area_m2 double")
+        out_col = out_col or f"{count_col}_per_km2"
+        self._view = (
+            self._view.join(F.broadcast(areas), "s2_cell", "left")
+            .withColumn(out_col, F.col(count_col) / (F.col("__area_m2") / F.lit(1e6)))
+            .drop("__area_m2")
+        )
+        return self
+
+    def to_dataframe(self) -> DataFrame:
+        return self._view
+
+    def to_feature_table(self) -> DataFrame:
+        """S2 view → Polygon features (cell quads, CCW)."""
+        from . import cells_s2
+
+        rings = self.spark.createDataFrame(
+            [
+                (
+                    int(c),
+                    [[[float(x), float(y)] for x, y in cells_s2.cell_polygon(int(c))]],
+                )
+                for c in self.cells
+            ],
+            "s2_cell long, rings array<array<array<double>>>",
+        )
+        joined = self._view.join(F.broadcast(rings), "s2_cell")
+        return joined.select(
+            F.lit("Polygon").alias("geom_type"),
+            "rings",
+            _props_expr(self._view, ("center_lon", "center_lat")),
+        )
+
+    def save_view(self, path: str, fmt: str = "parquet") -> str:
+        return _save_view(self._view, path, fmt, self.to_feature_table)

@@ -159,3 +159,76 @@ def test_readers_roundtrip(spark):
         write_dataset(df, path, fmt=fmt)
         back = read_dataset(spark, path)
         assert back.count() == 10
+
+
+# ----------------------------------------- S2 / Mercator view generators (r4)
+def test_mercator_view_generator(spark, tmp_path):
+    import numpy as np
+
+    from giga_spatial_spark import cells
+    from giga_spatial_spark.sources.readers import read_dataset
+    from giga_spatial_spark.views import MercatorViewGenerator
+
+    boundary = np.array([[0.0, 0.0], [40.0, 0.0], [40.0, 30.0], [0.0, 30.0]])
+    gen = MercatorViewGenerator(spark, boundary, zoom=4)
+    assert len(gen.tiles) > 0
+    # every polyfill tile center is inside the boundary (center mode)
+    for x, y in gen.tiles:
+        lon_c, lat_c = cells.tile_center(x, y, 4)
+        assert 0 <= lon_c <= 40 and 0 <= lat_c <= 30
+    pts = spark.createDataFrame(
+        [(i, 5.0 + i, 10.0) for i in range(10)], "pid long, lon double, lat double"
+    )
+    gen.map_points(pts).with_density("point_count")
+    view = gen.to_dataframe().toPandas()
+    assert view["point_count"].sum() == 10
+    assert (view["point_count_per_km2"] >= 0).all()
+    # 0-filled counts for empty tiles
+    assert (view["point_count"] == 0).any()
+    # intersects mode is a superset of center mode
+    gen2 = MercatorViewGenerator(spark, boundary, zoom=4, contain_mode="intersects")
+    assert set(gen.tiles) <= set(gen2.tiles)
+    # geo export roundtrip
+    path = str(tmp_path / "tiles.geojson")
+    gen.save_view(path, fmt="geojson")
+    back = read_dataset(spark, path).collect()
+    assert len(back) == len(gen.tiles)
+    assert all(r["geom_type"] == "Polygon" for r in back)
+
+
+def test_s2_view_generator(spark, tmp_path):
+    import numpy as np
+
+    from giga_spatial_spark import cells_s2
+    from giga_spatial_spark.geometry import point_in_polygon
+    from giga_spatial_spark.sources.readers import read_dataset
+    from giga_spatial_spark.views import S2ViewGenerator
+
+    boundary = np.array([[0.0, 0.0], [30.0, 0.0], [30.0, 25.0], [0.0, 25.0]])
+    gen = S2ViewGenerator(spark, boundary, level=5)
+    assert len(gen.cells) > 0
+    for c in gen.cells:
+        lat_c, lon_c = cells_s2.cell_center_latlon(int(c))
+        assert point_in_polygon(boundary, np.array([lon_c]), np.array([lat_c]))[0]
+    pts = spark.createDataFrame(
+        [(i, 10.0 + i * 0.5, 12.0) for i in range(8)],
+        "pid long, lon double, lat double",
+    )
+    gen.map_points(pts).with_density("point_count")
+    view = gen.to_dataframe().toPandas()
+    assert view["point_count"].sum() == 8
+    assert (view.loc[view["point_count"] > 0, "point_count_per_km2"] > 0).all()
+    # raster enrichment path
+    pix = spark.createDataFrame(
+        [(10.0, 12.0, 5.0), (11.0, 12.5, 7.0), (200.0, 12.0, None)],
+        "lon double, lat double, value double",
+    )
+    gen.map_rasters(pix, stats=("count", "mean"))
+    v2 = gen.to_dataframe().toPandas()
+    assert v2["value_count"].sum() == 2  # nodata + out-of-view dropped
+    # geo export
+    path = str(tmp_path / "s2.gpkg")
+    gen.save_view(path, fmt="gpkg")
+    back = read_dataset(spark, path).collect()
+    assert len(back) == len(gen.cells)
+    assert all(len(r["rings"][0]) == 4 for r in back)  # quads
