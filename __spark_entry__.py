@@ -618,6 +618,69 @@ def q_geotiff_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOLL_W, MOLL_H, MOLL_DX = 180, 140, 15000.0
+
+
+def _mollweide_anchor() -> tuple[float, float]:
+    """Top-left Mollweide (x0, y1) of the fixture grid: centered on zone 2's
+    centroid, computed with the from-scratch forward projection."""
+    import numpy as np
+
+    from giga_spatial_spark.functions import mollweide as M
+
+    cx, cy = polygon_centroid(ADMIN_POLYS[2])
+    x, y = M.forward(np.array([cx]), np.array([cy]))
+    return (
+        float(x[0]) - MOLL_W / 2 * MOLL_DX,
+        float(y[0]) + MOLL_H / 2 * MOLL_DX,
+    )
+
+
+def q_geotiff_mollweide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected-CRS raster ingest (reference GHSL Mollweide tiles,
+    handlers/ghsl.py:78-152): a deterministic GeoTIFF whose geotransform is
+    ESRI:54009 METERS (GeoKeyDirectory-tagged) is decoded strip-parallel,
+    pixel centers inverse-projected to lon/lat (functions/mollweide,
+    closed-form), then the same zonal flow as q_geotiff_zonal. The oracle
+    replays the grid, the Mollweide inverse (mollweide.inverse_sql) and the
+    zone predicates in SQL."""
+    import getpass
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    x0, y1 = _mollweide_anchor()
+    params = (
+        f"moll_v1|w={MOLL_W}|h={MOLL_H}|x0={x0!r}|y1={y1!r}|dx={MOLL_DX!r}|"
+        "vals=(px*31+py*17+1)%997/10|nodata=(px*7+py*13)%23==0:-9999"
+    )
+    key = hashlib.sha256(params.encode()).hexdigest()[:16]
+    path = f"/tmp/spark_graft_geotiff_{getpass.getuser()}/moll_{key}.tif"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        px = np.arange(MOLL_W)[None, :]
+        row = np.arange(MOLL_H)[:, None]
+        vals = ((px * 31 + row * 17 + 1) % 997) / 10.0
+        vals = np.where((px * 7 + row * 13) % 23 == 0, -9999.0, vals)
+        write_tiff(
+            path + ".tmp", vals, lon0=x0, lat1=y1, dx=MOLL_DX, dy=MOLL_DX,
+            nodata=-9999.0, crs="ESRI:54009",
+        )
+        os.replace(path + ".tmp", path)
+    pixels = tiff_pixel_table(spark, path)
+    valid = pixels.where(F.col("value").isNotNull())
+    matches = pip_join_native(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    return matches.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("px_count"),
+        (F.sum(F.round(F.col("value") * 10).cast("bigint")) / 10.0).alias("v_sum"),
+        F.round(F.min("value"), 1).alias("v_min"),
+        F.round(F.max("value"), 1).alias("v_max"),
+    )
+
+
 def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point sampling of the raster (reference tif_processor.py:958-1006):
     doc points → containing-pixel equi-join."""
@@ -1252,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_strings": q_normalize_strings,
         "q_zonal_raster": q_zonal_raster,
         "q_geotiff_zonal": q_geotiff_zonal,
+        "q_geotiff_mollweide": q_geotiff_mollweide,
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
         "q_raster_bilinear": q_raster_bilinear,
@@ -1618,6 +1682,32 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY 1"
     )
 
+    from giga_spatial_spark.functions import mollweide as _M
+
+    mx0, my1 = _mollweide_anchor()
+    mx_sql = f"({mx0!r} + ((i % {MOLL_W}) + 0.5) * {MOLL_DX!r})"
+    my_sql = f"({my1!r} - ((i // {MOLL_W}) + 0.5) * {MOLL_DX!r})"
+    mlon_sql, mlat_sql = _M.inverse_sql(mx_sql, my_sql)
+    moll_val = (
+        f"CASE WHEN ((i % {MOLL_W}) * 7 + (i // {MOLL_W}) * 13) % 23 = 0 "
+        f"THEN NULL ELSE (((i % {MOLL_W}) * 31 + (i // {MOLL_W}) * 17 + 1) % 997) / 10.0 END"
+    )
+    moll_pip = " UNION ALL ".join(
+        f"SELECT {zid} AS zone_id, r.value FROM valid r WHERE "
+        + synth.convex_contains_sql(poly, "r.lon", "r.lat")
+        for zid, poly in sorted(ADMIN_POLYS.items())
+    )
+    moll_zonal = (
+        f"WITH raster AS (SELECT {moll_val} AS value, {mlon_sql} AS lon, "
+        f"{mlat_sql} AS lat FROM range({MOLL_W * MOLL_H}) t(i)), "
+        "valid AS MATERIALIZED (SELECT * FROM raster WHERE value IS NOT NULL), "
+        f"m AS ({moll_pip}) "
+        "SELECT zone_id, count(*) AS px_count, "
+        "sum(cast(round(value * 10, 0) as bigint)) / 10.0 AS v_sum, "
+        "round(min(value), 1) AS v_min, round(max(value), 1) AS v_max "
+        "FROM m GROUP BY zone_id"
+    )
+
     clon6, clat6 = cells.tile_center_sql(6, "tile_x", "tile_y")
     tile_zonal = (
         f"WITH d AS ({docs}), "
@@ -1675,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "q_grid_filter": grid_filter,
         "q_zonal_raster": zonal_raster,
         "q_geotiff_zonal": zonal_raster,
+        "q_geotiff_mollweide": moll_zonal,
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
         "q_raster_bilinear": raster_bilinear,

@@ -61,6 +61,11 @@ class TiffMeta:
     # tile order and rows_per_strip is unused
     tile_width: int = 0
     tile_length: int = 0
+    # CRS from the GeoKeyDirectory (34735): "EPSG:4326" (default — the
+    # geotransform is lon/lat degrees) or a projected system like
+    # "ESRI:54009" (geotransform in projection meters; the pixel table
+    # inverse-projects centers to lon/lat)
+    crs: str = "EPSG:4326"
 
     @property
     def tiles_across(self) -> int:
@@ -147,6 +152,22 @@ def read_tiff_meta(path: str) -> TiffMeta:
         if spp > 1 and planar != 1:
             raise ValueError("multi-band TIFFs must be chunky-interleaved (PlanarConfiguration=1)")
         nod = tags.get(42113)
+        # GeoKeyDirectory (SHORT array): header [ver, rev, minor, nkeys]
+        # then 4-short entries [KeyID, TagLocation, Count, Value]
+        crs = "EPSG:4326"
+        gk = tags.get(34735)
+        if gk:
+            keys = {}
+            nkeys = int(gk[3]) if len(gk) >= 4 else 0
+            for ki in range(nkeys):
+                base = 4 + 4 * ki
+                if base + 4 <= len(gk) and int(gk[base + 1]) == 0:
+                    keys[int(gk[base])] = int(gk[base + 3])
+            if keys.get(1024) == 1:  # projected
+                code = keys.get(3072, 0)
+                crs = "ESRI:54009" if code == 54009 else f"EPSG:{code}"
+            elif keys.get(1024) == 2:  # geographic
+                crs = f"EPSG:{keys.get(2048, 4326)}"
         return TiffMeta(
             path=path, width=width, height=height, bits=bits,
             sample_format=sample_format, compression=compression,
@@ -161,6 +182,7 @@ def read_tiff_meta(path: str) -> TiffMeta:
             samples_per_pixel=spp,
             tile_width=tile_w,
             tile_length=tile_l,
+            crs=crs,
         )
 
 
@@ -202,6 +224,11 @@ def tiff_pixel_table(
     )
 
     meta = read_tiff_meta(path)
+    if meta.crs not in ("EPSG:4326", "ESRI:54009"):
+        raise ValueError(
+            f"unsupported raster CRS {meta.crs!r} — supported: EPSG:4326 "
+            "(geographic) and ESRI:54009 (Mollweide, the GHSL grid)"
+        )
     bc = spark.sparkContext.broadcast(meta)
     schema = StructType(
         [
@@ -240,6 +267,14 @@ def tiff_pixel_table(
                     lon = m.lon0 + (px + 0.5) * m.dx
                     lat = m.lat1 - (r[:, None] + 0.5) * m.dy
                     shape2 = arr.shape[:2]
+                    if m.crs == "ESRI:54009":
+                        # geotransform is Mollweide meters: inverse-project
+                        # pixel centers to lon/lat (functions/mollweide)
+                        from ..functions import mollweide as _moll
+
+                        xm = np.broadcast_to(lon, shape2)
+                        ym = np.broadcast_to(lat, shape2)
+                        lon, lat = _moll.inverse(xm, ym)
                     for s in range(arr.shape[2]):
                         vals = arr[:, :, s]
                         if m.nodata is not None:
@@ -278,6 +313,7 @@ def write_tiff(
     rows_per_strip: int = 64,
     compression: int = 8,
     tile_size: tuple[int, int] | None = None,
+    crs: str | None = None,
 ) -> str:
     """Minimal GeoTIFF writer (float64 samples, strip layout or COG-style
     tiles via tile_size=(width, length), optional DEFLATE; 2-d array →
@@ -331,6 +367,20 @@ def write_tiff(
     add(339, 3, [3] * spp)
     add(33550, 12, [dx, dy, 0.0])
     add(33922, 12, [0.0, 0.0, 0.0, lon0, lat1, 0.0])
+    if crs is not None:
+        # GeoKeyDirectory: version header + (KeyID, loc, count, value) rows
+        if crs == "ESRI:54009":
+            keys = [(1024, 0, 1, 1), (3072, 0, 1, 54009)]
+        elif crs.upper() == "EPSG:4326":
+            keys = [(1024, 0, 1, 2), (2048, 0, 1, 4326)]
+        elif crs.upper().startswith("EPSG:"):  # projected EPSG code
+            keys = [(1024, 0, 1, 1), (3072, 0, 1, int(crs.split(":")[1]))]
+        else:
+            raise ValueError(f"unsupported crs {crs!r}")
+        shorts = [1, 1, 0, len(keys)]
+        for row in keys:
+            shorts.extend(row)
+        add(34735, 3, shorts)
     if nodata is not None:
         nd = (repr(float(nodata)) + "\x00").encode("ascii")
         add(42113, 2, nd)

@@ -116,3 +116,73 @@ def test_big_endian_rejection_and_errors(tmp_path):
         f.write(b"XX\x00\x00garbage")
     with pytest.raises(ValueError, match="not a TIFF"):
         read_tiff_meta(p)
+
+
+# --------------------------------------------------- projected CRS (r4)
+def test_mollweide_forward_inverse_roundtrip():
+    import numpy as np
+
+    from giga_spatial_spark.functions import mollweide as M
+
+    rng = np.random.RandomState(4)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-89, 89, 500)
+    x, y = M.forward(lon, lat)
+    lon2, lat2 = M.inverse(x, y)
+    assert np.max(np.abs(lon2 - lon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+    # fixed points of the projection
+    xe, _ = M.forward(np.array([180.0]), np.array([0.0]))
+    assert abs(xe[0] - 2 * 2**0.5 * M.R_MOLLWEIDE) < 1e-3
+    _, yp = M.forward(np.array([0.0]), np.array([90.0]))
+    assert abs(yp[0] - 2**0.5 * M.R_MOLLWEIDE) < 1e-3
+
+
+def test_geokey_crs_roundtrip_and_mollweide_pixels(spark, tmp_path):
+    import numpy as np
+
+    from giga_spatial_spark.functions import mollweide as M
+    from giga_spatial_spark.sources.geotiff import (
+        read_tiff_meta,
+        tiff_pixel_table,
+        write_tiff,
+    )
+
+    # explicit EPSG:4326 geokeys and no geokeys both read as 4326
+    p = str(tmp_path / "geo.tif")
+    write_tiff(p, np.ones((2, 3)), lon0=0, lat1=1, dx=1, dy=1, crs="EPSG:4326")
+    assert read_tiff_meta(p).crs == "EPSG:4326"
+    p2 = str(tmp_path / "bare.tif")
+    write_tiff(p2, np.ones((2, 3)), lon0=0, lat1=1, dx=1, dy=1)
+    assert read_tiff_meta(p2).crs == "EPSG:4326"
+    # mollweide-tagged file: pixel centers inverse-project to lon/lat
+    x0, y1 = M.forward(np.array([20.0]), np.array([10.0]))
+    pm = str(tmp_path / "moll.tif")
+    write_tiff(
+        pm, np.arange(12.0).reshape(3, 4),
+        lon0=float(x0[0]), lat1=float(y1[0]), dx=1000.0, dy=1000.0,
+        crs="ESRI:54009",
+    )
+    meta = read_tiff_meta(pm)
+    assert meta.crs == "ESRI:54009"
+    pdf = tiff_pixel_table(spark, pm).toPandas()
+    elon, elat = M.inverse(
+        float(x0[0]) + 0.5 * 1000.0, float(y1[0]) - 0.5 * 1000.0
+    )
+    got = pdf[(pdf.px == 0) & (pdf.py == 2)].iloc[0]
+    assert abs(got.lon - float(elon)) < 1e-9
+    assert abs(got.lat - float(elat)) < 1e-9
+    # values decode unchanged under a projected transform
+    assert sorted(pdf["value"]) == [float(v) for v in range(12)]
+
+
+def test_unsupported_crs_raises(spark, tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    p = str(tmp_path / "web.tif")
+    write_tiff(p, np.ones((2, 2)), lon0=0, lat1=1, dx=1, dy=1, crs="EPSG:3857")
+    with _pytest.raises(ValueError, match="unsupported raster CRS"):
+        tiff_pixel_table(spark, p)
