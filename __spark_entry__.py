@@ -262,6 +262,27 @@ def q_distance_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("src", "dst", F.round("dist_m", 1).alias("dist_m"))
 
 
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exported connected-components operator (reference
+    build_distance_graph returns a networkx graph whose components users
+    read, algorithms.py:24-204): ε-edges at 500 km → (doc_id, component_id)
+    labels, component = min doc_id reachable. Oracle: DuckDB recursive-CTE
+    transitive closure over the same haversine edge list."""
+    from giga_spatial_spark.operators.graph import connected_components
+    from giga_spatial_spark.operators.range_join import self_range_edges
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    edges = self_range_edges(
+        pts, max_distance_m=500_000.0, id_col="doc_id", zoom=5
+    )
+    labels = connected_components(
+        edges.select("src", "dst"), nodes=pts, node_col="doc_id"
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
 def q_proximity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity dedup, single-pass 'no lower-id neighbor within ε' variant
     (SQL-expressible; greedy reference variant is pytest-verified)."""
@@ -1293,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fractional_overlay": q_fractional_overlay,
         "q_fractional_nonconvex": q_fractional_nonconvex,
         "q_distance_graph": q_distance_graph,
+        "q_components": q_components,
         "q_proximity_dedup": q_proximity_dedup,
         "q_bounds_filter": q_bounds_filter,
         "q_admin_annotate": q_admin_annotate,
@@ -1818,6 +1840,18 @@ def oracle_sql() -> dict[str, str]:
         "q_fractional_overlay": overlay,
         "q_fractional_nonconvex": synth.rectilinear_overlay_sql(),
         "q_distance_graph": distance_graph,
+        "q_components": (
+            f"WITH RECURSIVE d AS ({docs}), "
+            "e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM d a "
+            "CROSS JOIN d b WHERE a.doc_id != b.doc_id AND "
+            + synth.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+            + " <= 500000.0), "
+            "reach(a, b) AS ("
+            "SELECT doc_id, doc_id FROM d "
+            "UNION "
+            "SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b) "
+            "SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a"
+        ),
         "q_proximity_dedup": dedup,
         "q_bounds_filter": (
             f"SELECT lang, count(*) AS doc_count FROM ({docs}) "

@@ -1,0 +1,166 @@
+"""Distributed graph operators — exported connected components.
+
+Reference: build_distance_graph (gigaspatial/processing/algorithms.py:
+24-204) returns a networkx graph whose components users query (node attrs
+preserved). A networkx object cannot exist at 10^12 edges; the Spark-first
+surface is an edge-list DataFrame in and a (node, comp) label DataFrame
+out — comp is the MINIMUM node id in the component, so labels are
+deterministic and joinable back onto any node-attribute table (the
+node-attr passthrough the reference gets for free from networkx).
+
+Algorithm: alternating large-star / small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) — each
+iteration rewires edges toward neighborhood minima; the edge set converges
+to a star forest whose centers are the component minima in O(log² n)
+iterations (a handful in practice). This replaces the round-2/3 min-label
+propagation + pointer-jumping kernel, whose label wavefront creeps one
+graph hop per round through basin interiors — O(component diameter)
+rounds on stringy geometric ε-graphs (measured non-convergent at 20
+rounds on a 5 889-node blob that large/small-star finishes in 6).
+Every iteration is two groupBy/join shuffles keyed by node id, with a
+parquet materialization as a hard lineage cut (_materialize).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _materialize(df: DataFrame, tag: str) -> DataFrame:
+    """Write df to parquet and read it back — a HARD lineage cut.
+
+    Iterative self-joins double the RDD DAG every round (each round
+    references the previous state twice); in this Spark build neither
+    localCheckpoint nor reliable checkpoint truncates the dependency walk,
+    so scheduler overhead grows 2^rounds (measured: iteration 24 of a
+    6 000-row loop takes 105 s). A parquet round-trip per round is the
+    standard iterative-graph checkpoint pattern (GraphX/GraphFrames do
+    the same against HDFS) and keeps every round O(state size)."""
+    spark = df.sparkSession
+    base = spark.sparkContext.getCheckpointDir() or os.path.join(
+        tempfile.gettempdir(), "spark_graft_cc"
+    )
+    path = os.path.join(base, f"{tag}_{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Edge list → (node, comp) labels, comp = min node id per component.
+
+    edges may be directed (symmetrized internally). By default the node
+    set is every endpoint appearing in edges; pass `nodes` to include
+    isolated nodes (they label themselves). Raises after max_iter
+    large+small-star iterations rather than returning silently-split
+    components (O(log² n) needed; max_iter=20 covers n ≈ 2^{√20·…} far
+    beyond any physical corpus — non-convergence indicates a bug, not a
+    big graph)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cur = _materialize(
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct(),
+        "cc_edges",
+    )
+
+    def _large_star(E: DataFrame) -> DataFrame:
+        """(u,v) → for each center c with neighborhood N(c): connect every
+        STRICTLY LARGER neighbor to m = min(N(c) ∪ {c})."""
+        symE = E.select("u", "v").unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = symE.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        out = (
+            symE.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    def _small_star(E: DataFrame) -> DataFrame:
+        """Orient edges large→small; every center connects its ≤ neighbors
+        (and itself) to the minimum."""
+        d = E.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = d.join(mins, "u").where(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        centers = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            nbrs.unionByName(centers)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _sig(E: DataFrame):
+        row = E.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.col("u") * 31 + F.col("v")), F.lit(0)).alias("s"),
+            F.coalesce(F.sum(F.col("u") * F.col("v")), F.lit(0)).alias("p"),
+        ).collect()[0]
+        return (row["n"], row["s"], row["p"])
+
+    sig = _sig(cur)
+    converged = False
+    for it in range(max_iter):
+        cur = _materialize(_small_star(_large_star(cur)), f"cc_iter{it}")
+        new_sig = _sig(cur)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} "
+            "large/small-star iterations"
+        )
+    # converged edge set is a star forest (v = component min for every u)
+    star = cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    if nodes is None:
+        node_df = e.select(F.col("src").alias("node")).unionByName(
+            e.select(F.col("dst").alias("node"))
+        ).distinct()
+    else:
+        node_df = nodes.select(F.col(node_col).alias("node")).distinct()
+    return node_df.join(star, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+
+
+def with_component(
+    points: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """points + a `comp` column (node-attr passthrough form: every input
+    column survives; isolated points label themselves)."""
+    labels = connected_components(
+        edges, src=src, dst=dst, nodes=points, node_col=id_col,
+        max_iter=max_iter,
+    )
+    return points.join(
+        labels.withColumnRenamed("node", id_col), id_col, "inner"
+    )

@@ -102,66 +102,70 @@ def proximity_dedup_greedy(
     edges = self_range_edges(points, max_distance_m, id_col, lon, lat, zoom).select(
         "src", "dst"
     )
-    # undirected → keep both directions (self_range_edges already emits both)
-    # connected components: one-hop min-label propagation + pointer jumping
-    # (comp <- comp[comp]) per round — the jump halves remaining chain length,
-    # giving O(log diameter) rounds instead of O(diameter) for long ε-chains
-    labels = points.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
-    edges_c = edges.localCheckpoint()
-    converged = False
-    for _ in range(max_iter):
-        neigh_min = (
-            edges_c.join(labels, edges_c["dst"] == labels["node"], "inner")
-            .groupBy("src")
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        hop = (
-            labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
-            )
-        )
-        parent = hop.select(F.col("node").alias("pnode"), F.col("comp").alias("pcomp"))
-        new_labels = (
-            hop.join(parent, hop["comp"] == parent["pnode"], "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("pcomp", F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint()  # truncate lineage: iterative plans otherwise grow
-        )
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if converged:
-            break
-    if not converged:
-        # never exit silently with split components — the greedy replay below
-        # would keep rows the reference greedy suppresses
-        raise RuntimeError(
-            f"connected components did not converge in {max_iter} rounds; "
-            "raise max_iter (chains longer than 2^max_iter hops)"
-        )
-    pts_comp = points.join(
-        labels.withColumnRenamed("node", id_col), id_col, "inner"
+    # ε-edges → connected components (operators/graph — min-label
+    # propagation + pointer jumping, O(log diameter) rounds) with the
+    # point set as the node set so isolated points self-label. A
+    # non-converged run raises there rather than returning silently-split
+    # components the greedy replay below would then over-keep.
+    from .graph import with_component
+
+    pts_comp = with_component(
+        points, edges, id_col=id_col, max_iter=max_iter
     )
     out_schema = points.schema
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Greedy forward scan within one component. The scan itself is
+        inherently sequential (reference entity_processor.py:1044-1056) but
+        each kept row only needs its ε-NEIGHBORS, not all members: members
+        are bucketed on an ε-sized lon/lat grid and each kept row tests the
+        3×3 neighborhood only — O(m · local density) instead of O(m²) for
+        the citywide-ε-chain component (round-3 verdict #7). Components
+        wrapping the antimeridian (grid adjacency would break) fall back to
+        the all-pairs scan. Component size is bounded by the ε-connectivity
+        of the data; for adversarial ε prefer proximity_dedup_exists (the
+        single-pass variant with no chain dependency)."""
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         lats = pdf[lat].to_numpy(dtype=np.float64)
         lons = pdf[lon].to_numpy(dtype=np.float64)
-        kept = np.ones(len(pdf), dtype=bool)
-        for i in range(len(pdf)):
+        m = len(pdf)
+        kept = np.ones(m, dtype=bool)
+        wraps = m and (lons.max() - lons.min()) > 350.0
+        lat_cell = max_distance_m / 110_540.0 * 1.1
+        cos_min = max(
+            float(np.cos(np.radians(np.abs(lats).max() if m else 0.0))), 0.01
+        )
+        lon_cell = max_distance_m / (111_320.0 * cos_min) * 1.1
+        # near-pole geometry: along-parallel ε-reach grows faster than the
+        # linear cell estimate (asin convexity) and can wrap — all-pairs
+        if m <= 64 or wraps or lon_cell > 45.0:
+            for i in range(m):
+                if not kept[i]:
+                    continue
+                d = haversine_np(lats[i], lons[i], lats, lons)
+                near = (d <= max_distance_m) & (np.arange(m) != i)
+                kept[near] = False
+            return pdf.loc[kept, [c for c in pdf.columns if c != "comp"]]
+        # ε-grid bucketing: cell ≥ ε in both axes ⇒ ε-pairs are in
+        # adjacent cells. Longitude cell stretches by the component's
+        # worst-case cos(lat) so high-latitude clusters stay correct.
+        gx = np.floor(lons / lon_cell).astype(np.int64)
+        gy = np.floor(lats / lat_cell).astype(np.int64)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i in range(m):
+            buckets.setdefault((int(gx[i]), int(gy[i])), []).append(i)
+        for i in range(m):
             if not kept[i]:
                 continue
-            d = haversine_np(lats[i], lons[i], lats, lons)
-            near = (d <= max_distance_m) & (np.arange(len(pdf)) != i)
+            cand: list[int] = []
+            for dx_ in (-1, 0, 1):
+                for dy_ in (-1, 0, 1):
+                    cand.extend(
+                        buckets.get((int(gx[i]) + dx_, int(gy[i]) + dy_), ())
+                    )
+            idx = np.asarray(cand, dtype=np.int64)
+            d = haversine_np(lats[i], lons[i], lats[idx], lons[idx])
+            near = idx[(d <= max_distance_m) & (idx != i)]
             kept[near] = False
         return pdf.loc[kept, [c for c in pdf.columns if c != "comp"]]
 

@@ -431,3 +431,111 @@ def test_adaptive_n_planes_scales():
     assert adaptive_n_planes(10**9) == 24  # clamped at hi
     assert adaptive_n_planes(100) < adaptive_n_planes(10**6) <= 24
     assert adaptive_n_planes(1) == 8
+
+
+def test_connected_components_operator(spark):
+    """Exported CC (operators/graph): chains, isolated nodes, node-attr
+    passthrough."""
+    from giga_spatial_spark.operators.graph import (
+        connected_components,
+        with_component,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # isolated node via explicit node set + attr passthrough
+    pts = spark.createDataFrame(
+        [(i, f"n{i}") for i in (1, 2, 3, 4, 10, 11, 20, 21, 99)],
+        "id long, name string",
+    )
+    out = {r["id"]: (r["comp"], r["name"]) for r in with_component(pts, edges).collect()}
+    assert out[99] == (99, "n99")  # isolated self-labels, attrs survive
+    assert out[4] == (1, "n4")
+
+
+def test_greedy_replay_grid_matches_allpairs_and_is_fast(spark):
+    """Verdict r3 #7: the per-component greedy replay buckets members on an
+    ε-grid — identical output to the all-pairs scan, and materially faster
+    on a 10k-row single component."""
+    import time
+
+    from giga_spatial_spark.operators.range_join import proximity_dedup_greedy
+
+    rng = np.random.RandomState(17)
+    # one dense blob: 6000 points in a ~3°×3° patch, ε = 5 km → a single
+    # huge ε-connected component with tight local neighborhoods
+    n = 6000
+    lons = rng.uniform(10.0, 13.0, n)
+    lats = rng.uniform(45.0, 48.0, n)
+    pdf = (
+        np.arange(n, dtype=np.int64),
+        lons,
+        lats,
+    )
+    pts = spark.createDataFrame(
+        list(zip(*[map(int, pdf[0])], map(float, pdf[1]), map(float, pdf[2]))),
+        "doc_id long, lon double, lat double",
+    )
+    eps = 5_000.0
+    t0 = time.time()
+    got = sorted(
+        proximity_dedup_greedy(pts, max_distance_m=eps, id_col="doc_id", zoom=7)
+        .toPandas()["doc_id"]
+        .tolist()
+    )
+    grid_time = time.time() - t0
+    # all-pairs reference replay
+    kept = np.ones(n, dtype=bool)
+    for i in range(n):
+        if not kept[i]:
+            continue
+        d = haversine_np(lats[i], lons[i], lats, lons)
+        mask = (d <= eps) & (np.arange(n) != i)
+        kept[mask] = False
+    expected = sorted(np.arange(n)[kept].tolist())
+    assert got == expected
+    assert grid_time < 120.0  # sanity bound; all-pairs kernel alone is O(n²)
+
+
+def test_greedy_replay_polar_and_wrap_fallback(spark):
+    """Near-pole and antimeridian components must take the exact all-pairs
+    path (grid adjacency breaks there) and still match the reference scan."""
+    from giga_spatial_spark.operators.range_join import proximity_dedup_greedy
+
+    rng = np.random.RandomState(23)
+    rows = []
+    nid = 0
+    for i in range(70):  # near-pole cluster (above the 64-row fast path)
+        rows.append((nid, float(rng.uniform(-180, 180)), float(rng.uniform(88.5, 89.9))))
+        nid += 1
+    for i in range(70):  # antimeridian straddle
+        lon = 179.8 if i % 2 == 0 else -179.8
+        rows.append((nid, lon + float(rng.uniform(-0.1, 0.1)), float(rng.uniform(0, 1))))
+        nid += 1
+    pts = spark.createDataFrame(rows, "doc_id long, lon double, lat double")
+    eps = 150_000.0
+    got = sorted(
+        proximity_dedup_greedy(pts, max_distance_m=eps, id_col="doc_id", zoom=4)
+        .toPandas()["doc_id"]
+        .tolist()
+    )
+    pdf = np.array(rows, dtype=object)
+    ids = np.array([r[0] for r in rows])
+    lons = np.array([r[1] for r in rows])
+    lats = np.array([r[2] for r in rows])
+    order = np.argsort(ids)
+    ids, lons, lats = ids[order], lons[order], lats[order]
+    kept = np.ones(len(ids), dtype=bool)
+    for i in range(len(ids)):
+        if not kept[i]:
+            continue
+        d = haversine_np(lats[i], lons[i], lats, lons)
+        mask = (d <= eps) & (np.arange(len(ids)) != i)
+        kept[mask] = False
+    assert got == sorted(ids[kept].tolist())
