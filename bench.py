@@ -125,12 +125,27 @@ def main() -> None:
         "q_pixel_graph",
         "q_fingerprint",
         "q1_pricing_summary",
+        # round-4 additions (absent from BENCH_r03 — compare via
+        # extras.r3_comparable_total, not the headline value)
+        "q_fractional_nonconvex",
+        "q_tile_zonal",
+        "q_s2_zonal",
+        "q_geotiff_mollweide",
+        "q_simhash_near_dup",
+        "q_components",
     ]:
         queries[name] = timed(
             lambda n=name: Q[n](spark, SF_DIR).write.mode("overwrite").format("noop").save()
         )
 
     total = round(sum(queries.values()), 3)
+    r4_new = {
+        "q_fractional_nonconvex", "q_tile_zonal", "q_s2_zonal",
+        "q_geotiff_mollweide", "q_simhash_near_dup", "q_components",
+    }
+    r3_comparable = round(
+        sum(v for k, v in queries.items() if k not in r4_new), 3
+    )
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
     print(
         json.dumps(
@@ -144,6 +159,7 @@ def main() -> None:
                     "flagship_docs_per_sec": round(N_PAGES / t_pipe, 1),
                     "bench_pages": N_PAGES,
                     "cores": CPUS,
+                    "r3_comparable_total": r3_comparable,
                 },
             }
         )

@@ -212,7 +212,9 @@ def minhash_near_dup_pairs(
     keyed = docs.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     ).withColumn("__digest", F.md5(F.col("__text").cast("binary")))
-    surv = keyed.groupBy("__digest").agg(F.min("__id").alias("__sid"))
+    surv = keyed.groupBy("__digest").agg(
+        F.min("__id").alias("__sid"), F.count(F.lit(1)).alias("__sz")
+    )
     sdocs = (
         keyed.join(surv, "__digest")
         .where(F.col("__id") == F.col("__sid"))
@@ -222,26 +224,37 @@ def minhash_near_dup_pairs(
         sdocs, threshold, id_col, text_col, num_perm, bands, k_shingle,
         max_bucket,
     )
-    members = keyed.join(surv, "__digest").select("__sid", "__id")
+    # only duplicate CLUSTERS (sz > 1) need member expansion — for the
+    # common mostly-unique corpus this table is tiny (AQE broadcasts it),
+    # so the reconstruction joins cost ~nothing; singleton survivors map
+    # to themselves via coalesce. No explicit broadcast hint: a
+    # boilerplate-heavy corpus can make dup_members arbitrarily large
+    dup_members = (
+        keyed.join(surv.where(F.col("__sz") > 1), "__digest")
+        .select("__sid", "__id", "__digest")
+    )
+    ma = dup_members.select(F.col("__sid").alias("a"), F.col("__id").alias("ma"))
+    mb = dup_members.select(F.col("__sid").alias("b"), F.col("__id").alias("mb"))
     cross = (
-        spairs.join(
-            members.select(F.col("__sid").alias("a"), F.col("__id").alias("ma")),
-            "a",
-        )
-        .join(
-            members.select(F.col("__sid").alias("b"), F.col("__id").alias("mb")),
-            "b",
+        spairs.join(ma, "a", "left")
+        .join(mb, "b", "left")
+        .select(
+            F.coalesce("ma", F.col("a")).alias("xa"),
+            F.coalesce("mb", F.col("b")).alias("xb"),
+            "jaccard",
         )
         .select(
-            F.least("ma", "mb").alias("a"),
-            F.greatest("ma", "mb").alias("b"),
+            F.least("xa", "xb").alias("a"),
+            F.greatest("xa", "xb").alias("b"),
             "jaccard",
         )
     )
-    w = keyed.select("__digest", "__id")
     within = (
-        w.select(F.col("__digest"), F.col("__id").alias("a"))
-        .join(w.select(F.col("__digest"), F.col("__id").alias("b")), "__digest")
+        dup_members.select(F.col("__digest"), F.col("__id").alias("a"))
+        .join(
+            dup_members.select(F.col("__digest"), F.col("__id").alias("b")),
+            "__digest",
+        )
         .where(F.col("a") < F.col("b"))
         .select("a", "b", F.lit(1.0).alias("jaccard"))
     )
