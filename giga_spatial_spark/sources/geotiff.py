@@ -224,10 +224,11 @@ def tiff_pixel_table(
     )
 
     meta = read_tiff_meta(path)
-    if meta.crs not in ("EPSG:4326", "ESRI:54009"):
+    if meta.crs not in ("EPSG:4326", "ESRI:54009", "EPSG:3857"):
         raise ValueError(
             f"unsupported raster CRS {meta.crs!r} — supported: EPSG:4326 "
-            "(geographic) and ESRI:54009 (Mollweide, the GHSL grid)"
+            "(geographic), ESRI:54009 (Mollweide, the GHSL grid) and "
+            "EPSG:3857 (web mercator tile pyramids)"
         )
     bc = spark.sparkContext.broadcast(meta)
     schema = StructType(
@@ -275,6 +276,13 @@ def tiff_pixel_table(
                         xm = np.broadcast_to(lon, shape2)
                         ym = np.broadcast_to(lat, shape2)
                         lon, lat = _moll.inverse(xm, ym)
+                    elif m.crs == "EPSG:3857":
+                        # web-mercator meters: closed-form spherical inverse
+                        R = 6378137.0
+                        xm = np.broadcast_to(lon, shape2)
+                        ym = np.broadcast_to(lat, shape2)
+                        lon = np.degrees(xm / R)
+                        lat = np.degrees(np.arctan(np.sinh(ym / R)))
                     for s in range(arr.shape[2]):
                         vals = arr[:, :, s]
                         if m.nodata is not None:

@@ -176,13 +176,37 @@ def test_geokey_crs_roundtrip_and_mollweide_pixels(spark, tmp_path):
     assert sorted(pdf["value"]) == [float(v) for v in range(12)]
 
 
+def test_web_mercator_crs_pixels(spark, tmp_path):
+    """EPSG:3857 grids: closed-form spherical inverse of pixel centers."""
+    import math
+
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    R = 6378137.0
+    x0 = math.radians(12.0) * R
+    y1 = R * math.asinh(math.tan(math.radians(48.0)))
+    p = str(tmp_path / "web.tif")
+    write_tiff(
+        p, np.arange(6.0).reshape(2, 3),
+        lon0=x0, lat1=y1, dx=500.0, dy=500.0, crs="EPSG:3857",
+    )
+    pdf = tiff_pixel_table(spark, p).toPandas()
+    got = pdf[(pdf.px == 0) & (pdf.py == 1)].iloc[0]
+    elon = math.degrees((x0 + 250.0) / R)
+    elat = math.degrees(math.atan(math.sinh((y1 - 250.0) / R)))
+    assert abs(got.lon - elon) < 1e-9 and abs(got.lat - elat) < 1e-9
+    assert sorted(pdf["value"]) == [float(v) for v in range(6)]
+
+
 def test_unsupported_crs_raises(spark, tmp_path):
     import numpy as np
     import pytest as _pytest
 
     from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
 
-    p = str(tmp_path / "web.tif")
-    write_tiff(p, np.ones((2, 2)), lon0=0, lat1=1, dx=1, dy=1, crs="EPSG:3857")
+    p = str(tmp_path / "lcc.tif")
+    write_tiff(p, np.ones((2, 2)), lon0=0, lat1=1, dx=1, dy=1, crs="EPSG:2154")
     with _pytest.raises(ValueError, match="unsupported raster CRS"):
         tiff_pixel_table(spark, p)
