@@ -1,0 +1,142 @@
+"""Coordinate reference system transforms — vector-side reprojection.
+
+Reference: zonal/base.py:448-461 caches pyproj transformers and reprojects
+zone GeoDataFrames between arbitrary CRSs; tif_processor.py:205 reprojects
+rasters. pyproj/GDAL are absent here, so the engine supports the CRS set
+its own from-scratch projections cover — the ones the reference's flows
+actually touch:
+
+  EPSG:4326   geographic lon/lat (the engine's canonical frame)
+  EPSG:3857   spherical web mercator (tile pyramids)
+  ESRI:54009  Mollweide (GHSL grids) — functions/mollweide.py
+  EPSG:326xx / 327xx   UTM north/south zones — functions/utm.py (Krüger)
+
+All transforms route through 4326 (exact composition of exact legs).
+`transform_points` is the numpy kernel; `reproject_rings` lifts it over a
+normalized feature table's `rings` column inside one Arrow pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+_R_WEB = 6378137.0
+
+
+def _parse(crs: str) -> tuple[str, int]:
+    c = crs.upper().replace(" ", "")
+    if c in ("EPSG:4326", "WGS84", "4326"):
+        return ("geographic", 0)
+    if c in ("EPSG:3857", "EPSG:900913", "3857"):
+        return ("webmercator", 0)
+    if c in ("ESRI:54009", "54009"):
+        return ("mollweide", 0)
+    if c.startswith("EPSG:326") and len(c) == 10:
+        return ("utm_north", int(c[8:]))
+    if c.startswith("EPSG:327") and len(c) == 10:
+        return ("utm_south", int(c[8:]))
+    raise ValueError(
+        f"unsupported crs {crs!r} — supported: EPSG:4326, EPSG:3857, "
+        "ESRI:54009, EPSG:326xx/327xx (UTM)"
+    )
+
+
+def _to_geographic(xs: np.ndarray, ys: np.ndarray, kind: str, zone: int):
+    if kind == "geographic":
+        return xs, ys
+    if kind == "webmercator":
+        lon = np.degrees(xs / _R_WEB)
+        lat = np.degrees(np.arctan(np.sinh(ys / _R_WEB)))
+        return lon, lat
+    if kind == "mollweide":
+        from . import mollweide
+
+        return mollweide.inverse(xs, ys)
+    from . import utm
+
+    south = kind == "utm_south"
+    lon, lat = utm.utm_inverse(
+        xs, ys, zone, south=np.full(len(np.atleast_1d(xs)), south)
+    )
+    return lon, lat
+
+
+def _from_geographic(lon: np.ndarray, lat: np.ndarray, kind: str, zone: int):
+    if kind == "geographic":
+        return lon, lat
+    if kind == "webmercator":
+        x = np.radians(lon) * _R_WEB
+        lat_c = np.clip(lat, -85.05112878, 85.05112878)
+        y = _R_WEB * np.arcsinh(np.tan(np.radians(lat_c)))
+        return x, y
+    if kind == "mollweide":
+        from . import mollweide
+
+        return mollweide.forward(lon, lat)
+    from . import utm
+
+    e, n = utm.utm_forward(lon, lat, zone)
+    if kind == "utm_north":
+        # keep the standard false-northing convention: southern points in
+        # a northern-zone frame go negative (consistent planar frame)
+        n = np.where(lat < 0, n - 10_000_000.0, n)
+    return e, n
+
+
+def transform_points(
+    xs, ys, from_crs: str = "EPSG:4326", to_crs: str = "EPSG:4326"
+):
+    """Vectorized CRS transform; routes through geographic lon/lat."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    fk, fz = _parse(from_crs)
+    tk, tz = _parse(to_crs)
+    lon, lat = _to_geographic(xs, ys, fk, fz)
+    return _from_geographic(lon, lat, tk, tz)
+
+
+def reproject_rings(
+    df, from_crs: str, to_crs: str, rings_col: str = "rings"
+):
+    """Normalized feature table → same table with `rings` reprojected.
+    Mirrors the reference's gdf.to_crs() over zone layers
+    (zonal/base.py:448-461). The rings cross into Python as JSON STRINGS
+    (native to_json / from_json wrap the scalar Arrow UDF): this Spark
+    build's Arrow deserializer SEGFAULTS on nested-array/map UDF inputs
+    when a partition is empty or the column is all-null in a batch
+    (measured — minimal repro in tests), while primitive string columns
+    are safe. Every other column (incl. map-typed properties) stays
+    JVM-side untouched."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def kernel(col: pd.Series) -> pd.Series:
+        def go(doc):
+            if doc is None:
+                return None
+            rings = json.loads(doc)
+            nr = []
+            for ring in rings:
+                arr = np.asarray(ring, dtype=np.float64)
+                if len(arr):
+                    x, y = transform_points(
+                        arr[:, 0], arr[:, 1], from_crs, to_crs
+                    )
+                    nr.append(np.column_stack([x, y]).tolist())
+                else:
+                    nr.append([])
+            return json.dumps(nr)
+
+        return col.map(go)
+
+    rings_t = "array<array<array<double>>>"
+    return df.withColumn(
+        rings_col,
+        F.from_json(kernel(F.to_json(F.col(rings_col))), rings_t),
+    )

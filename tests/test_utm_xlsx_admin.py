@@ -152,3 +152,74 @@ def test_detect_coords_and_coverage(spark):
     assert cov["school_longitude"]["non_null"] == 1
     assert cov["school_longitude"]["coverage"] == 0.5
     assert cov["id"]["coverage"] == 1.0
+
+
+# ----------------------------------------------------- CRS transforms (r4)
+def test_crs_transform_roundtrips():
+    import numpy as np
+
+    from giga_spatial_spark.functions.crs import transform_points
+
+    rng = np.random.RandomState(9)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-84, 84, 500)
+    for crs in ("EPSG:3857", "ESRI:54009"):
+        x, y = transform_points(lon, lat, "EPSG:4326", crs)
+        lon2, lat2 = transform_points(x, y, crs, "EPSG:4326")
+        assert np.max(np.abs(lon2 - lon)) < 1e-8, crs
+        assert np.max(np.abs(lat2 - lat)) < 1e-8, crs
+    # UTM round-trip within a zone's comfort band
+    lonz = rng.uniform(6.5, 11.5, 300)  # zone 32
+    latz = rng.uniform(-75, 75, 300)
+    e, n = transform_points(lonz, latz, "EPSG:4326", "EPSG:32632")
+    lon3, lat3 = transform_points(e, n, "EPSG:32632", "EPSG:4326")
+    assert np.max(np.abs(lon3 - lonz)) < 1e-7
+    assert np.max(np.abs(lat3 - latz)) < 1e-7
+    # cross-projection composition: 3857 → mollweide → 4326
+    x, y = transform_points(lon, lat, "EPSG:4326", "EPSG:3857")
+    mx, my = transform_points(x, y, "EPSG:3857", "ESRI:54009")
+    lon4, lat4 = transform_points(mx, my, "ESRI:54009", "EPSG:4326")
+    assert np.max(np.abs(lon4 - lon)) < 1e-8
+    # web mercator known point: (180, 0) → (pi*R, 0)
+    x5, y5 = transform_points([180.0], [0.0], "EPSG:4326", "EPSG:3857")
+    assert abs(x5[0] - 3.141592653589793 * 6378137.0) < 1e-3 and abs(y5[0]) < 1e-9
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unsupported crs"):
+        transform_points([0.0], [0.0], "EPSG:2154", "EPSG:4326")
+
+
+def test_reproject_rings_dataframe(spark):
+    import numpy as np
+
+    from giga_spatial_spark.functions.crs import reproject_rings, transform_points
+
+    rows = [
+        (1, "Polygon", [[[10.0, 45.0], [11.0, 45.0], [11.0, 46.0]]], {"a": "x"}),
+        (2, "Point", [[[12.5, -33.25]]], {}),
+        (3, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "feature_id long, geom_type string, "
+        "rings array<array<array<double>>>, properties map<string,string>",
+    )
+    out = {
+        r["feature_id"]: r
+        for r in reproject_rings(df, "EPSG:4326", "EPSG:3857").collect()
+    }
+    x, y = transform_points([10.0], [45.0], "EPSG:4326", "EPSG:3857")
+    assert abs(out[1]["rings"][0][0][0] - x[0]) < 1e-6
+    assert abs(out[1]["rings"][0][0][1] - y[0]) < 1e-6
+    assert out[3]["rings"] is None  # null geometry survives
+    assert out[1]["properties"]["a"] == "x"  # other columns untouched
+    # round-trip back
+    back = {
+        r["feature_id"]: r
+        for r in reproject_rings(
+            reproject_rings(df, "EPSG:4326", "ESRI:54009"),
+            "ESRI:54009", "EPSG:4326",
+        ).collect()
+    }
+    assert abs(back[2]["rings"][0][0][0] - 12.5) < 1e-8
+    assert abs(back[2]["rings"][0][0][1] + 33.25) < 1e-8
