@@ -228,20 +228,15 @@ def q_fractional_nonconvex(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/overlay.fractional_overlay_general). The oracle replays the
     exact areas as closed-form sums over each zone's disjoint box
     decomposition (synth.rectilinear_overlay_sql)."""
-    from giga_spatial_spark.operators.overlay import fractional_overlay_general
-
-    parcels = synth.parcels_df(spark, sf_dir).select(
-        "parcel_id",
-        F.array(
-            F.array("pminx", "pminy"),
-            F.array("pmaxx", "pminy"),
-            F.array("pmaxx", "pmaxy"),
-            F.array("pminx", "pmaxy"),
-        ).alias("vertices"),
-        "value",
+    from giga_spatial_spark.operators.overlay import (
+        fractional_overlay_boxes_general,
     )
+
+    parcels = synth.parcels_df(spark, sf_dir)
     zones = synth.rectilinear_zone_rings()
-    out = fractional_overlay_general(parcels, zones)
+    # box parcels take the vectorized per-triangle clip path (identical
+    # output to fractional_overlay_general — pytest-asserted)
+    out = fractional_overlay_boxes_general(parcels, zones)
     return out.select(
         "zone_id",
         F.round(F.col("value_weighted_sum"), 1).alias("wsum"),

@@ -349,3 +349,71 @@ def polygon_intersection_area(
             if len(inter) >= 3:
                 total += polygon_area(inter)
     return total
+
+
+def box_triangle_areas(
+    tri: np.ndarray,
+    bx1: np.ndarray, by1: np.ndarray, bx2: np.ndarray, by2: np.ndarray,
+) -> np.ndarray:
+    """Exact intersection area of ONE convex polygon (triangle or any
+    convex ring) with N axis-aligned boxes, vectorized across the boxes —
+    Sutherland–Hodgman against the four per-box half-planes with a fixed
+    (k+5)-vertex buffer (k vertices + one per clip plane is the worst
+    case). The vectorized fast path of the general fractional overlay for
+    box parcels (the reference's raster/parcel disaggregation shape)."""
+    tri = np.asarray(tri, dtype=np.float64)
+    n = len(bx1)
+    k = len(tri)
+    maxv = k + 5
+    V = np.zeros((n, maxv, 2))
+    V[:, :k] = tri[None, :, :]
+    cnt = np.full(n, k, dtype=np.int64)
+    rows = np.arange(n)
+    for axis, bound, keep_ge in (
+        (0, bx1, True), (0, bx2, False), (1, by1, True), (1, by2, False),
+    ):
+        b = np.asarray(bound, dtype=np.float64)
+        coord = V[:, :, axis]
+        inside = (coord >= b[:, None]) if keep_ge else (coord <= b[:, None])
+        newV = np.zeros((n, maxv, 2))
+        newc = np.zeros(n, dtype=np.int64)
+        emit_flags = np.zeros((n, 2 * maxv), dtype=bool)
+        emit_pts = np.zeros((n, 2 * maxv, 2))
+        for j in range(maxv):
+            valid = j < cnt
+            prev_idx = np.where(j == 0, cnt - 1, j - 1)
+            prev_idx = np.clip(prev_idx, 0, maxv - 1)
+            pv = V[rows, prev_idx]
+            cv = V[:, j]
+            p_in = inside[rows, prev_idx] & valid
+            c_in = inside[:, j] & valid
+            # intersection of edge pv→cv with the clip line (axis = bound)
+            denom = cv[:, axis] - pv[:, axis]
+            safe = np.where(np.abs(denom) > 1e-300, denom, 1.0)
+            t = (b - pv[:, axis]) / safe
+            ix = pv + t[:, None] * (cv - pv)
+            cross_edge = valid & (p_in != c_in)
+            emit_flags[:, 2 * j] = cross_edge
+            emit_pts[:, 2 * j] = ix
+            emit_flags[:, 2 * j + 1] = c_in
+            emit_pts[:, 2 * j + 1] = cv
+        pos = np.cumsum(emit_flags, axis=1) - 1
+        er, ec = np.nonzero(emit_flags)
+        newc = emit_flags.sum(axis=1)
+        # a degenerate clip can emit up to maxv+1 points when the input
+        # already has maxv; cap (the overflow only occurs for zero-area
+        # slivers at the numeric edge)
+        keep = pos[er, ec] < maxv
+        newV[er[keep], pos[er, ec][keep]] = emit_pts[er, ec][keep]
+        V, cnt = newV, np.minimum(newc, maxv)
+    # shoelace over the ragged rows
+    area = np.zeros(n)
+    x, y = V[:, :, 0], V[:, :, 1]
+    idx = np.arange(maxv)
+    for j in range(maxv):
+        nxt = np.where(j + 1 < cnt, j + 1, 0)
+        m = j < cnt
+        area[m] += (
+            x[rows, j][m] * y[rows, nxt][m] - x[rows, nxt][m] * y[rows, j][m]
+        )
+    return 0.5 * np.abs(area)

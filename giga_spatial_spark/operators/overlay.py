@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..geometry import (
+    box_triangle_areas,
     clip_polygon_convex,
     ear_clip_triangulate,
     ensure_ccw,
@@ -205,6 +206,84 @@ def fractional_overlay_general(
                 yield pd.DataFrame(
                     recs, columns=["parcel_id", "zone_id", "frac", "weighted"]
                 )
+
+    pairs = parcels.mapInPandas(kernel, schema=out_schema)
+    return pairs.groupBy("zone_id").agg(
+        F.sum("weighted").alias(f"{value_col}_weighted_sum"),
+        F.count(F.lit(1)).alias("parcel_count"),
+    )
+
+
+def fractional_overlay_boxes_general(
+    parcels: DataFrame,
+    zone_polys: dict[int, "np.ndarray | list"],
+    value_col: str = "value",
+) -> DataFrame:
+    """Fractional overlay of BOX parcels (pminx..pmaxy — the reference's
+    raster/parcel disaggregation shape) against arbitrary NON-CONVEX zones
+    (holes allowed): per signed zone triangle, intersection areas for the
+    whole candidate batch come from ONE vectorized Sutherland–Hodgman pass
+    (geometry.box_triangle_areas — four per-box half-plane clips, fixed
+    8-vertex buffer) instead of a per-parcel Python loop. Identical output
+    to fractional_overlay_general on box inputs (pytest-asserted); ~an
+    order of magnitude faster per batch."""
+    spark = parcels.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {int(k): _zone_signed_triangles(v) for k, v in zone_polys.items()}
+    )
+    out_schema = "parcel_id bigint, zone_id int, frac double, weighted double"
+
+    def kernel(batches):
+        ztris = bc.value
+        zboxes = {}
+        for zid, tris in ztris.items():
+            allv = np.vstack([t for t, _ in tris])
+            zboxes[zid] = (
+                allv[:, 0].min(), allv[:, 1].min(),
+                allv[:, 0].max(), allv[:, 1].max(),
+            )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x1 = pdf["pminx"].to_numpy(np.float64)
+            y1 = pdf["pminy"].to_numpy(np.float64)
+            x2 = pdf["pmaxx"].to_numpy(np.float64)
+            y2 = pdf["pmaxy"].to_numpy(np.float64)
+            pid = pdf["parcel_id"].to_numpy()
+            val = pdf[value_col].to_numpy(np.float64)
+            total = (x2 - x1) * (y2 - y1)
+            recs = []
+            for zid, tris in ztris.items():
+                zxmin, zymin, zxmax, zymax = zboxes[zid]
+                cand = (
+                    (x1 <= zxmax) & (x2 >= zxmin)
+                    & (y1 <= zymax) & (y2 >= zymin)
+                    & (total > 0)
+                )
+                if not cand.any():
+                    continue
+                ci = np.nonzero(cand)[0]
+                area = np.zeros(len(ci))
+                for tz, sign in tris:
+                    area += sign * box_triangle_areas(
+                        tz, x1[ci], y1[ci], x2[ci], y2[ci]
+                    )
+                pos = area > 0
+                if pos.any():
+                    sel = ci[pos]
+                    frac = area[pos] / total[sel]
+                    recs.append(
+                        pd.DataFrame(
+                            {
+                                "parcel_id": pid[sel],
+                                "zone_id": np.full(len(sel), zid, dtype=np.int32),
+                                "frac": frac,
+                                "weighted": val[sel] * frac,
+                            }
+                        )
+                    )
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
 
     pairs = parcels.mapInPandas(kernel, schema=out_schema)
     return pairs.groupBy("zone_id").agg(

@@ -211,3 +211,53 @@ def test_fractional_general_hole_zone(spark):
     }
     assert out[7]["parcel_count"] == 2  # parcel 1 contributes nothing
     assert abs(out[7]["value_weighted_sum"] - (100.0 * 0.5 + 40.0)) < 1e-9
+
+
+def test_fractional_boxes_general_matches_general_path(spark):
+    """The vectorized box-parcel fast path must reproduce the per-parcel
+    general kernel exactly (same zones incl. the holed one)."""
+    from giga_spatial_spark.operators.overlay import (
+        fractional_overlay_boxes_general,
+        fractional_overlay_general,
+    )
+
+    rng = np.random.RandomState(13)
+    rows_box, rows_v = [], []
+    for pid in range(150):
+        cx, cy = rng.uniform(-160, 120), rng.uniform(-60, 60)
+        w, h = rng.uniform(1, 8, 2)
+        v = float(rng.uniform(10, 100))
+        rows_box.append(
+            (pid, float(cx - w), float(cy - h), float(cx + w), float(cy + h), v)
+        )
+        rows_v.append(
+            (
+                pid,
+                [[float(cx - w), float(cy - h)], [float(cx + w), float(cy - h)],
+                 [float(cx + w), float(cy + h)], [float(cx - w), float(cy + h)]],
+                v,
+            )
+        )
+    boxes = spark.createDataFrame(
+        rows_box,
+        "parcel_id long, pminx double, pminy double, pmaxx double, "
+        "pmaxy double, value double",
+    )
+    verts = spark.createDataFrame(
+        rows_v, "parcel_id long, vertices array<array<double>>, value double"
+    )
+    zones = synth.rectilinear_zone_rings()
+    a = {
+        r["zone_id"]: r
+        for r in fractional_overlay_boxes_general(boxes, zones).collect()
+    }
+    b = {
+        r["zone_id"]: r
+        for r in fractional_overlay_general(verts, zones).collect()
+    }
+    assert set(a) == set(b) and len(a) > 0
+    for zid in a:
+        assert a[zid]["parcel_count"] == b[zid]["parcel_count"], zid
+        assert abs(
+            a[zid]["value_weighted_sum"] - b[zid]["value_weighted_sum"]
+        ) < 1e-8
