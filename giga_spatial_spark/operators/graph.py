@@ -50,6 +50,13 @@ def _materialize(df: DataFrame, tag: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Edge-count ceiling for the driver union-find fast path — same guarded-dim
+# pattern as ann.GEMM_CORPUS_LIMIT: ≤ this many distinct undirected edges is
+# a dim-sized graph (≤ ~80 MB collected), solved exactly in one pass; larger
+# graphs take the distributed star loop.
+SMALL_GRAPH_EDGE_LIMIT = 5_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -57,25 +64,40 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iter: int = 20,
+    small_graph_limit: int = SMALL_GRAPH_EDGE_LIMIT,
 ) -> DataFrame:
     """Edge list → (node, comp) labels, comp = min node id per component.
 
     edges may be directed (symmetrized internally). By default the node
     set is every endpoint appearing in edges; pass `nodes` to include
-    isolated nodes (they label themselves). Raises after max_iter
-    large+small-star iterations rather than returning silently-split
-    components (O(log² n) needed; max_iter=20 covers n ≈ 2^{√20·…} far
-    beyond any physical corpus — non-convergence indicates a bug, not a
-    big graph)."""
+    isolated nodes (they label themselves).
+
+    Physical strategy is size-dispatched (one count() action): a graph
+    under small_graph_limit distinct edges is a DIM — collected and solved
+    exactly with union-find (path-compressed, O(E α(E))), skipping the
+    iterative shuffles entirely. Larger graphs run the distributed
+    large/small-star loop, raising after max_iter iterations rather than
+    returning silently-split components (O(log² n) needed; max_iter=20 is
+    far beyond any physical corpus — non-convergence indicates a bug, not
+    a big graph). Both paths are output-identical (pytest-asserted)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    cur = _materialize(
+    canon = (
         e.where(F.col("src") != F.col("dst"))
         .select(
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
         )
-        .distinct(),
-        "cc_edges",
+        .distinct()
     )
+    if small_graph_limit and small_graph_limit > 0:
+        sample = canon.limit(small_graph_limit + 1).collect()
+        if len(sample) <= small_graph_limit:
+            return _cc_union_find(
+                edges.sparkSession, sample, e, nodes, node_col
+            )
+        # over the limit: fall through to the distributed loop (the
+        # collected sample is discarded — at true scale the limit+1 rows
+        # are a negligible probe)
+    cur = _materialize(canon, "cc_edges")
 
     def _large_star(E: DataFrame) -> DataFrame:
         """(u,v) → for each center c with neighborhood N(c): connect every
@@ -144,6 +166,44 @@ def connected_components(
     else:
         node_df = nodes.select(F.col(node_col).alias("node")).distinct()
     return node_df.join(star, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+
+
+def _cc_union_find(spark, edge_rows, e: DataFrame, nodes, node_col: str):
+    """Driver union-find over a dim-sized collected edge list (path
+    compression + union-by-smaller-root so comp = min id per component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        u, v = int(row["u"]), int(row["v"])
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        a, b = find(u), find(v)
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    labels = [(x, find(x)) for x in list(parent)]
+    lab = spark.createDataFrame(
+        labels or [(-1, -1)], "node long, comp long"
+    )
+    if not labels:
+        lab = lab.where(F.lit(False))
+    if nodes is None:
+        node_df = e.select(F.col("src").alias("node")).unionByName(
+            e.select(F.col("dst").alias("node"))
+        ).distinct()
+    else:
+        node_df = nodes.select(F.col(node_col).alias("node")).distinct()
+    return node_df.join(lab, "node", "left").select(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
     )
 

@@ -445,10 +445,18 @@ def test_connected_components_operator(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
         "src long, dst long",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # both physical paths: driver union-find (size-guarded dim) and the
+    # distributed large/small-star loop (small_graph_limit=0 forces it)
     got = {
         r["node"]: r["comp"] for r in connected_components(edges).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    assert got == want
+    got_star = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, small_graph_limit=0).collect()
+    }
+    assert got_star == want
     # isolated node via explicit node set + attr passthrough
     pts = spark.createDataFrame(
         [(i, f"n{i}") for i in (1, 2, 3, 4, 10, 11, 20, 21, 99)],
