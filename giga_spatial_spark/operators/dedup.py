@@ -209,16 +209,19 @@ def minhash_near_dup_pairs(
             docs, threshold, id_col, text_col, num_perm, bands, k_shingle,
             max_bucket,
         )
+    from pyspark.sql import Window
+
     keyed = docs.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     ).withColumn("__digest", F.md5(F.col("__text").cast("binary")))
-    surv = keyed.groupBy("__digest").agg(
-        F.min("__id").alias("__sid"), F.count(F.lit(1)).alias("__sz")
+    # one digest-keyed window shuffle yields survivor id + cluster size in
+    # the same pass (a groupBy + two joins back would cost 3 exchanges)
+    w = Window.partitionBy("__digest")
+    keyed = keyed.withColumn("__sid", F.min("__id").over(w)).withColumn(
+        "__sz", F.count(F.lit(1)).over(w)
     )
-    sdocs = (
-        keyed.join(surv, "__digest")
-        .where(F.col("__id") == F.col("__sid"))
-        .select(F.col("__id").alias(id_col), F.col("__text").alias(text_col))
+    sdocs = keyed.where(F.col("__id") == F.col("__sid")).select(
+        F.col("__id").alias(id_col), F.col("__text").alias(text_col)
     )
     spairs = _minhash_verify_pairs(
         sdocs, threshold, id_col, text_col, num_perm, bands, k_shingle,
@@ -229,9 +232,8 @@ def minhash_near_dup_pairs(
     # so the reconstruction joins cost ~nothing; singleton survivors map
     # to themselves via coalesce. No explicit broadcast hint: a
     # boilerplate-heavy corpus can make dup_members arbitrarily large
-    dup_members = (
-        keyed.join(surv.where(F.col("__sz") > 1), "__digest")
-        .select("__sid", "__id", "__digest")
+    dup_members = keyed.where(F.col("__sz") > 1).select(
+        "__sid", "__id", "__digest"
     )
     ma = dup_members.select(F.col("__sid").alias("a"), F.col("__id").alias("ma"))
     mb = dup_members.select(F.col("__sid").alias("b"), F.col("__id").alias("mb"))
