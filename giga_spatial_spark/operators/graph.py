@@ -47,7 +47,9 @@ def _materialize(df: DataFrame, tag: str) -> DataFrame:
     )
     path = os.path.join(base, f"{tag}_{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    out = spark.read.parquet(path)
+    out._cc_path = path  # noqa: SLF001 — cleanup bookkeeping
+    return out
 
 
 # Edge-count ceiling for the driver union-find fast path — same guarded-dim
@@ -98,6 +100,7 @@ def connected_components(
         # collected sample is discarded — at true scale the limit+1 rows
         # are a negligible probe)
     cur = _materialize(canon, "cc_edges")
+    scratch: list[str] = [cur._cc_path]
 
     def _large_star(E: DataFrame) -> DataFrame:
         """(u,v) → for each center c with neighborhood N(c): connect every
@@ -147,6 +150,7 @@ def connected_components(
     converged = False
     for it in range(max_iter):
         cur = _materialize(_small_star(_large_star(cur)), f"cc_iter{it}")
+        scratch.append(cur._cc_path)
         new_sig = _sig(cur)
         if new_sig == sig:
             converged = True
@@ -157,6 +161,13 @@ def connected_components(
             f"connected components did not converge in {max_iter} "
             "large/small-star iterations"
         )
+    # the returned labels plan only references the LAST materialization;
+    # best-effort-delete every earlier scratch dir (long-lived sessions
+    # would otherwise accumulate one dir set per CC invocation)
+    import shutil
+
+    for pth in scratch[:-1]:
+        shutil.rmtree(pth, ignore_errors=True)
     # converged edge set is a star forest (v = component min for every u)
     star = cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     if nodes is None:
