@@ -145,7 +145,12 @@ def buffer_polygon_utm(
     """Simple polygon (outer ring, either winding) → OUTWARD buffer
     outline ring in lon/lat (round joins — shapely's default join for
     .buffer). The outline is exact up to arc discretization for polygons
-    whose reflex notches are wider than 2·radius."""
+    whose reflex notches are wider than 2·radius. Limitations vs the
+    reference's shapely .buffer (documented scope): positive radii only
+    (no erosion), single outer ring (holes shrink independently — buffer
+    the hole ring and keep it as the member's hole), and self-intersection
+    removal for radius ≫ notch width is approximate (use
+    points_within_buffer for exact membership regardless)."""
     from ..geometry import ensure_ccw
 
     poly = ensure_ccw(np.asarray(poly, dtype=np.float64))

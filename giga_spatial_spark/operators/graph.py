@@ -42,8 +42,10 @@ def _materialize(df: DataFrame, tag: str) -> DataFrame:
     standard iterative-graph checkpoint pattern (GraphX/GraphFrames do
     the same against HDFS) and keeps every round O(state size)."""
     spark = df.sparkSession
+    import getpass
+
     base = spark.sparkContext.getCheckpointDir() or os.path.join(
-        tempfile.gettempdir(), "spark_graft_cc"
+        tempfile.gettempdir(), f"spark_graft_cc_{getpass.getuser()}"
     )
     path = os.path.join(base, f"{tag}_{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(path)
