@@ -366,6 +366,14 @@ def polyfill(boundary: np.ndarray, level: int, mode: str = "center") -> np.ndarr
     maxx, maxy = b[:, 0].max(), b[:, 1].max()
     # face spans ~90° over st∈[0,1] → cell angular size ≈ 90/2^level
     step = max(90.0 / (1 << level) / 4.0, 1e-4)
+    n_samples = ((maxx - minx) / step + 3) * ((maxy - miny) / step + 3)
+    if n_samples > 4e7:
+        raise ValueError(
+            f"s2 polyfill would sample ~{n_samples:.0f} grid points "
+            f"(boundary extent {maxx - minx:.1f}°×{maxy - miny:.1f}° at "
+            f"level {level}); use a coarser level and children()/expand, "
+            "or split the boundary — driver-side covers are for dims"
+        )
     xs = np.arange(minx - step, maxx + 2 * step, step)
     ys = np.arange(miny - step, maxy + 2 * step, step)
     gx, gy = np.meshgrid(xs, ys)
