@@ -283,3 +283,24 @@ def test_entity_id_deterministic(spark):
 
     expected = str(uuid.uuid3(uuid.NAMESPACE_DNS, "a|1"))
     assert out1["a"] == expected
+
+
+def test_s2_public_spec_structural_invariants():
+    """Bit-level invariants fixed by the PUBLIC S2 spec (not free choices
+    of this implementation): level-0 cell ids are (2·face+1)<<60 — tokens
+    '1','3','5','7','9','b' — and each face's center direction lands on
+    its own face cell."""
+    face_probe = [
+        (0.0, 0.0, 0), (0.0, 90.0, 1), (89.9, 0.0, 2),
+        (0.0, 179.9, 3), (0.0, -90.0, 4), (-89.9, 0.0, 5),
+    ]
+    for lat, lon, f in face_probe:
+        cid = int(cells_s2.cell_id(np.array([lat]), np.array([lon]), 5)[0])
+        l0 = int(cells_s2.parent(np.array([cid]), 0)[0])
+        assert l0 == (2 * f + 1) << 60, (f, hex(l0))
+        assert cells_s2.token(l0) == format((2 * f + 1) << 60, "x").rstrip("0")
+    # sentinel structure: lsb encodes the level (spec: id has 2·(30−L)
+    # trailing zeros then a 1)
+    cid = int(cells_s2.cell_id(np.array([12.3]), np.array([45.6]), 17)[0])
+    lsb = cid & -cid
+    assert lsb == 1 << (2 * (30 - 17))
