@@ -60,9 +60,12 @@ def child(cores: int, n_pages: int) -> None:
     def noop(df):
         df.write.mode("overwrite").format("noop").save()
 
-    # --- flagship enrich (docs/sec)
+    # --- flagship enrich (docs/sec); Arrow batch 5000 — ~10 MB
+    # html-heavy batches pipeline better than the default 10k (measured)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
     noop(enrich_fused(pages.limit(20000), polys))  # warmup
     t_enrich = _best_of(lambda: noop(enrich_fused(pages, polys)))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
 
     # --- kNN nearest facility: 10M points vs 10k facilities (points/sec).
     # Sized compute-dominant: the mapInPandas Arrow round-trip has a ~10s
