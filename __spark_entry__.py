@@ -742,6 +742,29 @@ def q_raster_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bilinear")
 
 
+def q_raster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-raster mosaic mean (reference _merge_with_mean,
+    tif_processor.py:434-502 — the WorldPop multi-tile merge): two
+    synthetic rasters, the second with partial coverage (px%5 != 0 — a
+    tile that doesn't span the full grid), merged per pixel via
+    operators/raster.merge_mean. n_rasters ∈ {1, 2} exercises both the
+    overlap and single-coverage branches; integer-centi mean for the
+    value hash."""
+    from giga_spatial_spark.operators.raster import (
+        RasterMeta, merge_mean, synthetic_raster,
+    )
+
+    meta = RasterMeta()
+    r1 = synthetic_raster(spark, meta, band=1)
+    r2 = synthetic_raster(spark, meta, band=2).where(F.col("px") % 5 != 0)
+    out = merge_mean([r1, r2])
+    return out.select(
+        "px", "py",
+        F.round(F.col("value_mean") * 100).cast("bigint").alias("mean_c"),
+        "n_rasters",
+    )
+
+
 def q_raster_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band (rgb-shape) point sampling (reference
     tif_processor.py:958-1006 multi-band shapes): 3-band synthetic raster,
@@ -1385,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geotiff_mollweide": q_geotiff_mollweide,
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
+        "q_raster_merge": q_raster_merge,
         "q_raster_bilinear": q_raster_bilinear,
         "q_pixel_graph": q_pixel_graph,
         "q_s2_assign": q_s2_assign,
@@ -1843,6 +1867,15 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_mollweide": moll_zonal,
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
+        "q_raster_merge": (
+            "WITH r1 AS (" + synthetic_raster_sql(rmeta, band=1) + "), "
+            "r2 AS (SELECT * FROM (" + synthetic_raster_sql(rmeta, band=2)
+            + ") WHERE px % 5 != 0), "
+            "u AS (SELECT px, py, value FROM r1 WHERE value IS NOT NULL "
+            "UNION ALL SELECT px, py, value FROM r2 WHERE value IS NOT NULL) "
+            "SELECT px, py, cast(round(avg(value) * 100, 0) as bigint) AS mean_c, "
+            "cast(count(*) as bigint) AS n_rasters FROM u GROUP BY px, py"
+        ),
         "q_raster_bilinear": raster_bilinear,
         "q_pixel_graph": pixel_graph,
         "q_admin_annotate": admin_annotate,
