@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -742,6 +743,37 @@ def q_raster_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bilinear")
 
 
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate validation + quarantine (reference skip-and-log,
+    entity.py:389-399; richer here: every failed constraint named).
+    Deterministic corruptions over the doc points — out-of-range lat
+    (doc_id%97==0), missing coords (%89==0), null island (%101==0) —
+    then entity.validate splits; the quarantine side returns
+    (doc_id, violations_csv). The oracle replays the corruptions and the
+    constraint predicates (incl. NULL-comparison semantics: a NULL range
+    check is NOT a range violation — coords_present catches it), same
+    constraint order."""
+    from giga_spatial_spark.entity import standard_point_constraints, validate
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    pts = pts.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, F.col("lat") + 200.0)
+        .when(F.col("doc_id") % 89 == 0, F.lit(None).cast("double"))
+        .when(F.col("doc_id") % 101 == 0, F.lit(0.0))
+        .otherwise(F.col("lat"))
+        .alias("lat"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit(None).cast("double"))
+        .when(F.col("doc_id") % 101 == 0, F.lit(0.0))
+        .otherwise(F.col("lon"))
+        .alias("lon"),
+    )
+    valid, quarantine = validate(pts, standard_point_constraints())
+    return quarantine.select(
+        "doc_id", F.concat_ws(",", F.col("violations")).alias("violations_csv")
+    )
+
+
 def q_raster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-raster mosaic mean (reference _merge_with_mean,
     tif_processor.py:434-502 — the WorldPop multi-tile merge): two
@@ -1008,6 +1040,40 @@ def q_pip_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     zdf = spark.createDataFrame(rows, "zone_id int, geom binary")
     parsed = wkb.with_parsed_rings(zdf, "geom", "rings").select("zone_id", "rings")
+    polys = {
+        r["zone_id"]: np.asarray(r["rings"][0], dtype=np.float64)
+        for r in parsed.collect()
+    }
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    return pip_join_native(pts, polys, zoom=PIP_ZOOM).select("doc_id", "zone_id")
+
+
+def q_pip_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join whose polygons arrive as WKT strings (reference accepts WKT
+    geometry at parse time, entity_processor.py:504-547): zone WKT parsed
+    by an Arrow UDF (functions/wkt.py) on executors, collected (dim-sized)
+    and broadcast into the native cover join. polygon_wkt formats vertices
+    with repr() so doubles round-trip bit-exactly — same oracle as
+    q_pip_tag."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+
+    from giga_spatial_spark.functions import wkt as _wkt
+
+    rows = [
+        (zid, _wkt.polygon_wkt(poly)) for zid, poly in sorted(ADMIN_POLYS.items())
+    ]
+    zdf = spark.createDataFrame(rows, "zone_id int, wkt string")
+
+    @F.pandas_udf("array<array<array<double>>>")
+    def parse(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda w: None
+            if w is None
+            else [r.tolist() for r in _wkt.parse_polygon_rings(w)]
+        )
+
+    parsed = zdf.withColumn("rings", parse(F.col("wkt"))).select("zone_id", "rings")
     polys = {
         r["zone_id"]: np.asarray(r["rings"][0], dtype=np.float64)
         for r in parsed.collect()
@@ -1409,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
         "q_raster_merge": q_raster_merge,
+        "q_quarantine": q_quarantine,
         "q_raster_bilinear": q_raster_bilinear,
         "q_pixel_graph": q_pixel_graph,
         "q_s2_assign": q_s2_assign,
@@ -1422,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_zonal": q_tile_zonal,
         "q_s2_zonal": q_s2_zonal,
         "q_pip_wkb": q_pip_wkb,
+        "q_pip_wkt": q_pip_wkt,
         "q_pip_shp": q_pip_shp,
         "q_pip_gpkg": q_pip_gpkg,
         "q_pip_kml": q_pip_kml,
@@ -1867,6 +1935,22 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_mollweide": moll_zonal,
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
+        "q_quarantine": (
+            f"WITH d0 AS ({docs}), "
+            "d AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 97 = 0 THEN lat + 200.0 "
+            "WHEN doc_id % 89 = 0 THEN NULL "
+            "WHEN doc_id % 101 = 0 THEN 0.0 ELSE lat END AS lat, "
+            "CASE WHEN doc_id % 89 = 0 THEN NULL "
+            "WHEN doc_id % 101 = 0 THEN 0.0 ELSE lon END AS lon FROM d0), "
+            "v AS (SELECT doc_id, concat_ws(',', "
+            "CASE WHEN NOT (lat >= -90 AND lat <= 90) THEN 'lat_range' END, "
+            "CASE WHEN NOT (lon >= -180 AND lon <= 180) THEN 'lon_range' END, "
+            "CASE WHEN NOT (NOT (lat = 0.0 AND lon = 0.0)) THEN 'not_null_island' END, "
+            "CASE WHEN NOT (lat IS NOT NULL AND lon IS NOT NULL) THEN 'coords_present' END"
+            ") AS violations_csv FROM d) "
+            "SELECT doc_id, violations_csv FROM v WHERE violations_csv != ''"
+        ),
         "q_raster_merge": (
             "WITH r1 AS (" + synthetic_raster_sql(rmeta, band=1) + "), "
             "r2 AS (SELECT * FROM (" + synthetic_raster_sql(rmeta, band=2)
@@ -1906,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pip_tag": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_tag_rtree": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_wkb": f"SELECT doc_id, zone_id FROM ({pip})",
+        "q_pip_wkt": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_shp": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_gpkg": f"SELECT doc_id, zone_id FROM ({pip})",
         "q_pip_kml": f"SELECT doc_id, zone_id FROM ({pip})",
