@@ -743,6 +743,21 @@ def q_raster_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bilinear")
 
 
+def q_utm_epsg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM CRS estimation (reference estimate_utm_crs_with_fallback,
+    processing/geo.py:21-66): per-doc EPSG (326xx/327xx by hemisphere,
+    zone from longitude) — the vectorized per-row analog of the
+    reference's per-GDF centroid estimate — with per-EPSG doc counts."""
+    from giga_spatial_spark.functions.geo import utm_epsg_expr
+
+    pts = _docs_pts(spark, sf_dir)
+    return (
+        pts.withColumn("epsg", utm_epsg_expr(F.col("lon"), F.col("lat")))
+        .groupBy("epsg")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
 def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coordinate validation + quarantine (reference skip-and-log,
     entity.py:389-399; richer here: every failed constraint named).
@@ -1476,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_raster_multiband": q_raster_multiband,
         "q_raster_merge": q_raster_merge,
         "q_quarantine": q_quarantine,
+        "q_utm_epsg": q_utm_epsg,
         "q_raster_bilinear": q_raster_bilinear,
         "q_pixel_graph": q_pixel_graph,
         "q_s2_assign": q_s2_assign,
@@ -1935,6 +1951,14 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_mollweide": moll_zonal,
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
+        "q_utm_epsg": (
+            f"WITH d AS ({docs}), "
+            "z AS (SELECT least(greatest(cast(floor((lon + 180.0) / 6.0) "
+            "as bigint) + 1, 1), 60) AS zone, lat FROM d) "
+            "SELECT cast(CASE WHEN lat >= 0 THEN 32600 + zone "
+            "ELSE 32700 + zone END as int) AS epsg, "
+            "count(*) AS doc_count FROM z GROUP BY 1"
+        ),
         "q_quarantine": (
             f"WITH d0 AS ({docs}), "
             "d AS (SELECT doc_id, "

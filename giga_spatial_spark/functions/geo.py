@@ -187,3 +187,4 @@ def mercator_meters_per_pixel(lat: Column, zoom: int) -> Column:
 
 def pixels_for_meters(lat: Column, meters: Column, zoom: int) -> Column:
     return meters / mercator_meters_per_pixel(lat, zoom)
+
