@@ -102,3 +102,40 @@ def test_clip_matches_box_formula(ax, ay, aw, ah, bx, by, bw, bh):
         )[0]
     )
     assert abs(got - want) < 1e-6 * max(1.0, want)
+
+
+@given(st.integers(3, 8), st.integers(0, 10_000))
+@settings(max_examples=40, deadline=None)
+def test_box_convex_clip_vectorized_matches_pairwise(k, seed):
+    """geometry.box_triangle_areas (vectorized S-H over per-box
+    half-planes) must equal the pairwise polygon_intersection_area for
+    random convex polygons × random boxes, including touching/degenerate
+    configurations."""
+    import numpy as np
+
+    from giga_spatial_spark.geometry import (
+        box_triangle_areas,
+        polygon_intersection_area,
+    )
+
+    rng = np.random.RandomState(seed)
+    # random star-shaped simple polygon (angle-sorted points — often
+    # non-convex, which the half-plane-clip area property still covers;
+    # the kernel's documented contract is convex, so this is strictly
+    # stronger evidence)
+    pts = rng.uniform(-10, 10, (k + 4, 2))
+    c = pts.mean(axis=0)
+    ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+    hull = pts[np.argsort(ang)]
+    n = 40
+    bx1 = rng.uniform(-14, 9, n)
+    by1 = rng.uniform(-14, 9, n)
+    bx2 = bx1 + rng.uniform(0.0, 9, n)  # includes zero-width boxes
+    by2 = by1 + rng.uniform(0.0, 9, n)
+    got = box_triangle_areas(hull, bx1, by1, bx2, by2)
+    for i in range(n):
+        box = np.array(
+            [[bx1[i], by1[i]], [bx2[i], by1[i]], [bx2[i], by2[i]], [bx1[i], by2[i]]]
+        )
+        want = polygon_intersection_area(box, hull)
+        assert abs(got[i] - want) < 1e-8, (i, got[i], want)
