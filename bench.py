@@ -138,6 +138,7 @@ def main() -> None:
         "q_geotiff_mollweide",
         "q_simhash_near_dup",
         "q_components",
+        "q_raster_merge",
     ]:
         queries[name] = timed(
             lambda n=name: Q[n](spark, SF_DIR).write.mode("overwrite").format("noop").save()
@@ -147,6 +148,7 @@ def main() -> None:
     r4_new = {
         "q_fractional_nonconvex", "q_tile_zonal", "q_s2_zonal",
         "q_geotiff_mollweide", "q_simhash_near_dup", "q_components",
+        "q_raster_merge",
     }
     r3_comparable = round(
         sum(v for k, v in queries.items() if k not in r4_new), 3
