@@ -743,6 +743,31 @@ def q_raster_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bilinear")
 
 
+def q_k_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITU-R P.453 effective-Earth-radius k-factors (reference
+    processing/elevation/refractivity.py, deterministic fallback path —
+    the itur digital-map backend is an optional network install the
+    reference itself falls back from): per-doc climate zone (latitude
+    bands + arid-corridor refinement) → median k, plus the ITU-R P.530
+    worst-case tier for a per-doc link length (n_chars/10 km). Grouped
+    per (zone, k_min) with the zone's median k."""
+    from giga_spatial_spark.operators.los import (
+        climate_zone_expr, k_factor_median_expr, k_factor_worst_expr,
+    )
+
+    pts = _docs_pts(spark, sf_dir)
+    out = pts.select(
+        climate_zone_expr(F.col("lat"), F.col("lon")).alias("zone"),
+        F.round(k_factor_median_expr(F.col("lat"), F.col("lon")), 6).alias(
+            "k_median"
+        ),
+        k_factor_worst_expr(F.col("n_chars") / F.lit(10.0)).alias("k_min"),
+    )
+    return out.groupBy("zone", "k_median", "k_min").agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+
+
 def q_utm_epsg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTM CRS estimation (reference estimate_utm_crs_with_fallback,
     processing/geo.py:21-66): per-doc EPSG (326xx/327xx by hemisphere,
@@ -1492,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_raster_merge": q_raster_merge,
         "q_quarantine": q_quarantine,
         "q_utm_epsg": q_utm_epsg,
+        "q_k_factor": q_k_factor,
         "q_raster_bilinear": q_raster_bilinear,
         "q_pixel_graph": q_pixel_graph,
         "q_s2_assign": q_s2_assign,
@@ -1535,6 +1561,23 @@ def _pip_pairs_sql() -> str:
             f"FROM ({_docs_sql()}) d WHERE {pred}"
         )
     return " UNION ALL ".join(clauses)
+
+
+def _k_factor_oracle_sql(docs: str) -> str:
+    from giga_spatial_spark.operators.los import (
+        climate_zone_sql, k_factor_median_sql,
+    )
+
+    zone = climate_zone_sql("lat", "lon")
+    kmed = k_factor_median_sql("lat", "lon")
+    return (
+        f"WITH d0 AS ({docs}), "
+        f"d AS (SELECT {zone} AS zone, round({kmed}, 6) AS k_median, "
+        "CASE WHEN n_chars / 10.0 <= 15.0 THEN 0.8 "
+        "WHEN n_chars / 10.0 <= 50.0 THEN 0.7 ELSE 0.6 END AS k_min FROM d0) "
+        "SELECT zone, k_median, k_min, count(*) AS doc_count FROM d "
+        "GROUP BY 1, 2, 3"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1951,6 +1994,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_mollweide": moll_zonal,
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
+        "q_k_factor": _k_factor_oracle_sql(docs),
         "q_utm_epsg": (
             f"WITH d AS ({docs}), "
             "z AS (SELECT least(greatest(cast(floor((lon + 180.0) / 6.0) "

@@ -434,3 +434,102 @@ SELECT cast(link_id AS BIGINT) AS link_id,
   CASE WHEN bad_n = 0 THEN round(total_distance_km, 6) END AS total_distance_km
 FROM res
 """
+
+
+# ---------------------------------------------------- ITU-R P.453 k-factors
+# Reference: processing/elevation/refractivity.py — the deterministic
+# fallback path (climate-zone LUT; the itur digital-map backend is a
+# network-installed optional the reference itself falls back from). The
+# whole model is pure arithmetic + CASE, so it runs as native column
+# expressions with exact DuckDB SQL twins.
+
+# ΔN₁ medians (N-units/km), ITU-R P.453-14 Figures 4-7
+# (refractivity.py:_ZONE_DN1_MEDIAN)
+ZONE_DN1_MEDIAN = {
+    "tropical": 55.0,
+    "subtropical_dry": 32.0,
+    "temperate": 40.0,
+    "polar": 27.0,
+}
+_EARTH_RADIUS_KM_453 = 6371.0
+
+
+def k_factor_from_dn1(dn1: float) -> float:
+    """k = 1 / (1 + a·dN/dh), dN/dh = −ΔN₁·10⁻⁶ (refractivity.py:
+    k_factor_from_dn1 — incl. the non-physical fallback to 4/3)."""
+    denominator = 1.0 + _EARTH_RADIUS_KM_453 * (-dn1 * 1e-6)
+    if denominator <= 0.001:
+        return 4.0 / 3.0
+    k = 1.0 / denominator
+    return k if k > 0 else 4.0 / 3.0
+
+
+def climate_zone_expr(lat, lon):
+    """Native-column ITU climate zone (refractivity.py:classify_climate_zone
+    — latitude bands; arid-corridor longitude refinement for the
+    subtropical band: Sahara/Middle-East, Australian interior, Atacama)."""
+    abs_lat = F.abs(lat)
+    lon_norm = ((lon % 360) + 360) % 360
+    sahara = (lon_norm >= 340) | (lon_norm <= 60)
+    australia = (lon_norm >= 115) & (lon_norm <= 155) & (lat < 0)
+    atacama = (lon_norm >= 282) & (lon_norm <= 292) & (lat < 0)
+    return (
+        F.when(abs_lat >= 60.0, F.lit("polar"))
+        .when(abs_lat >= 35.0, F.lit("temperate"))
+        .when(
+            abs_lat >= 23.0,
+            F.when(sahara | australia | atacama, F.lit("subtropical_dry"))
+            .otherwise(F.lit("temperate")),
+        )
+        .otherwise(F.lit("tropical"))
+    )
+
+
+def k_factor_median_expr(lat, lon):
+    """Median effective-Earth-radius factor per location (zone LUT →
+    k_factor_from_dn1; constants folded in Python so the SQL twin embeds
+    identical doubles)."""
+    zone = climate_zone_expr(lat, lon)
+    expr = F.lit(k_factor_from_dn1(ZONE_DN1_MEDIAN["tropical"]))
+    for name in ("subtropical_dry", "temperate", "polar"):
+        expr = F.when(
+            zone == name, F.lit(k_factor_from_dn1(ZONE_DN1_MEDIAN[name]))
+        ).otherwise(expr)
+    return expr
+
+
+def k_factor_worst_expr(path_length_km):
+    """Worst-case (sub-refractive) k per link length (refractivity.py:
+    get_worst_case_k_factor — ITU-R P.530 clearance tiers)."""
+    return (
+        F.when(path_length_km <= 15.0, F.lit(0.8))
+        .when(path_length_km <= 50.0, F.lit(0.7))
+        .otherwise(F.lit(0.6))
+    )
+
+
+def climate_zone_sql(lat_sql: str, lon_sql: str) -> str:
+    """DuckDB twin of climate_zone_expr (identical thresholds/corridors)."""
+    ln = f"((( {lon_sql} ) % 360 + 360) % 360)"
+    arid = (
+        f"(({ln} >= 340 OR {ln} <= 60) "
+        f"OR ({ln} >= 115 AND {ln} <= 155 AND ({lat_sql}) < 0) "
+        f"OR ({ln} >= 282 AND {ln} <= 292 AND ({lat_sql}) < 0))"
+    )
+    return (
+        f"CASE WHEN abs({lat_sql}) >= 60.0 THEN 'polar' "
+        f"WHEN abs({lat_sql}) >= 35.0 THEN 'temperate' "
+        f"WHEN abs({lat_sql}) >= 23.0 THEN "
+        f"(CASE WHEN {arid} THEN 'subtropical_dry' ELSE 'temperate' END) "
+        "ELSE 'tropical' END"
+    )
+
+
+def k_factor_median_sql(lat_sql: str, lon_sql: str) -> str:
+    """DuckDB twin of k_factor_median_expr — same folded double constants."""
+    zone = climate_zone_sql(lat_sql, lon_sql)
+    cases = " ".join(
+        f"WHEN '{name}' THEN {k_factor_from_dn1(dn1)!r}"
+        for name, dn1 in ZONE_DN1_MEDIAN.items()
+    )
+    return f"(CASE ({zone}) {cases} END)"

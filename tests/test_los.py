@@ -175,3 +175,23 @@ def test_radio_horizon_prefilter(spark):
     ).collect()[0]["h"]
     want = np.sqrt(2 * 6371.0 * (4 / 3) * 0.030) + np.sqrt(2 * 6371.0 * (4 / 3) * 0.015)
     assert abs(got - want) < 1e-9
+
+
+def test_k_factor_itu_model():
+    """ITU-R P.453 k-factor model (reference refractivity.py fallback
+    path): formula fixed points and the non-physical fallback."""
+    from giga_spatial_spark.operators.los import (
+        ZONE_DN1_MEDIAN,
+        k_factor_from_dn1,
+    )
+
+    assert abs(k_factor_from_dn1(40.0) - 4.0 / 3.0) < 0.01  # temperate ≈ 4/3
+    assert k_factor_from_dn1(0.0) == 1.0  # no gradient → true Earth radius
+    # extreme super-refraction → reference falls back to 4/3
+    assert k_factor_from_dn1(160.0) == 4.0 / 3.0
+    # monotone: stronger lapse → larger k (until the fallback)
+    ks = [k_factor_from_dn1(d) for d in (10, 30, 50, 70)]
+    assert ks == sorted(ks)
+    assert set(ZONE_DN1_MEDIAN) == {
+        "tropical", "subtropical_dry", "temperate", "polar"
+    }
