@@ -743,6 +743,32 @@ def q_raster_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bilinear")
 
 
+def q_jitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial jitter on duplicate coordinates (reference
+    add_spatial_jitter, geo.py:327-409 — every member of a duplicate group
+    moves; rounds double the amplitude until no duplicates remain). Doc
+    coords are coarsened to a 10° grid to force duplicate groups, and the
+    operator's deterministic-offsets test seam derives per-row unit
+    offsets from doc_id with pure integer arithmetic — unique within any
+    group reachable at bench scales, so exactly one round resolves and
+    the whole run is SQL-replayable bit-for-bit (no rand())."""
+    from giga_spatial_spark.functions.geo import add_spatial_jitter
+
+    pts = _docs_pts(spark, sf_dir).select(
+        "doc_id",
+        (F.floor(F.col("lon") / 10) * 10).cast("double").alias("lon"),
+        (F.floor(F.col("lat") / 10) * 10).cast("double").alias("lat"),
+    )
+
+    def offsets(rnd: int):
+        ux = ((F.col("doc_id") * 7919) % 100000) / 100000.0 * 2 - 1
+        uy = ((F.col("doc_id") * 104729) % 100000) / 100000.0 * 2 - 1
+        return ux, uy
+
+    out = add_spatial_jitter(pts, amount_deg=0.0001, _offsets=offsets)
+    return out.select("doc_id", "lon", "lat")
+
+
 def q_k_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ITU-R P.453 effective-Earth-radius k-factors (reference
     processing/elevation/refractivity.py, deterministic fallback path —
@@ -1518,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quarantine": q_quarantine,
         "q_utm_epsg": q_utm_epsg,
         "q_k_factor": q_k_factor,
+        "q_jitter": q_jitter,
         "q_raster_bilinear": q_raster_bilinear,
         "q_pixel_graph": q_pixel_graph,
         "q_s2_assign": q_s2_assign,
@@ -1995,6 +2022,21 @@ def oracle_sql() -> dict[str, str]:
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
         "q_k_factor": _k_factor_oracle_sql(docs),
+        "q_jitter": (
+            f"WITH d AS ({docs}), "
+            "c AS (SELECT doc_id, "
+            "cast(floor(lon / 10) * 10 as double) AS lon, "
+            "cast(floor(lat / 10) * 10 as double) AS lat FROM d), "
+            "g AS (SELECT doc_id, lon, lat, "
+            "count(*) OVER (PARTITION BY lon, lat) > 1 AS dup FROM c) "
+            "SELECT doc_id, "
+            "CASE WHEN dup THEN lon + "
+            "(((doc_id * 7919) % 100000) / 100000.0 * 2 - 1) * 0.0001 "
+            "ELSE lon END AS lon, "
+            "CASE WHEN dup THEN lat + "
+            "(((doc_id * 104729) % 100000) / 100000.0 * 2 - 1) * 0.0001 "
+            "ELSE lat END AS lat FROM g"
+        ),
         "q_utm_epsg": (
             f"WITH d AS ({docs}), "
             "z AS (SELECT least(greatest(cast(floor((lon + 180.0) / 6.0) "
