@@ -743,6 +743,28 @@ def q_raster_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bilinear")
 
 
+def q_age_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WorldPop age-structure flow (reference handlers/worldpop.py: many
+    per-age-band population rasters → union → ONE zonal sum, with the
+    forced 'population'→sum stat dispatch, raster.FORCED_STATS): three
+    synthetic band rasters unioned, decipixel-rounded so the sums are
+    integer-exact in any fold order, through zonal_stats_forced."""
+    from giga_spatial_spark.operators.raster import (
+        RasterMeta, synthetic_raster, zonal_stats_forced,
+    )
+
+    meta = RasterMeta()
+    bands = [synthetic_raster(spark, meta, band=b) for b in (1, 2, 3)]
+    u = bands[0]
+    for b in bands[1:]:
+        u = u.unionByName(b)
+    u = u.withColumn("value", F.round(F.col("value") * 10))
+    out = zonal_stats_forced(u, ADMIN_POLYS, "population", zoom=PIP_ZOOM)
+    return out.select(
+        "zone_id", (F.col("value_sum") / 10.0).alias("pop_sum")
+    )
+
+
 def q_jitter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial jitter on duplicate coordinates (reference
     add_spatial_jitter, geo.py:327-409 — every member of a duplicate group
@@ -1545,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_utm_epsg": q_utm_epsg,
         "q_k_factor": q_k_factor,
         "q_jitter": q_jitter,
+        "q_age_structure": q_age_structure,
         "q_raster_bilinear": q_raster_bilinear,
         "q_pixel_graph": q_pixel_graph,
         "q_s2_assign": q_s2_assign,
@@ -2022,6 +2045,23 @@ def oracle_sql() -> dict[str, str]:
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
         "q_k_factor": _k_factor_oracle_sql(docs),
+        "q_age_structure": (
+            "WITH u AS ("
+            + " UNION ALL ".join(
+                f"SELECT lon, lat, round(value * 10, 0) AS value FROM ("
+                + synthetic_raster_sql(rmeta, band=b)
+                + ") WHERE value IS NOT NULL"
+                for b in (1, 2, 3)
+            )
+            + "), m AS ("
+            + " UNION ALL ".join(
+                f"SELECT {zid} AS zone_id, r.value FROM u r WHERE "
+                + synth.convex_contains_sql(poly, "r.lon", "r.lat")
+                for zid, poly in sorted(ADMIN_POLYS.items())
+            )
+            + ") SELECT zone_id, sum(value) / 10.0 AS pop_sum "
+            "FROM m GROUP BY zone_id"
+        ),
         "q_jitter": (
             f"WITH d AS ({docs}), "
             "c AS (SELECT doc_id, "
