@@ -400,12 +400,19 @@ def box_triangle_areas(
         pos = np.cumsum(emit_flags, axis=1) - 1
         er, ec = np.nonzero(emit_flags)
         newc = emit_flags.sum(axis=1)
-        # a degenerate clip can emit up to maxv+1 points when the input
-        # already has maxv; cap (the overflow only occurs for zero-area
-        # slivers at the numeric edge)
-        keep = pos[er, ec] < maxv
-        newV[er[keep], pos[er, ec][keep]] = emit_pts[er, ec][keep]
-        V, cnt = newV, np.minimum(newc, maxv)
+        if newc.max(initial=0) > maxv:
+            # a CONVEX subject gains at most one vertex per half-plane
+            # clip; exceeding the buffer means the input was non-convex
+            # (each extra line crossing adds a vertex) — refuse rather
+            # than silently drop vertices and return a wrong area
+            # (caught by the hypothesis property test)
+            raise ValueError(
+                "box_triangle_areas requires a CONVEX polygon — "
+                "triangulate non-convex subjects first "
+                "(geometry.ear_clip_triangulate)"
+            )
+        newV[er, pos[er, ec]] = emit_pts[er, ec]
+        V, cnt = newV, newc
     # shoelace over the ragged rows
     area = np.zeros(n)
     x, y = V[:, :, 0], V[:, :, 1]

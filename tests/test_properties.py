@@ -119,14 +119,18 @@ def test_box_convex_clip_vectorized_matches_pairwise(k, seed):
     )
 
     rng = np.random.RandomState(seed)
-    # random star-shaped simple polygon (angle-sorted points — often
-    # non-convex, which the half-plane-clip area property still covers;
-    # the kernel's documented contract is convex, so this is strictly
-    # stronger evidence)
-    pts = rng.uniform(-10, 10, (k + 4, 2))
-    c = pts.mean(axis=0)
-    ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
-    hull = pts[np.argsort(ang)]
+    # random CONVEX polygon (the kernel's contract): points on a randomly
+    # stretched/rotated ellipse at sorted angles. Non-convex subjects can
+    # gain more than one vertex per half-plane clip and overflow the
+    # fixed vertex buffer — production call sites triangulate first.
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k + 4))
+    a_, b_ = rng.uniform(2, 10, 2)
+    th = rng.uniform(0, np.pi)
+    ex = a_ * np.cos(ang)
+    ey = b_ * np.sin(ang)
+    hull = np.column_stack(
+        [ex * np.cos(th) - ey * np.sin(th), ex * np.sin(th) + ey * np.cos(th)]
+    )
     n = 40
     bx1 = rng.uniform(-14, 9, n)
     by1 = rng.uniform(-14, 9, n)
