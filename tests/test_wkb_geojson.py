@@ -159,3 +159,28 @@ def test_geoparquet_style_roundtrip(spark, tmp_path):
     got = {r["zone_id"]: np.array(r["rings"][0]) for r in out}
     for zid, p in polys.items():
         assert np.array_equal(got[zid], p) or np.array_equal(got[zid], p[::-1])
+
+
+def test_parse_wkb_fuzz_failure_modes():
+    """Adversarial/corrupt WKB must fail ONLY with the exception types the
+    Spark-side parser catches (ValueError/struct.error/IndexError) — any
+    other type would crash the Arrow UDF instead of yielding NULL."""
+    import struct as _struct
+
+    rng = np.random.RandomState(0)
+    caught = (ValueError, _struct.error, IndexError)
+    for _ in range(4000):
+        buf = rng.bytes(rng.randint(0, 60))
+        try:
+            wkb.parse_wkb(buf)
+        except caught:
+            pass
+    base = wkb.dump_polygon(np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0]]))
+    for _ in range(4000):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randint(len(b))] = rng.randint(256)
+        try:
+            wkb.parse_wkb(bytes(b))
+        except caught:
+            pass
