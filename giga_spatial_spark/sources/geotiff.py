@@ -105,6 +105,19 @@ def _read_values(f, bo: str, typ: int, count: int, raw: bytes):
 
 
 def read_tiff_meta(path: str) -> TiffMeta:
+    try:
+        return _read_tiff_meta(path)
+    except ValueError:
+        raise
+    except (KeyError, struct.error, TypeError, IndexError) as e:
+        # corrupt IFD entries surface as opaque struct/Key/Type errors from
+        # the tag decoding (fuzz-measured); normalize to one clear error
+        raise ValueError(
+            f"corrupt or unsupported TIFF {path!r}: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _read_tiff_meta(path: str) -> TiffMeta:
     with open(path, "rb") as f:
         magic = f.read(4)
         if magic[:2] == b"II":

@@ -210,3 +210,27 @@ def test_unsupported_crs_raises(spark, tmp_path):
     write_tiff(p, np.ones((2, 2)), lon0=0, lat1=1, dx=1, dy=1, crs="EPSG:2154")
     with _pytest.raises(ValueError, match="unsupported raster CRS"):
         tiff_pixel_table(spark, p)
+
+
+def test_corrupt_tiff_raises_clear_valueerror(tmp_path):
+    """Random corruption of a valid TIFF must surface as ValueError (clear
+    message), never as opaque KeyError/struct.error/TypeError/IndexError
+    (fuzz-measured failure modes of the raw tag decoding)."""
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import read_tiff_meta, write_tiff
+
+    p = str(tmp_path / "t.tif")
+    write_tiff(p, np.ones((4, 5)), lon0=0, lat1=4, dx=1, dy=1)
+    base = open(p, "rb").read()
+    rng = np.random.RandomState(1)
+    p2 = str(tmp_path / "m.tif")
+    for _ in range(800):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randint(len(b))] = rng.randint(256)
+        open(p2, "wb").write(bytes(b))
+        try:
+            read_tiff_meta(p2)
+        except ValueError:
+            pass
