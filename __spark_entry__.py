@@ -743,6 +743,23 @@ def q_raster_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bilinear")
 
 
+def q_entity_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UUID3 entity ids (reference
+    entity_processor.py:1155-1161: uuid3(NAMESPACE, key) over the
+    concatenated source columns — the content-addressed id the lineage
+    contract depends on). The oracle recomputes the ids with a
+    from-scratch SINGLE-BLOCK MD5 implemented entirely in SQL
+    (functions/hashing_sql.uuid3_sql — 64 unrolled rounds as MATERIALIZED
+    CTE steps), so even the id scheme is engine-independently verified."""
+    from giga_spatial_spark.entity import with_entity_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    out = with_entity_id(docs, ["doc_id", "lang"])
+    return out.select("doc_id", "entity_id")
+
+
 def q_age_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WorldPop age-structure flow (reference handlers/worldpop.py: many
     per-age-band population rasters → union → ONE zonal sum, with the
@@ -1568,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k_factor": q_k_factor,
         "q_jitter": q_jitter,
         "q_age_structure": q_age_structure,
+        "q_entity_id": q_entity_id,
         "q_raster_bilinear": q_raster_bilinear,
         "q_pixel_graph": q_pixel_graph,
         "q_s2_assign": q_s2_assign,
@@ -2045,6 +2063,14 @@ def oracle_sql() -> dict[str, str]:
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
         "q_k_factor": _k_factor_oracle_sql(docs),
+        "q_entity_id": (
+            "SELECT doc_id, entity_id FROM ("
+            + HS.uuid3_sql(
+                "SELECT doc_id, concat_ws('|', doc_id, lang) AS name "
+                "FROM documents"
+            )
+            + ")"
+        ),
         "q_age_structure": (
             "WITH u AS ("
             + " UNION ALL ".join(

@@ -149,3 +149,120 @@ f AS (SELECT doc_id, min(h)::BIGINT AS fingerprint FROM allh GROUP BY doc_id)
 SELECT fingerprint, min(doc_id) AS survivor_id, count(*) AS n_docs
 FROM f GROUP BY fingerprint
 """
+
+
+# ------------------------------------------------------- UUID3 (MD5) twin
+# Deterministic entity ids (entity.uuid3_id — reference
+# entity_processor.py:1155-1161) are uuid3(NAMESPACE_DNS, key) = MD5 over
+# namespace bytes + utf8(key) with version/variant bits patched. DuckDB's
+# md5() only accepts VARCHAR and the namespace bytes are not valid UTF-8,
+# so the oracle carries a from-scratch SINGLE-BLOCK MD5 in SQL: padded
+# 64-byte message assembled per row (hex string surgery), 16 LE words,
+# the 64 unrolled rounds as MATERIALIZED CTE steps (each step references
+# its predecessors several times — without materialization DuckDB's CTE
+# inlining expands ~4^64, the same planner cliff cell_center_sql hit).
+# Valid for keys ≤ 39 utf8 bytes (16-byte namespace + key + 0x80 + length
+# fit one block) — entity keys are short id tuples.
+
+_MD5_S = [
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21,
+]
+_MD5_K = [int(abs(__import__("math").sin(i + 1)) * 2**32) & 0xFFFFFFFF for i in range(64)]
+_MASK32 = 0xFFFFFFFF
+
+
+def _hexpair_sql(expr: str) -> str:
+    """Two-hex-char VARCHAR expression → integer 0..255."""
+    digit = (
+        "(CASE {c} WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 "
+        "WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 "
+        "WHEN '7' THEN 7 WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 "
+        "WHEN 'b' THEN 11 WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 "
+        "ELSE 15 END)"
+    )
+    hi = digit.format(c=f"substr({expr}, 1, 1)")
+    lo = digit.format(c=f"substr({expr}, 2, 1)")
+    return f"({hi} * 16 + {lo})"
+
+
+def uuid3_sql(src: str, name_col: str = "name",
+              ns_hex: str = "6ba7b8109dad11d180b400c04fd430c8") -> str:
+    """SQL computing uuid3(namespace, {name_col}) for every row of ``src``
+    → SELECT *, entity_id. Single-block MD5; see module comment."""
+    rotl = lambda x, s: f"(((({x}) << {s}) | (({x}) >> {32 - s})) & {_MASK32})"  # noqa: E731
+    # padded 64-byte message as a 128-char hex string
+    ph = (
+        "lower("
+        f"'{ns_hex}' || hex(encode({name_col})) || '80' || "
+        f"repeat('00', 39 - octet_length(encode({name_col}))) || "
+        f"lpad(to_hex(((16 + octet_length(encode({name_col}))) * 8) & 255), 2, '0') || "
+        f"lpad(to_hex((((16 + octet_length(encode({name_col}))) * 8) >> 8) & 255), 2, '0') || "
+        "'000000000000')"
+    )
+    words = []
+    for j in range(16):
+        bytes_ = [
+            _hexpair_sql(f"substr(ph, {2 * (4 * j + i) + 1}, 2)") for i in range(4)
+        ]
+        words.append(
+            f"(({bytes_[0]})::UBIGINT + 256 * ({bytes_[1]})::UBIGINT "
+            f"+ 65536 * ({bytes_[2]})::UBIGINT "
+            f"+ 16777216 * ({bytes_[3]})::UBIGINT) AS w{j}"
+        )
+    steps = []
+    for i in range(64):
+        if i < 16:
+            f_expr = "((b & c) | ((xor(b, {m})) & d))".format(m=_MASK32)
+            g = i
+        elif i < 32:
+            f_expr = "((d & b) | ((xor(d, {m})) & c))".format(m=_MASK32)
+            g = (5 * i + 1) % 16
+        elif i < 48:
+            f_expr = "xor(xor(b, c), d)"
+            g = (3 * i + 5) % 16
+        else:
+            f_expr = "xor(c, (b | xor(d, {m})))".format(m=_MASK32)
+            g = (7 * i) % 16
+        tmp = f"((a + ({f_expr}) + {_MD5_K[i]} + w{g}) & {_MASK32})"
+        prev = "mw" if i == 0 else f"s{i - 1}"
+        steps.append(
+            f"s{i} AS MATERIALIZED (SELECT * EXCLUDE (a, b, c, d), "
+            f"d AS a, ((b + {rotl(tmp, _MD5_S[i])}) & {_MASK32}) AS b, "
+            f"b AS c, c AS d FROM {prev})"
+        )
+    le_hex = (
+        "lpad(to_hex(({x}) & 255), 2, '0') || "
+        "lpad(to_hex((({x}) >> 8) & 255), 2, '0') || "
+        "lpad(to_hex((({x}) >> 16) & 255), 2, '0') || "
+        "lpad(to_hex((({x}) >> 24) & 255), 2, '0')"
+    )
+    digest = " || ".join(
+        le_hex.format(x=f"(({init} + {v}) & {_MASK32})")
+        for init, v in [
+            (0x67452301, "a"), (0xEFCDAB89, "b"),
+            (0x98BADCFE, "c"), (0x10325476, "d"),
+        ]
+    )
+    variant = (
+        "lower(to_hex((CASE substr(h, 17, 1) WHEN '0' THEN 0 WHEN '1' THEN 1 "
+        "WHEN '2' THEN 2 WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5 "
+        "WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8 WHEN '9' THEN 9 "
+        "WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12 WHEN 'd' THEN 13 "
+        "WHEN 'e' THEN 14 ELSE 15 END % 4) + 8))"
+    )
+    return (
+        f"WITH m0 AS MATERIALIZED (SELECT *, {ph} AS ph FROM ({src})), "
+        f"mw AS MATERIALIZED (SELECT * EXCLUDE (ph), {', '.join(words)}, "
+        f"{0x67452301}::UBIGINT AS a, {0xEFCDAB89}::UBIGINT AS b, "
+        f"{0x98BADCFE}::UBIGINT AS c, {0x10325476}::UBIGINT AS d FROM m0), "
+        + ", ".join(steps)
+        + f", dig AS (SELECT * EXCLUDE (a, b, c, d), lower({digest}) AS h FROM s63) "
+        "SELECT * EXCLUDE (h" + "".join(f", w{j}" for j in range(16)) + "), "
+        "concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-', "
+        "'3', substr(h, 14, 3), '-', "
+        f"{variant}, substr(h, 18, 3), '-', substr(h, 21, 12)) AS entity_id "
+        "FROM dig"
+    )
