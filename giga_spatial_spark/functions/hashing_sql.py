@@ -162,7 +162,8 @@ FROM f GROUP BY fingerprint
 # its predecessors several times — without materialization DuckDB's CTE
 # inlining expands ~4^64, the same planner cliff cell_center_sql hit).
 # Valid for keys ≤ 39 utf8 bytes (16-byte namespace + key + 0x80 + length
-# fit one block) — entity keys are short id tuples.
+# fit one block) — entity keys are short id tuples; longer keys raise via
+# error() embedded in the generated SQL rather than mis-verifying.
 
 _MD5_S = [
     7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
@@ -193,14 +194,20 @@ def uuid3_sql(src: str, name_col: str = "name",
     """SQL computing uuid3(namespace, {name_col}) for every row of ``src``
     → SELECT *, entity_id. Single-block MD5; see module comment."""
     rotl = lambda x, s: f"(((({x}) << {s}) | (({x}) >> {32 - s})) & {_MASK32})"  # noqa: E731
-    # padded 64-byte message as a 128-char hex string
+    # padded 64-byte message as a 128-char hex string; keys past the
+    # single-block capacity fail LOUDLY (error()) instead of silently
+    # producing a wrong digest — repeat('00', negative) would otherwise
+    # collapse to '' and break the padding math with no signal
     ph = (
+        f"CASE WHEN octet_length(encode({name_col})) > 39 THEN "
+        "error('uuid3_sql: key exceeds 39 utf-8 bytes "
+        "(single-block MD5 oracle limit)') ELSE "
         "lower("
         f"'{ns_hex}' || hex(encode({name_col})) || '80' || "
         f"repeat('00', 39 - octet_length(encode({name_col}))) || "
         f"lpad(to_hex(((16 + octet_length(encode({name_col}))) * 8) & 255), 2, '0') || "
         f"lpad(to_hex((((16 + octet_length(encode({name_col}))) * 8) >> 8) & 255), 2, '0') || "
-        "'000000000000')"
+        "'000000000000') END"
     )
     words = []
     for j in range(16):

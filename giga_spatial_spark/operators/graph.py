@@ -93,14 +93,17 @@ def connected_components(
         .distinct()
     )
     if small_graph_limit and small_graph_limit > 0:
-        sample = canon.limit(small_graph_limit + 1).collect()
-        if len(sample) <= small_graph_limit:
+        # two-stage dispatch: the size probe is a JVM-side count (limit
+        # truncates the scan, nothing ships to the driver), and the edge
+        # rows are collected ONLY once the graph is known to fit the
+        # union-find path — a planet-scale edge list never materializes
+        # limit+1 driver rows just to be discarded
+        probe = canon.limit(small_graph_limit + 1).count()
+        if probe <= small_graph_limit:
+            sample = canon.collect()
             return _cc_union_find(
                 edges.sparkSession, sample, e, nodes, node_col
             )
-        # over the limit: fall through to the distributed loop (the
-        # collected sample is discarded — at true scale the limit+1 rows
-        # are a negligible probe)
     cur = _materialize(canon, "cc_edges")
     scratch: list[str] = [cur._cc_path]
 
@@ -141,12 +144,20 @@ def connected_components(
         )
 
     def _sig(E: DataFrame):
+        # order-independent set signature: xor of per-edge xxhash64 — can
+        # never overflow (the previous sum(u*v) form raised
+        # ArithmeticException under ANSI mode once id magnitudes pushed the
+        # product past int64, i.e. exactly on the >limit distributed path
+        # this signature exists for), and a 64-bit xor collision between
+        # consecutive DIFFERENT edge sets (~2^-64) is far rarer than a
+        # colliding pair of sums
         row = E.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.col("u") * 31 + F.col("v")), F.lit(0)).alias("s"),
-            F.coalesce(F.sum(F.col("u") * F.col("v")), F.lit(0)).alias("p"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("x"),
         ).collect()[0]
-        return (row["n"], row["s"], row["p"])
+        return (row["n"], row["x"])
 
     sig = _sig(cur)
     converged = False

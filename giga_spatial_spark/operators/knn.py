@@ -28,6 +28,12 @@ from .. import cells
 from ..geometry import haversine_np
 from ..synth import haversine_expr
 
+# Ceiling for the collected facility dim — coordinate triples at ~24 B/row
+# put 2M rows at ~50 MB broadcast, the edge of worth-broadcasting; beyond
+# it knn_broadcast raises and knn_grid (no driver collect) is the plan.
+# PoiViewGenerator dispatches on the same constant.
+BROADCAST_FACILITY_LIMIT = 2_000_000
+
 
 def ring_candidates(
     df: DataFrame,
@@ -89,7 +95,21 @@ def knn_broadcast(
 
     Tie-break on smallest facility id (deterministic, matching an
     ORDER BY dist, id LIMIT 1 oracle).
+
+    The facility side is a DIM by contract: its size is checked (JVM-side
+    truncated count, nothing collected) BEFORE the toPandas — a
+    fact-table-sized right side raises with a pointer at knn_grid instead
+    of OOMing the driver (same guarded-collect pattern as
+    ann.cosine_topk_gemm's GEMM_CORPUS_LIMIT).
     """
+    probe = facilities.limit(BROADCAST_FACILITY_LIMIT + 1).count()
+    if probe > BROADCAST_FACILITY_LIMIT:
+        raise ValueError(
+            f"knn_broadcast: facility table exceeds "
+            f"{BROADCAST_FACILITY_LIMIT:,} rows — not a broadcast-able dim. "
+            "Use knn_grid (tile-grid progressive-radius kNN, no driver "
+            "collect) for fact-sized facility layers."
+        )
     # sorted by id so np.argmin's first-among-equals tie-break = smallest id
     fac = facilities.select(fac_id, flon, flat).orderBy(fac_id).toPandas()
     if len(fac) == 0:

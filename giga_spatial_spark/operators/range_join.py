@@ -102,8 +102,9 @@ def proximity_dedup_greedy(
     edges = self_range_edges(points, max_distance_m, id_col, lon, lat, zoom).select(
         "src", "dst"
     )
-    # ε-edges → connected components (operators/graph — min-label
-    # propagation + pointer jumping, O(log diameter) rounds) with the
+    # ε-edges → connected components (operators/graph — Kiveris
+    # large/small-star contraction, O(log² n) rounds, with a union-find
+    # fast path for dim-sized graphs) with the
     # point set as the node set so isolated points self-label. A
     # non-converged run raises there rather than returning silently-split
     # components the greedy replay below would then over-keep.

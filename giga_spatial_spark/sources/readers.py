@@ -105,7 +105,15 @@ def read_zipped_shapefile(spark: SparkSession, path: str) -> DataFrame:
             os.makedirs(tmp, exist_ok=True)
             for n in members:
                 z.extract(n, tmp)
-            shutil.rmtree(dest, ignore_errors=True)  # stale partial extract
+            # re-check completeness RIGHT before removing dest: a concurrent
+            # extractor of the same digest may have completed dest since the
+            # first check, and a third process could already be reading it —
+            # never delete a dir that is complete now (its content is
+            # identical to ours by construction of the content-addressed key)
+            if not all(
+                os.path.exists(os.path.join(dest, n)) for n in members
+            ):
+                shutil.rmtree(dest, ignore_errors=True)  # stale partial only
             try:
                 os.replace(tmp, dest)
             except OSError:

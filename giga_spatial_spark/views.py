@@ -24,6 +24,18 @@ def _props_expr(df: DataFrame, exclude: tuple[str, ...]):
     ).alias("properties")
 
 
+def _restrict_to_dim(tagged: DataFrame, zones_dim: DataFrame,
+                     key: str) -> DataFrame:
+    """Left-semi the cell-tagged point side against the view's own cell dim
+    BEFORE aggregating: the broadcast of the post-groupBy aggregate is then
+    bounded by the view's zone count (dim-sized by construction), not by
+    every distinct cell a global corpus touches — at high zoom/level the
+    latter is unbounded and would blow the broadcast."""
+    return tagged.join(
+        F.broadcast(zones_dim.select(key)), key, "left_semi"
+    )
+
+
 def _save_view(view: DataFrame, path: str, fmt: str, to_features) -> str:
     """Shared save_view tail: geo formats route the generator's feature
     table through write_dataset's GEO_WRITERS branch (reference poi.py
@@ -58,10 +70,6 @@ class PoiViewGenerator:
         """Left-join enrichment keyed by poi_id (reference poi.py:244-285)."""
         self._view = self._view.join(new_cols, self.poi_id, "left")
 
-    # above this the facility table stops being broadcast-able (coordinate
-    # triples at ~24 B/row → ~50 MB) and the grid kNN path wins
-    BROADCAST_FACILITY_LIMIT = 2_000_000
-
     def map_nearest_points(self, facilities: DataFrame, prefix: str = "nearest",
                            fac_id: str = "facility_id",
                            flon: str = "flon", flat: str = "flat") -> "PoiViewGenerator":
@@ -69,10 +77,12 @@ class PoiViewGenerator:
         + haversine distance per POI. Dispatches on the facility count:
         dim-sized layers take the broadcast-argmax kernel, large layers the
         tile-grid progressive-radius kNN (no driver collect)."""
-        from .operators.knn import knn_broadcast, knn_grid
+        from .operators.knn import (
+            BROADCAST_FACILITY_LIMIT, knn_broadcast, knn_grid,
+        )
 
-        n_fac = facilities.count()
-        kernel = knn_broadcast if n_fac <= self.BROADCAST_FACILITY_LIMIT else knn_grid
+        n_fac = facilities.limit(BROADCAST_FACILITY_LIMIT + 1).count()
+        kernel = knn_broadcast if n_fac <= BROADCAST_FACILITY_LIMIT else knn_grid
         out = kernel(
             self.points.select(self.poi_id, self.lon, self.lat),
             facilities, point_id=self.poi_id, lon=self.lon, lat=self.lat,
@@ -175,8 +185,9 @@ class HexViewGenerator:
         from .operators.zonal import agg_exprs
 
         exprs, meta = agg_exprs(aggregation, value_columns, suffix)
-        tagged = points.withColumn(
-            "hex_cell", self._cell_col(F.col(lon), F.col(lat))
+        tagged = _restrict_to_dim(
+            points.withColumn("hex_cell", self._cell_col(F.col(lon), F.col(lat))),
+            self.zones_dim, "hex_cell",
         )
         agged = tagged.groupBy("hex_cell").agg(*exprs)
         out = self._view.join(F.broadcast(agged), "hex_cell", "left")
@@ -194,8 +205,11 @@ class HexViewGenerator:
         dropped first (reference map_wp_pop semantics)."""
         from .operators.zonal import _AGG_FNS
 
-        valid = pixels.where(F.col(value_col).isNotNull()).withColumn(
-            "hex_cell", self._cell_col(F.col("lon"), F.col("lat"))
+        valid = _restrict_to_dim(
+            pixels.where(F.col(value_col).isNotNull()).withColumn(
+                "hex_cell", self._cell_col(F.col("lon"), F.col("lat"))
+            ),
+            self.zones_dim, "hex_cell",
         )
         exprs = [_AGG_FNS[s](F.col(value_col)).alias(f"{value_col}_{s}") for s in stats]
         agged = valid.groupBy("hex_cell").agg(*exprs)
@@ -370,7 +384,10 @@ class MercatorViewGenerator:
         from .operators.zonal import agg_exprs
 
         exprs, meta = agg_exprs(aggregation, value_columns, suffix)
-        tagged = points.withColumn("tile", self._cell_col(F.col(lon), F.col(lat)))
+        tagged = _restrict_to_dim(
+            points.withColumn("tile", self._cell_col(F.col(lon), F.col(lat))),
+            self.zones_dim, "tile",
+        )
         agged = tagged.groupBy("tile").agg(*exprs)
         out = self._view.join(F.broadcast(agged), "tile", "left")
         for name, fn in meta:
@@ -385,8 +402,11 @@ class MercatorViewGenerator:
                     value_col: str = "value") -> "MercatorViewGenerator":
         from .operators.zonal import _AGG_FNS
 
-        valid = pixels.where(F.col(value_col).isNotNull()).withColumn(
-            "tile", self._cell_col(F.col("lon"), F.col("lat"))
+        valid = _restrict_to_dim(
+            pixels.where(F.col(value_col).isNotNull()).withColumn(
+                "tile", self._cell_col(F.col("lon"), F.col("lat"))
+            ),
+            self.zones_dim, "tile",
         )
         exprs = [_AGG_FNS[s](F.col(value_col)).alias(f"{value_col}_{s}") for s in stats]
         agged = valid.groupBy("tile").agg(*exprs)
@@ -473,7 +493,9 @@ class S2ViewGenerator:
         from .operators.zonal import agg_exprs
 
         exprs, meta = agg_exprs(aggregation, value_columns, suffix)
-        tagged = self._assign(points, lon, lat)
+        tagged = _restrict_to_dim(
+            self._assign(points, lon, lat), self.zones_dim, "s2_cell"
+        )
         agged = tagged.groupBy("s2_cell").agg(*exprs)
         out = self._view.join(F.broadcast(agged), "s2_cell", "left")
         for name, fn in meta:
@@ -488,8 +510,9 @@ class S2ViewGenerator:
                     value_col: str = "value") -> "S2ViewGenerator":
         from .operators.zonal import _AGG_FNS
 
-        valid = self._assign(
-            pixels.where(F.col(value_col).isNotNull()), "lon", "lat"
+        valid = _restrict_to_dim(
+            self._assign(pixels.where(F.col(value_col).isNotNull()), "lon", "lat"),
+            self.zones_dim, "s2_cell",
         )
         exprs = [_AGG_FNS[s](F.col(value_col)).alias(f"{value_col}_{s}") for s in stats]
         agged = valid.groupBy("s2_cell").agg(*exprs)

@@ -305,3 +305,22 @@ def test_s2_public_spec_structural_invariants():
     cid = int(cells_s2.cell_id(np.array([12.3]), np.array([45.6]), 17)[0])
     lsb = cid & -cid
     assert lsb == 1 << (2 * (30 - 17))
+
+
+def test_uuid3_sql_overlong_key_raises(duck):
+    """Keys past the single-block MD5 capacity (39 utf-8 bytes) must fail
+    LOUDLY in the generated SQL, not silently mis-digest."""
+    import pytest
+
+    from giga_spatial_spark.functions import hashing_sql
+
+    ok = duck.execute(
+        hashing_sql.uuid3_sql("SELECT 'a|1' AS name")
+    ).fetchall()
+    import uuid as _uuid
+
+    assert ok[0][-1] == str(_uuid.uuid3(_uuid.NAMESPACE_DNS, "a|1"))
+    with pytest.raises(Exception, match="39 utf-8 bytes"):
+        duck.execute(
+            hashing_sql.uuid3_sql(f"SELECT '{'x' * 40}' AS name")
+        ).fetchall()

@@ -547,3 +547,21 @@ def test_greedy_replay_polar_and_wrap_fallback(spark):
         mask = (d <= eps) & (np.arange(len(ids)) != i)
         kept[mask] = False
     assert got == sorted(ids[kept].tolist())
+
+
+def test_connected_components_huge_ids_distributed(spark):
+    """Distributed large/small-star path with node ids whose pairwise
+    products exceed int64 (~4e9 each): the convergence signature must be
+    overflow-proof under ANSI mode (xor-of-xxhash64, not sum(u*v) — the
+    old sum form raised ArithmeticException exactly on this path)."""
+    from giga_spatial_spark.operators.graph import connected_components
+
+    a, b, c, d = 4_000_000_001, 4_000_000_002, 4_000_000_003, 9_000_000_000
+    edges = spark.createDataFrame(
+        [(a, b), (b, c), (d, d + 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, small_graph_limit=0).collect()
+    }
+    assert got == {a: a, b: a, c: a, d: d, d + 1: d}

@@ -47,3 +47,17 @@ def test_embedding_near_dup_validity(spark):
         assert true >= 0.5 and abs(true - row.cosine) < 1e-3
     assert (pairs["a"] < pairs["b"]).all()
     assert not pairs.duplicated(["a", "b"]).any()
+
+
+def test_knn_broadcast_size_guard(spark, monkeypatch):
+    """A fact-sized facility table must raise (pointing at knn_grid)
+    BEFORE any driver collect — the probe is a truncated JVM count."""
+    import pytest
+
+    from giga_spatial_spark.operators import knn
+
+    fac = synth.facilities_df(spark, SF_DIR)
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lon double, lat double")
+    monkeypatch.setattr(knn, "BROADCAST_FACILITY_LIMIT", 3)
+    with pytest.raises(ValueError, match="knn_grid"):
+        knn.knn_broadcast(pts, fac, point_id="id")
