@@ -142,35 +142,66 @@ def q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HEX_RING_CENTER = (20.0, 10.0)  # lon, lat
+# probe = a base-cell center (bc 53), so the k-disk at res 2 stays
+# inside one base cell and the local-IJK distance relation the SQL
+# oracle replays is exact (asserted in _h3_ring_cells)
+HEX_RING_CENTER = (26.17464084049066, 7.480115173899591)  # lon, lat
 HEX_RING_K = 3
-HEX_RING_RES = 3
+HEX_RING_RES = 2
+
+
+def _h3_ring_cells() -> tuple[int, "list[int]"]:
+    """Probe cell + its k-disk on the TRUE H3 grid, with a build-time
+    proof that the geometric disk equals the base-cell-local IJK-distance
+    disk (the relation the SQL oracle recomputes): both sets are computed
+    and asserted equal, and the probe's base cell is asserted
+    non-pentagonal so the local frame is rotation-free."""
+    import numpy as np
+
+    from giga_spatial_spark import cells_h3
+
+    center = int(
+        cells_h3.latlng_to_cell(HEX_RING_CENTER[1], HEX_RING_CENTER[0],
+                                HEX_RING_RES)
+    )
+    assert not bool(
+        cells_h3.is_pentagon(np.array([center]))[0]
+    ), "ring probe landed on a pentagon"
+    ring = cells_h3.grid_disk(center, HEX_RING_K)
+    # independent local-IJK reconstruction over the base cell's full tree
+    bc = int(cells_h3.get_base_cell(np.array([center]))[0])
+    res0 = cells_h3._pack_index(
+        0, np.array([bc]), np.zeros((1, 0), np.int64)
+    )[0]
+    allbc = cells_h3.cell_to_children(int(res0), HEX_RING_RES)
+    dist = cells_h3.grid_distance_local(
+        allbc, cells_h3.local_ijk(np.array([center]))[0]
+    )
+    local_set = set(allbc[dist <= HEX_RING_K].tolist())
+    assert local_set == set(int(c) for c in ring), (
+        "geometric disk != local-IJK disk — probe too close to a base "
+        "cell boundary for the ring oracle's local-frame relation"
+    )
+    return center, [int(c) for c in ring]
 
 
 def q_hex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-ring membership on the hex grid (reference grid_ring,
-    grid/h3.py:371-393): docs whose res-5 hex cell lies within hex distance
-    K of the cell containing a probe point, counted per cell. The oracle
-    recomputes the axial distance (|dq|+|dr|+|dq+dr|)/2 in SQL."""
-    from giga_spatial_spark import cells_hex
+    """k-ring membership on the TRUE H3 grid (reference grid_ring,
+    grid/h3.py:371-393): docs whose res-2 H3 cell lies within grid
+    distance K of the cell containing a probe point, counted per cell.
+    The oracle recomputes the relation independently: forward cell SQL,
+    then the base-cell-local IJK walk (h3_sql.h3_local_ijk_sql) and the
+    normalized max-component hex distance — the disk/local-distance
+    equivalence is asserted at build time (_h3_ring_cells)."""
+    from giga_spatial_spark import cells_h3
 
-    import numpy as np
-
-    center = int(
-        cells_hex.cell_id(
-            np.array([HEX_RING_CENTER[0]]), np.array([HEX_RING_CENTER[1]]),
-            HEX_RING_RES,
-        )[0]
-    )
-    ring = cells_hex.k_ring(center, HEX_RING_K)
-    cover = spark.createDataFrame([(int(c),) for c in ring], "hex_cell long")
-    pts = _docs_pts(spark, sf_dir)
-    tagged = pts.withColumn(
-        "hex_cell", cells_hex.cell_id_col(F.col("lon"), F.col("lat"), HEX_RING_RES)
-    )
+    _, ring = _h3_ring_cells()
+    cover = spark.createDataFrame([(c,) for c in ring], "h3_cell long")
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    tagged = cells_h3.assign_cells_df(pts, HEX_RING_RES)
     return (
-        tagged.join(F.broadcast(cover), "hex_cell", "left_semi")
-        .groupBy("hex_cell")
+        tagged.join(F.broadcast(cover), "h3_cell", "left_semi")
+        .groupBy("h3_cell")
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
 
@@ -1416,40 +1447,42 @@ HEX_RES = 5
 
 
 def q_hex_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hexagonal-grid cell assignment (H3-role grid, cells_hex.py; reference
-    grid/h3.py:347-369) — per-cell doc counts via the NATIVE column
-    expression (whole-stage codegen, no UDF); oracle recomputes the axial
-    arithmetic in SQL (pure float ops, bit-exact across engines)."""
-    from giga_spatial_spark import cells_hex
+    """Geodesic H3 cell assignment (cells_h3 — from-scratch public-spec
+    implementation producing REAL H3 indexes; reference grid/h3.py:347-369
+    latlng_to_cell) — per-cell doc counts via the Arrow-batched kernel;
+    the oracle replays the FULL forward pipeline in SQL (20-face argmax,
+    gnomonic, lattice rounding, unrolled aperture-7 digit extraction,
+    canonical + pentagon rotations — functions/h3_sql.h3_cell_sql)."""
+    from giga_spatial_spark import cells_h3
 
-    pts = _docs_pts(spark, sf_dir)
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
     return (
-        pts.withColumn(
-            "hex_cell", cells_hex.cell_id_col(F.col("lon"), F.col("lat"), HEX_RES)
-        )
-        .groupBy("hex_cell")
+        cells_h3.assign_cells_df(pts, HEX_RES)
+        .groupBy("h3_cell")
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
 
 
-def q_hex_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hex polyfill membership (reference H3ViewGenerator zonal flow,
-    generators/zonal/h3.py:32-89 + polyfill grid/h3.py:150-196): docs whose
-    res-4 hex cell is in polyfill(zone 1), counted per cell. The oracle
-    recomputes membership independently: cell center (inverse axial
-    transform in SQL) ray-cast against the polygon — equal to center-mode
-    polyfill by definition."""
-    from giga_spatial_spark import cells_hex
+H3_ZONAL_RES = 3
 
-    cells_in = cells_hex.polyfill(ADMIN_POLYS[1], 4, mode="center")
-    cover = spark.createDataFrame([(int(c),) for c in cells_in], "hex_cell long")
-    pts = _docs_pts(spark, sf_dir)
-    tagged = pts.withColumn(
-        "hex_cell", cells_hex.cell_id_col(F.col("lon"), F.col("lat"), 4)
-    )
+
+def q_hex_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 polyfill membership (reference H3ViewGenerator zonal flow,
+    generators/zonal/h3.py:32-89 + polyfill grid/h3.py:150-196): docs
+    whose res-3 H3 cell is in polyfill(zone 1), counted per cell. The
+    oracle recomputes membership INDEPENDENTLY: forward cell SQL →
+    inverse center SQL (digit walk + overage isometries,
+    functions/h3_sql.h3_center_sql) → ray-cast against the polygon —
+    equal to center-mode polyfill by definition."""
+    from giga_spatial_spark import cells_h3
+
+    cells_in = cells_h3.polyfill(ADMIN_POLYS[1], H3_ZONAL_RES, mode="center")
+    cover = spark.createDataFrame([(int(c),) for c in cells_in], "h3_cell long")
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    tagged = cells_h3.assign_cells_df(pts, H3_ZONAL_RES)
     return (
-        tagged.join(F.broadcast(cover), "hex_cell", "left_semi")
-        .groupBy("hex_cell")
+        tagged.join(F.broadcast(cover), "h3_cell", "left_semi")
+        .groupBy("h3_cell")
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
 
@@ -1825,26 +1858,26 @@ def oracle_sql() -> dict[str, str]:
         normalize_enum_sql,
     )
 
-    import numpy as _np
+    from giga_spatial_spark.functions import h3_sql as _H3S
 
-    _c0 = int(
-        cells_hex.cell_id(
-            _np.array([HEX_RING_CENTER[0]]), _np.array([HEX_RING_CENTER[1]]),
-            HEX_RING_RES,
-        )[0]
+    # the probe's cell + local frame recomputed IN SQL from the literal
+    # probe coordinates (same unrolled chains the data side uses)
+    _probe_src = (
+        f"SELECT {HEX_RING_CENTER[0]!r}::DOUBLE AS lon, "
+        f"{HEX_RING_CENTER[1]!r}::DOUBLE AS lat"
     )
-    _, _q0a, _r0a = cells_hex.unpack(_np.array([_c0]))
-    _q0, _r0 = int(_q0a[0]), int(_r0a[0])
-    _mask = (1 << 26) - 1
     hex_ring = (
-        f"WITH d AS ({docs}), "
-        f"h AS (SELECT doc_id, {cells_hex.cell_id_sql('lon', 'lat', HEX_RING_RES)} AS hex_cell FROM d), "
-        f"ax AS (SELECT doc_id, hex_cell, "
-        f"((hex_cell >> 26) & {_mask}) - {cells_hex._OFF} - {_q0} AS dq, "
-        f"(hex_cell & {_mask}) - {cells_hex._OFF} - {_r0} AS dr FROM h) "
-        f"SELECT hex_cell, count(*) AS doc_count FROM ax "
-        f"WHERE abs(dq) + abs(dr) + abs(dq + dr) <= {2 * HEX_RING_K} "
-        "GROUP BY hex_cell"
+        f"WITH hfwd AS ({_H3S.h3_cell_sql(docs, HEX_RING_RES)}), "
+        f"hloc AS MATERIALIZED ({_H3S.h3_local_ijk_sql('SELECT * FROM hfwd', HEX_RING_RES)}), "
+        f"pfwd AS ({_H3S.h3_cell_sql(_probe_src, HEX_RING_RES)}), "
+        f"ploc AS MATERIALIZED ({_H3S.h3_local_ijk_sql('SELECT h3_cell FROM pfwd', HEX_RING_RES)}) "
+        "SELECT h.h3_cell, count(*) AS doc_count FROM hloc h, ploc p "
+        "WHERE h.lbc = p.lbc AND "
+        "greatest((h.li - p.li) - least(least(h.li - p.li, h.lj - p.lj), h.lk - p.lk), "
+        "(h.lj - p.lj) - least(least(h.li - p.li, h.lj - p.lj), h.lk - p.lk), "
+        "(h.lk - p.lk) - least(least(h.li - p.li, h.lj - p.lj), h.lk - p.lk)) "
+        f"<= {HEX_RING_K} "
+        "GROUP BY h.h3_cell"
     )
 
     merged_cell = "concat(o_orderstatus, ',', o_orderpriority)"
@@ -1945,27 +1978,22 @@ def oracle_sql() -> dict[str, str]:
         "WHERE 1 = 0"
     )
 
+    from giga_spatial_spark.functions import h3_sql as H3S
     from giga_spatial_spark.functions import hashing_sql as HS
 
     hex_assign = (
-        f"SELECT {cells_hex.cell_id_sql('lon', 'lat', HEX_RES)} AS hex_cell, "
-        f"count(*) AS doc_count FROM ({docs}) GROUP BY 1"
+        f"WITH h3f AS ({H3S.h3_cell_sql(docs, HEX_RES)}) "
+        "SELECT h3_cell, count(*) AS doc_count FROM h3f GROUP BY 1"
     )
-    _s4 = cells_hex.hex_size(4)
-    _mask = (1 << 26) - 1
-    _clat = f"((r * {_s4!r}) / {cells_hex._C_R_Y!r})"
-    _clon = f"(((q * {_s4!r}) - {cells_hex._C_Q_Y!r} * {_clat}) / {cells_hex._C_Q_X!r})"
     hex_zonal = (
-        f"WITH d AS ({docs}), "
-        f"h AS (SELECT doc_id, {cells_hex.cell_id_sql('lon', 'lat', 4)} AS hex_cell FROM d), "
-        f"c AS (SELECT hex_cell, ((hex_cell >> 26) & {_mask}) - {cells_hex._OFF} AS q, "
-        f"(hex_cell & {_mask}) - {cells_hex._OFF} AS r "
-        "FROM (SELECT DISTINCT hex_cell FROM h)), "
-        f"ctr AS (SELECT hex_cell, {_clat} AS clat, {_clon} AS clon FROM c), "
-        f"m AS (SELECT hex_cell FROM ctr WHERE "
-        f"{synth.raycast_contains_sql(ADMIN_POLYS[1], 'clon', 'clat')}) "
-        "SELECT h.hex_cell, count(*) AS doc_count FROM h JOIN m USING (hex_cell) "
-        "GROUP BY 1"
+        f"WITH h3f AS ({H3S.h3_cell_sql(docs, H3_ZONAL_RES)}), "
+        "agg AS MATERIALIZED (SELECT h3_cell, count(*) AS doc_count "
+        "FROM h3f GROUP BY 1), "
+        f"ctr AS MATERIALIZED ("
+        f"{H3S.h3_center_sql('SELECT h3_cell FROM agg', H3_ZONAL_RES)}), "
+        f"m AS (SELECT h3_cell FROM ctr WHERE "
+        f"{synth.raycast_contains_sql(ADMIN_POLYS[1], 'clng', 'clat')}) "
+        "SELECT agg.h3_cell, agg.doc_count FROM agg JOIN m USING (h3_cell)"
     )
 
     from giga_spatial_spark.functions import mollweide as _M

@@ -1232,3 +1232,58 @@ def polyfill(poly: np.ndarray, res: int, mode: str = "center") -> np.ndarray:
     clat, clng = cell_to_latlng(cand)
     inside = point_in_polygon(poly, clng, clat)
     return cand[inside]
+
+
+def assign_cells_df(points, res: int, lon: str = "lon", lat: str = "lat",
+                    out_col: str = "h3_cell"):
+    """points DataFrame → + h3_cell column (Arrow-batched numpy kernel,
+    same shape as cells_s2.assign_cells_df — the face/gnomonic/aperture
+    pipeline is trig- and branch-heavy, so there is no native-column twin;
+    the batch kernel amortizes it and the slot tables load once per worker
+    from the /tmp cache)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(points.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf.copy()
+            out[out_col] = latlng_to_cell(
+                pdf[lat].to_numpy(np.float64), pdf[lon].to_numpy(np.float64),
+                res,
+            )
+            yield out
+
+    return points.mapInPandas(kernel, schema=schema)
+
+
+def local_ijk(h) -> np.ndarray:
+    """Cells → their local IJK coordinate within their own base cell
+    (digit walk, no overage — a base-cell-local frame). Grid distance
+    between two cells of the SAME base cell is the normalized max-abs of
+    the coordinate difference; used by the oracle-checkable ring query."""
+    h = np.atleast_1d(np.asarray(h, dtype=np.int64))
+    res_arr = get_resolution(h)
+    out = np.zeros((h.shape[0], 3), dtype=np.int64)
+    for res in np.unique(res_arr):
+        res = int(res)
+        m = res_arr == res
+        digits = _get_digits(h[m], res)
+        ijk = np.zeros((int(m.sum()), 3), dtype=np.int64)
+        for r in range(1, res + 1):
+            ijk = _down_ap7(ijk, rev=(r % 2 == 0))
+            ijk = _ijk_normalize(ijk + UNIT_VECS[digits[:, r - 1]])
+        out[m] = ijk
+    return out
+
+
+def grid_distance_local(a: np.ndarray, b_ijk: np.ndarray) -> np.ndarray:
+    """Hex grid distance between cells `a` and a fixed local-IJK `b_ijk`
+    (must share the base cell): max component of the normalized diff."""
+    d = local_ijk(a) - b_ijk[None, :]
+    d = d - d.min(axis=1, keepdims=True)
+    return d.max(axis=1)

@@ -144,9 +144,11 @@ class PoiViewGenerator:
 
 
 class HexViewGenerator:
-    """Hex-grid zonal view (reference H3ViewGenerator, generators/zonal/
-    h3.py:32-89): zones are the hex cells polyfilling a boundary polygon at
-    a resolution; enrichment methods aggregate points/rasters per cell.
+    """Geodesic H3 zonal view (reference H3ViewGenerator, generators/
+    zonal/h3.py:32-89): zones are the TRUE H3 cells (cells_h3 — the
+    from-scratch public-spec implementation, ids joinable against
+    externally H3-indexed data) polyfilling a boundary polygon at a
+    resolution; enrichment methods aggregate points/rasters per cell.
 
     The reference call shape
         H3ViewGenerator(source=boundary, resolution=7).map_wp_pop(...)
@@ -156,41 +158,42 @@ class HexViewGenerator:
 
     def __init__(self, spark, boundary, resolution: int = 5,
                  contain_mode: str = "center"):
-        from . import cells_hex
+        from . import cells_h3
 
         self.spark = spark
         self.resolution = resolution
-        self.cells = cells_hex.polyfill(boundary, resolution, mode=contain_mode)
-        lon_c, lat_c = cells_hex.cell_center(self.cells)
+        self.cells = cells_h3.polyfill(boundary, resolution, mode=contain_mode)
+        lat_c, lon_c = cells_h3.cell_to_latlng(self.cells)
         self.zones_dim = spark.createDataFrame(
             [
                 (int(c), float(lo), float(la))
                 for c, lo, la in zip(self.cells, lon_c, lat_c)
             ],
-            "hex_cell long, center_lon double, center_lat double",
+            "h3_cell long, center_lon double, center_lat double",
         )
         self._view = self.zones_dim
 
-    def _cell_col(self, lon, lat):
-        from . import cells_hex
+    def _assign(self, points: DataFrame, lon: str, lat: str) -> DataFrame:
+        from . import cells_h3
 
-        return cells_hex.cell_id_col(lon, lat, self.resolution)
+        return cells_h3.assign_cells_df(
+            points, self.resolution, lon=lon, lat=lat
+        )
 
     def map_points(self, points: DataFrame, aggregation: str = "count",
                    value_columns=None, lon: str = "lon", lat: str = "lat",
                    suffix: str = "") -> "HexViewGenerator":
         """Per-cell point aggregation with the reference's fill rules
-        (0 for counts, NULL otherwise) — native hex assignment (codegen)
-        + left-semi restriction to the view's cells."""
+        (0 for counts, NULL otherwise) — Arrow-batched H3 assignment +
+        left-semi restriction to the view's cells."""
         from .operators.zonal import agg_exprs
 
         exprs, meta = agg_exprs(aggregation, value_columns, suffix)
         tagged = _restrict_to_dim(
-            points.withColumn("hex_cell", self._cell_col(F.col(lon), F.col(lat))),
-            self.zones_dim, "hex_cell",
+            self._assign(points, lon, lat), self.zones_dim, "h3_cell"
         )
-        agged = tagged.groupBy("hex_cell").agg(*exprs)
-        out = self._view.join(F.broadcast(agged), "hex_cell", "left")
+        agged = tagged.groupBy("h3_cell").agg(*exprs)
+        out = self._view.join(F.broadcast(agged), "h3_cell", "left")
         for name, fn in meta:
             if fn == "count":
                 out = out.withColumn(
@@ -201,19 +204,19 @@ class HexViewGenerator:
 
     def map_rasters(self, pixels: DataFrame, stats=("count", "mean"),
                     value_col: str = "value") -> "HexViewGenerator":
-        """Per-cell raster stats: pixels keyed by hex cell natively, nodata
-        dropped first (reference map_wp_pop semantics)."""
+        """Per-cell raster stats: pixels keyed by H3 cell, nodata dropped
+        first (reference map_wp_pop semantics)."""
         from .operators.zonal import _AGG_FNS
 
         valid = _restrict_to_dim(
-            pixels.where(F.col(value_col).isNotNull()).withColumn(
-                "hex_cell", self._cell_col(F.col("lon"), F.col("lat"))
+            self._assign(
+                pixels.where(F.col(value_col).isNotNull()), "lon", "lat"
             ),
-            self.zones_dim, "hex_cell",
+            self.zones_dim, "h3_cell",
         )
         exprs = [_AGG_FNS[s](F.col(value_col)).alias(f"{value_col}_{s}") for s in stats]
-        agged = valid.groupBy("hex_cell").agg(*exprs)
-        out = self._view.join(F.broadcast(agged), "hex_cell", "left")
+        agged = valid.groupBy("h3_cell").agg(*exprs)
+        out = self._view.join(F.broadcast(agged), "h3_cell", "left")
         if "count" in stats:
             out = out.withColumn(
                 f"{value_col}_count",
@@ -224,18 +227,26 @@ class HexViewGenerator:
 
     def with_density(self, count_col: str, out_col: str | None = None
                      ) -> "HexViewGenerator":
-        """Per-km² density from a count column using the LATITUDE-CORRECTED
-        cell ground area (cells_hex.cell_area_m2_col) — the planar degree²
-        area would bias densities by cos(lat) (reference exposes true ~
-        uniform H3 cell areas, grid/h3.py:257-273)."""
-        from . import cells_hex
+        """Per-km² density from each cell's EXACT spherical area
+        (cells_h3.cell_area_km2 — boundary polygon spherical excess;
+        reference exposes true H3 cell areas, grid/h3.py:257-273). The
+        area table is dim-sized and broadcast."""
+        from . import cells_h3
 
+        areas = self.spark.createDataFrame(
+            [
+                (int(c), float(a))
+                for c, a in zip(
+                    self.cells, cells_h3.cell_area_km2(self.cells)
+                )
+            ],
+            "h3_cell long, __area_km2 double",
+        )
         out_col = out_col or f"{count_col}_per_km2"
-        area_km2 = cells_hex.cell_area_m2_col(
-            self.resolution, F.col("center_lat")
-        ) / F.lit(1e6)
-        self._view = self._view.withColumn(
-            out_col, F.col(count_col) / area_km2
+        self._view = (
+            self._view.join(F.broadcast(areas), "h3_cell", "left")
+            .withColumn(out_col, F.col(count_col) / F.col("__area_km2"))
+            .drop("__area_km2")
         )
         return self
 
@@ -243,20 +254,25 @@ class HexViewGenerator:
         return self._view
 
     def to_feature_table(self) -> DataFrame:
-        """Hex view → Polygon features: each cell's 6-vertex boundary
-        (cells_hex.cell_boundary; reference cells_to_geo, grid/h3.py:
-        326-335) joined onto the enriched view. The boundary table is
-        dim-sized (the view's own cells), so the join broadcasts."""
-        from . import cells_hex
+        """H3 view → Polygon features: each cell's exact boundary
+        (cells_h3.cell_to_boundary — substrate corners + distortion
+        vertices; reference cells_to_geo, grid/h3.py:326-335) joined onto
+        the enriched view. The boundary table is dim-sized (the view's
+        own cells), so the join broadcasts."""
+        from . import cells_h3
 
         rings = self.spark.createDataFrame(
             [
-                (int(c), [[ [float(x), float(y)] for x, y in cells_hex.cell_boundary(int(c))]])
+                (
+                    int(c),
+                    [[[float(ln), float(la)]
+                      for la, ln in cells_h3.cell_to_boundary(int(c))]],
+                )
                 for c in self.cells
             ],
-            "hex_cell long, rings array<array<array<double>>>",
+            "h3_cell long, rings array<array<array<double>>>",
         )
-        joined = self._view.join(F.broadcast(rings), "hex_cell")
+        joined = self._view.join(F.broadcast(rings), "h3_cell")
         return joined.select(
             F.lit("Polygon").alias("geom_type"),
             "rings",
@@ -265,6 +281,10 @@ class HexViewGenerator:
 
     def save_view(self, path: str, fmt: str = "parquet") -> str:
         return _save_view(self._view, path, fmt, self.to_feature_table)
+
+
+# the reference's class name, 1:1
+H3ViewGenerator = HexViewGenerator
 
 
 class ZonalViewGenerator:

@@ -158,3 +158,41 @@ def test_boundary_closed_and_pentagon_corners():
     pents = _res0_cells()[h3.is_pentagon(_res0_cells())]
     bp = h3.cell_to_boundary(int(pents[0]))
     assert len(bp) == 5
+
+
+def test_sql_twins_match_kernels():
+    """The DuckDB SQL replays (functions/h3_sql) must reproduce the numpy
+    kernels: forward ids exactly, centers to trig-ulp, local IJK exactly."""
+    import duckdb
+    import pandas as pd
+
+    from giga_spatial_spark.functions import h3_sql
+
+    rng = np.random.RandomState(123)
+    n = 20000
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    lng = rng.uniform(-180, 180, n)
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"id": np.arange(n), "lon": lng, "lat": lat}))
+    for res in (1, 5, 8):
+        want = h3.latlng_to_cell(lat, lng, res)
+        got = con.execute(
+            h3_sql.h3_cell_sql("SELECT * FROM pts", res) + " ORDER BY id"
+        ).fetchdf()["h3_cell"].to_numpy()
+        assert int((got != want).sum()) == 0, f"forward res {res}"
+        u = np.unique(want)
+        con.register("cells", pd.DataFrame({"h3_cell": u}))
+        ctr = con.execute(
+            h3_sql.h3_center_sql("SELECT * FROM cells", res)
+            + " ORDER BY h3_cell"
+        ).fetchdf()
+        wla, wln = h3.cell_to_latlng(u)
+        o = np.argsort(u)
+        assert np.abs(ctr["clat"].to_numpy() - wla[o]).max() < 1e-10
+        assert np.abs(ctr["clng"].to_numpy() - wln[o]).max() < 1e-10
+        loc = con.execute(
+            h3_sql.h3_local_ijk_sql("SELECT * FROM cells", res)
+            + " ORDER BY h3_cell"
+        ).fetchdf()[["li", "lj", "lk"]].to_numpy()
+        assert (loc == h3.local_ijk(u)[o]).all(), f"local ijk res {res}"
+    con.close()

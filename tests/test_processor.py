@@ -101,12 +101,12 @@ def test_entity_table_from_file_flow(spark, tmp_path):
 def test_hex_view_generator(spark):
     """HexViewGenerator (H3ViewGenerator role): polyfilled cells as the zone
     dim, per-cell point counts with 0-fill and raster means."""
-    from giga_spatial_spark import cells_hex, synth
+    from giga_spatial_spark import cells_h3, synth
     from giga_spatial_spark.operators.raster import RasterMeta, synthetic_raster
     from giga_spatial_spark.views import HexViewGenerator
 
     poly = synth.make_admin_polygons()[1]
-    gen = HexViewGenerator(spark, poly, resolution=4)
+    gen = HexViewGenerator(spark, poly, resolution=3)
     assert gen.zones_dim.count() == len(gen.cells) > 0
 
     docs = synth.with_coords(
@@ -125,11 +125,11 @@ def test_hex_view_generator(spark):
 
     # column-first indexing: a row Series would coerce the int64 cell id to
     # float64 and lose precision (hex ids exceed 2^53)
-    cell = int(view.sort_values("point_count")["hex_cell"].iloc[-1])
+    cell = int(view.sort_values("point_count")["h3_cell"].iloc[-1])
     lon = docs.toPandas()["lon"].to_numpy()
     lat = docs.toPandas()["lat"].to_numpy()
-    ids = cells_hex.cell_id(lon, lat, 4)
-    assert int(view.set_index("hex_cell").loc[cell, "point_count"]) == int(
+    ids = cells_h3.latlng_to_cell(lat, lon, 3)
+    assert int(view.set_index("h3_cell").loc[cell, "point_count"]) == int(
         (ids == cell).sum()
     )
 
