@@ -741,6 +741,71 @@ def q_geotiff_mollweide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LAEA_W, LAEA_H, LAEA_DX = 160, 120, 18000.0
+
+
+def _laea_anchor() -> tuple[float, float]:
+    """Top-left EPSG:3035 (x0, y1) of the LAEA fixture grid: centered on
+    zone 3's centroid via the from-scratch ellipsoidal forward."""
+    import numpy as np
+
+    from giga_spatial_spark.functions import laea as L
+
+    cx, cy = polygon_centroid(ADMIN_POLYS[3])
+    x, y = L.forward(np.array([cx]), np.array([cy]))
+    return (
+        float(x[0]) - LAEA_W / 2 * LAEA_DX,
+        float(y[0]) + LAEA_H / 2 * LAEA_DX,
+    )
+
+
+def q_geotiff_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:3035 (ETRS89 LAEA Europe — CORINE/EU-DEM grid) raster ingest:
+    a deterministic GeoTIFF whose geotransform is LAEA METERS
+    (GeoKeyDirectory code 3035) is decoded strip-parallel, pixel centers
+    inverse-projected through the from-scratch ellipsoidal LAEA
+    (functions/laea — Snyder oblique aspect + authalic series), then the
+    q_geotiff_zonal flow. The oracle replays the grid, laea.inverse_sql
+    and the zone predicates in SQL. Reference: tif_processor.py accepts
+    arbitrary projected CRSs via rasterio; EPSG:3035 is the most common
+    public raster CRS outside the engine's other four families."""
+    import getpass
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    x0, y1 = _laea_anchor()
+    params = (
+        f"laea_v1|w={LAEA_W}|h={LAEA_H}|x0={x0!r}|y1={y1!r}|dx={LAEA_DX!r}|"
+        "vals=(px*29+py*19+3)%991/10|nodata=(px*5+py*11)%19==0:-9999"
+    )
+    key = hashlib.sha256(params.encode()).hexdigest()[:16]
+    path = f"/tmp/spark_graft_geotiff_{getpass.getuser()}/laea_{key}.tif"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        px = np.arange(LAEA_W)[None, :]
+        row = np.arange(LAEA_H)[:, None]
+        vals = ((px * 29 + row * 19 + 3) % 991) / 10.0
+        vals = np.where((px * 5 + row * 11) % 19 == 0, -9999.0, vals)
+        write_tiff(
+            path + ".tmp", vals, lon0=x0, lat1=y1, dx=LAEA_DX, dy=LAEA_DX,
+            nodata=-9999.0, crs="EPSG:3035",
+        )
+        os.replace(path + ".tmp", path)
+    pixels = tiff_pixel_table(spark, path)
+    valid = pixels.where(F.col("value").isNotNull())
+    matches = pip_join_rtree(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    return matches.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("px_count"),
+        (F.sum(F.round(F.col("value") * 10).cast("bigint")) / 10.0).alias("v_sum"),
+        F.round(F.min("value"), 1).alias("v_min"),
+        F.round(F.max("value"), 1).alias("v_max"),
+    )
+
+
 def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point sampling of the raster (reference tif_processor.py:958-1006):
     doc points → containing-pixel equi-join."""
@@ -1157,6 +1222,89 @@ def q_normalize_enums(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(enum.alias("priority"), coll.alias("tags"))
         .groupBy("priority", "tags")
         .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# 25 country spellings, one per nation key — exercises official names,
+# aliases, alpha-2, accents, passthrough ISO3, whitespace and an unknown.
+# The oracle maps keys to codes through its OWN literal CASE (public
+# ISO 3166-1 knowledge), independent of the registry under test.
+ISO3_TEST_NAMES = [
+    "Algeria", " france ", "CHINA", "Viet Nam", "türkiye", "cz", "DE",
+    "Côte d'Ivoire", "USA",
+    "United Kingdom of Great Britain and Northern Ireland", "south sudan",
+    "Cabo Verde", "Burma", "Eswatini", "North Macedonia", "DRC",
+    "Timor-Leste", "Holy See", "PRK", "russian federation", "Atlantis",
+    "ivory coast", "ua", "Bolivia", "Papua New Guinea",
+]
+ISO3_TEST_EXPECT = [
+    "DZA", "FRA", "CHN", "VNM", "TUR", "CZE", "DEU", "CIV", "USA", "GBR",
+    "SSD", "CPV", "MMR", "SWZ", "MKD", "COD", "TLS", "VAT", "PRK", "RUS",
+    None, "CIV", "UKR", "BOL", "PNG",
+]
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction with REAL header parsers
+    (functions/multimodal.parse_media_meta — PNG IHDR / JPEG SOF scan /
+    WAV RIFF walk, pure stdlib-struct public-spec parsing; pixel/sample
+    decode stays brief-prescribed-stubbed): deterministic containers are
+    built per doc (build_payload) and parsed back on executors. The
+    oracle replays the builder's arithmetic + container byte accounting
+    in SQL — generator∘parser must be the identity."""
+    from giga_spatial_spark.functions import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        MM.build_payload(int(i), "mixed") for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return media.select(
+        "doc_id", MM.media_meta("payload").alias("m")
+    ).select(
+        "doc_id",
+        F.col("m.format").alias("format"),
+        F.col("m.width").alias("width"),
+        F.col("m.height").alias("height"),
+        F.col("m.sample_rate").alias("sample_rate"),
+        F.col("m.channels").alias("channels"),
+        F.col("m.n_samples").alias("n_samples"),
+        F.col("m.n_bytes").alias("n_bytes"),
+    )
+
+
+def q_iso3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ISO 3166-1 resolution (operators/normalize.iso3_expr over the
+    complete transcribed registry, iso3166.py; reference resolves via
+    pycountry — grid/h3.py:544, handlers/boundaries.py:496-504): every
+    nation keyed to a country spelling (names, aliases, alpha-2, accents,
+    ISO3 passthrough, junk → NULL), resolved to alpha-3."""
+    from giga_spatial_spark.operators.normalize import iso3_expr
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    names = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(ISO3_TEST_NAMES)],
+        "n_nationkey bigint, country string",
+    )
+    return (
+        nation.select("n_nationkey")
+        .join(F.broadcast(names), "n_nationkey")
+        .select(
+            "n_nationkey",
+            iso3_expr(F.col("country")).alias("iso3"),
+        )
     )
 
 
@@ -1610,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zonal_raster": q_zonal_raster,
         "q_geotiff_zonal": q_geotiff_zonal,
         "q_geotiff_mollweide": q_geotiff_mollweide,
+        "q_geotiff_laea": q_geotiff_laea,
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
         "q_raster_merge": q_raster_merge,
@@ -1639,6 +1788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_fgb": q_pip_fgb,
         "q_los": q_los,
         "q_normalize_enums": q_normalize_enums,
+        "q_iso3": q_iso3,
+        "q_multimodal_meta": q_multimodal_meta,
         "q_coverage": q_coverage,
         "q1_pricing_summary": q1_pricing_summary,
     }
@@ -2022,6 +2173,32 @@ def oracle_sql() -> dict[str, str]:
         "FROM m GROUP BY zone_id"
     )
 
+    from giga_spatial_spark.functions import laea as _L
+
+    lx0, ly1 = _laea_anchor()
+    lx_sql = f"({lx0!r} + ((i % {LAEA_W}) + 0.5) * {LAEA_DX!r})"
+    ly_sql = f"({ly1!r} - ((i // {LAEA_W}) + 0.5) * {LAEA_DX!r})"
+    llon_sql, llat_sql = _L.inverse_sql(lx_sql, ly_sql)
+    laea_val = (
+        f"CASE WHEN ((i % {LAEA_W}) * 5 + (i // {LAEA_W}) * 11) % 19 = 0 "
+        f"THEN NULL ELSE (((i % {LAEA_W}) * 29 + (i // {LAEA_W}) * 19 + 3) % 991) / 10.0 END"
+    )
+    laea_pip = " UNION ALL ".join(
+        f"SELECT {zid} AS zone_id, r.value FROM lvalid r WHERE "
+        + synth.convex_contains_sql(poly, "r.lon", "r.lat")
+        for zid, poly in sorted(ADMIN_POLYS.items())
+    )
+    laea_zonal = (
+        f"WITH lraster AS (SELECT {laea_val} AS value, {llon_sql} AS lon, "
+        f"{llat_sql} AS lat FROM range({LAEA_W * LAEA_H}) t(i)), "
+        "lvalid AS MATERIALIZED (SELECT * FROM lraster WHERE value IS NOT NULL), "
+        f"m AS ({laea_pip}) "
+        "SELECT zone_id, count(*) AS px_count, "
+        "sum(cast(round(value * 10, 0) as bigint)) / 10.0 AS v_sum, "
+        "round(min(value), 1) AS v_min, round(max(value), 1) AS v_max "
+        "FROM m GROUP BY zone_id"
+    )
+
     clon6, clat6 = cells.tile_center_sql(6, "tile_x", "tile_y")
     tile_member = " UNION ALL ".join(
         f"SELECT tile, {zid} AS zone_id FROM ctr WHERE "
@@ -2088,6 +2265,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zonal_raster": zonal_raster,
         "q_geotiff_zonal": zonal_raster,
         "q_geotiff_mollweide": moll_zonal,
+        "q_geotiff_laea": laea_zonal,
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
         "q_k_factor": _k_factor_oracle_sql(docs),
@@ -2178,6 +2356,23 @@ def oracle_sql() -> dict[str, str]:
         "q_sessionize": sessionize,
         "q_normalize_strings": normalize_strings,
         "q_normalize_enums": normalize_enums,
+        "q_multimodal_meta": """
+WITH d AS (SELECT doc_id FROM documents),
+m AS (SELECT doc_id, doc_id % 3 AS sub,
+  64 + (doc_id * 37) % 512 AS iw, 64 + (doc_id * 59) % 512 AS ih,
+  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+  1 + (doc_id % 2) AS ch, 100 + (doc_id * 13) % 4000 AS ns
+  FROM d)
+SELECT doc_id,
+  CASE sub WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+  CASE WHEN sub < 2 THEN iw END AS width,
+  CASE WHEN sub < 2 THEN ih END AS height,
+  CASE WHEN sub = 2 THEN rate END AS sample_rate,
+  CASE WHEN sub = 2 THEN ch END AS channels,
+  CASE WHEN sub = 2 THEN ns END AS n_samples,
+  CASE sub WHEN 0 THEN 129 WHEN 1 THEN 67 ELSE 44 + ns * ch * 2 END AS n_bytes
+FROM m""",
+        "q_iso3": "WITH m(k, a3) AS (VALUES " + ", ".join(f"({i}, {repr(a3) if a3 is not None else 'NULL'})" for i, a3 in enumerate(ISO3_TEST_EXPECT)) + ") SELECT n_nationkey, a3 AS iso3 FROM nation JOIN m ON m.k = n_nationkey",
         "q_coverage": (
             "WITH t AS (SELECT count(*) AS total, "
             "count(doc_id) AS n_doc_id, count(text) AS n_text, "

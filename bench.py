@@ -139,6 +139,15 @@ def main() -> None:
         "q_simhash_near_dup",
         "q_components",
         "q_raster_merge",
+        # round-5 additions (absent from BENCH_r04): true-H3 re-backed
+        # q_hex_* above also changed engines this round — compare hex
+        # timings against r4 with that in mind
+        "q_los",
+        "q_pip_shp",
+        "q_pip_fgb",
+        "q_geotiff_laea",
+        "q_iso3",
+        "q_multimodal_meta",
     ]:
         queries[name] = timed(
             lambda n=name: Q[n](spark, SF_DIR).write.mode("overwrite").format("noop").save()
@@ -150,8 +159,15 @@ def main() -> None:
         "q_geotiff_mollweide", "q_simhash_near_dup", "q_components",
         "q_raster_merge",
     }
+    r5_new = {
+        "q_los", "q_pip_shp", "q_pip_fgb", "q_geotiff_laea", "q_iso3",
+        "q_multimodal_meta",
+    }
     r3_comparable = round(
-        sum(v for k, v in queries.items() if k not in r4_new), 3
+        sum(v for k, v in queries.items() if k not in r4_new | r5_new), 3
+    )
+    r4_comparable = round(
+        sum(v for k, v in queries.items() if k not in r5_new), 3
     )
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
     print(
@@ -167,6 +183,7 @@ def main() -> None:
                     "bench_pages": N_PAGES,
                     "cores": CPUS,
                     "r3_comparable_total": r3_comparable,
+                    "r4_comparable_total": r4_comparable,
                 },
             }
         )

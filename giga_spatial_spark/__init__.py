@@ -12,6 +12,12 @@ Layout:
   geometry     — numpy geometry kernels (haversine, PIP, clip, area)
   cells        — Web-Mercator tile / quadkey native column expressions,
                  k-ring, polygon covers (analog of reference grid/ modules)
+  cells_h3     — geodesic H3 from the public spec (REAL H3 indexes,
+                 doc-example bit-exact), Arrow assign kernel, polyfill,
+                 grid_disk, hierarchy, exact cell areas
+  cells_s2     — from-scratch S2 (Hilbert curve), cells_hex — planar
+                 axial grid (pure-arithmetic codegen variant)
+  iso3166      — complete ISO 3166-1 registry (no pycountry)
   synth        — deterministic synthetic geocoding + admin/facility layers
   operators/   — pip_join, zonal, knn, range_join, overlay, dedup,
                  normalize, ann

@@ -1212,9 +1212,13 @@ def grid_disk(h: int, k: int) -> np.ndarray:
 
 
 def polyfill(poly: np.ndarray, res: int, mode: str = "center") -> np.ndarray:
-    """Cells whose center falls inside `poly` (lon, lat vertices) — the
-    reference's polyfill contain mode. Sampling: index a point lattice at
-    ~1/3 cell spacing over the bbox, dedupe, then keep center-in-poly."""
+    """Cells covering `poly` (lon, lat vertices) under the reference's
+    four contain modes (grid/h3.py:150-196 h3shape_to_cells_experimental):
+    center (cell center inside — the default/oracle mode), full (cell
+    entirely inside: center + every boundary vertex), overlap (any
+    boundary/center point inside, or a polygon vertex inside the cell),
+    bbox_overlap (cell lon/lat bbox intersects the polygon bbox).
+    Candidates: a point lattice at ~1/3 cell spacing over the bbox."""
     from .geometry import point_in_polygon
 
     poly = np.asarray(poly, dtype=np.float64)
@@ -1230,8 +1234,69 @@ def polyfill(poly: np.ndarray, res: int, mode: str = "center") -> np.ndarray:
     glon, glat = np.meshgrid(lons, lats)
     cand = np.unique(latlng_to_cell(glat.ravel(), glon.ravel(), res))
     clat, clng = cell_to_latlng(cand)
-    inside = point_in_polygon(poly, clng, clat)
-    return cand[inside]
+    center_in = point_in_polygon(poly, clng, clat)
+    if mode == "center":
+        return cand[center_in]
+    if mode == "bbox_overlap":
+        keep = []
+        for c in cand:
+            b = cell_to_boundary(int(c))
+            keep.append(
+                b[:, 1].min() <= lon_max and b[:, 1].max() >= lon_min
+                and b[:, 0].min() <= lat_max and b[:, 0].max() >= lat_min
+            )
+        return cand[np.array(keep, dtype=bool)]
+    if mode not in ("full", "overlap"):
+        raise ValueError(f"unknown polyfill mode {mode!r}")
+    vert_cells = set(
+        latlng_to_cell(poly[:, 1], poly[:, 0], res).tolist()
+    )
+    keep = []
+    for i, c in enumerate(cand):
+        b = cell_to_boundary(int(c))
+        verts_in = point_in_polygon(poly, b[:, 1], b[:, 0])
+        if mode == "full":
+            keep.append(bool(center_in[i]) and bool(verts_in.all()))
+        else:  # overlap
+            keep.append(
+                bool(center_in[i]) or bool(verts_in.any())
+                or int(c) in vert_cells
+            )
+    return cand[np.array(keep, dtype=bool)]
+
+
+def compact(cells: np.ndarray) -> np.ndarray:
+    """Multi-res compaction (reference h3.compact_cells, grid/h3.py:
+    395-412): replace every complete sibling set (7, or 6 under a
+    pentagon spine) with its parent, iterated to a fixed point. Pure
+    digit arithmetic."""
+    out = set(int(c) for c in np.asarray(cells, dtype=np.int64))
+    changed = True
+    while changed:
+        changed = False
+        by_parent: dict[int, list[int]] = {}
+        for c in out:
+            res = int((c >> 52) & 0xF)
+            if res == 0:
+                continue
+            p = int(cell_to_parent(np.array([c], dtype=np.int64), res - 1)[0])
+            by_parent.setdefault(p, []).append(c)
+        for p, kids in by_parent.items():
+            want = 6 if bool(is_pentagon(np.array([p], dtype=np.int64))[0]) else 7
+            if len(kids) == want:
+                out.difference_update(kids)
+                out.add(p)
+                changed = True
+    return np.array(sorted(out), dtype=np.int64)
+
+
+def uncompact(cells: np.ndarray, res: int) -> np.ndarray:
+    """Expand a multi-res set to uniform `res` (reference
+    h3.uncompact_cells role)."""
+    out = []
+    for c in np.asarray(cells, dtype=np.int64):
+        out.append(cell_to_children(int(c), res))
+    return np.unique(np.concatenate(out)) if out else np.empty(0, np.int64)
 
 
 def assign_cells_df(points, res: int, lon: str = "lon", lat: str = "lat",

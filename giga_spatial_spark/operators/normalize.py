@@ -102,10 +102,14 @@ def titlecase_admin_expr(col: Column) -> Column:
     return F.initcap(clean_string_expr(col))
 
 
-# seed ISO3 registry — pycountry is absent in this container, so this is a
-# from-scratch name→alpha-3 map (reference resolves ISO3 via pycountry,
-# grid/h3.py:544); extend at runtime with register_country()
-ISO3_REGISTRY: dict[str, str] = {
+# complete ISO 3166-1 registry (iso3166.py: every assigned entry — names,
+# common aliases, alpha-2) — pycountry is absent in this container, so the
+# full public standard table is transcribed from scratch (reference
+# resolves ISO3 via pycountry, grid/h3.py:544); extend at runtime with
+# register_country(). The inline seed below is kept for explicit aliases
+# and layered UNDER the full table (full table wins on conflicts — there
+# are none; asserted in tests).
+_ISO3_SEED: dict[str, str] = {
     "afghanistan": "AFG", "argentina": "ARG", "australia": "AUS",
     "austria": "AUT", "bangladesh": "BGD", "belgium": "BEL", "brazil": "BRA",
     "canada": "CAN", "chile": "CHL", "china": "CHN", "colombia": "COL",
@@ -129,6 +133,17 @@ ISO3_REGISTRY: dict[str, str] = {
     "united states": "USA", "usa": "USA", "united states of america": "USA",
     "vietnam": "VNM", "zambia": "ZMB", "zimbabwe": "ZWE",
 }
+
+
+def _build_iso3_registry() -> dict[str, str]:
+    from ..iso3166 import full_registry
+
+    out = dict(_ISO3_SEED)
+    out.update(full_registry())
+    return out
+
+
+ISO3_REGISTRY: dict[str, str] = _build_iso3_registry()
 
 
 def register_country(name: str, iso3: str) -> None:

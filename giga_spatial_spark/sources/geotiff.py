@@ -237,10 +237,11 @@ def tiff_pixel_table(
     )
 
     meta = read_tiff_meta(path)
-    if meta.crs not in ("EPSG:4326", "ESRI:54009", "EPSG:3857"):
+    if meta.crs not in ("EPSG:4326", "ESRI:54009", "EPSG:3857", "EPSG:3035"):
         raise ValueError(
             f"unsupported raster CRS {meta.crs!r} — supported: EPSG:4326 "
-            "(geographic), ESRI:54009 (Mollweide, the GHSL grid) and "
+            "(geographic), ESRI:54009 (Mollweide, the GHSL grid), "
+            "EPSG:3035 (LAEA Europe — CORINE/EU grids) and "
             "EPSG:3857 (web mercator tile pyramids)"
         )
     bc = spark.sparkContext.broadcast(meta)
@@ -289,6 +290,14 @@ def tiff_pixel_table(
                         xm = np.broadcast_to(lon, shape2)
                         ym = np.broadcast_to(lat, shape2)
                         lon, lat = _moll.inverse(xm, ym)
+                    elif m.crs == "EPSG:3035":
+                        # LAEA Europe meters: ellipsoidal inverse
+                        # (functions/laea, Snyder oblique aspect)
+                        from ..functions import laea as _laea
+
+                        xm = np.broadcast_to(lon, shape2)
+                        ym = np.broadcast_to(lat, shape2)
+                        lon, lat = _laea.inverse(xm, ym)
                     elif m.crs == "EPSG:3857":
                         # web-mercator meters: closed-form spherical inverse
                         R = 6378137.0

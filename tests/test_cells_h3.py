@@ -196,3 +196,31 @@ def test_sql_twins_match_kernels():
         ).fetchdf()[["li", "lj", "lk"]].to_numpy()
         assert (loc == h3.local_ijk(u)[o]).all(), f"local ijk res {res}"
     con.close()
+
+
+def test_compact_uncompact_round_trip():
+    c = int(h3.latlng_to_cell(20.0, 15.0, 3))
+    kids = h3.cell_to_children(c, 6)
+    comp = h3.compact(kids)
+    assert len(comp) == 1 and int(comp[0]) == c
+    back = h3.uncompact(comp, 6)
+    assert set(back.tolist()) == set(kids.tolist())
+    # partial set stays partial
+    partial = kids[:-1]
+    comp2 = h3.compact(partial)
+    assert len(comp2) > 1
+    assert set(h3.uncompact(comp2, 6).tolist()) == set(partial.tolist())
+    # pentagon spine compacts with 6 children
+    pent = _res0_cells()[h3.is_pentagon(_res0_cells())][0]
+    pk = h3.cell_to_children(int(pent), 2)
+    assert len(h3.compact(pk)) == 1
+
+
+def test_polyfill_modes_nest():
+    poly = np.array([[10.0, 45.0], [16.0, 45.0], [16.0, 50.0], [10.0, 50.0]])
+    full = set(h3.polyfill(poly, 4, mode="full").tolist())
+    center = set(h3.polyfill(poly, 4, mode="center").tolist())
+    overlap = set(h3.polyfill(poly, 4, mode="overlap").tolist())
+    bbox = set(h3.polyfill(poly, 4, mode="bbox_overlap").tolist())
+    assert full <= center <= overlap <= bbox
+    assert len(full) > 0 and len(overlap) > len(center)

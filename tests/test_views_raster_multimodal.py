@@ -232,3 +232,52 @@ def test_s2_view_generator(spark, tmp_path):
     back = read_dataset(spark, path).collect()
     assert len(back) == len(gen.cells)
     assert all(len(r["rings"][0]) == 4 for r in back)  # quads
+
+
+def test_media_header_parsers_exact():
+    """Real PNG/JPEG/GIF/WAV header parsing: builder∘parser identity and
+    format discrimination (no media libs — pure public-spec struct)."""
+    from giga_spatial_spark.functions.multimodal import (
+        make_jpeg, make_png, make_wav, media_dims, media_wav_params,
+        parse_media_meta,
+    )
+
+    for i in (0, 7, 123, 4096):
+        w, h = media_dims(i)
+        m = parse_media_meta(make_png(w, h, i))
+        assert (m["format"], m["width"], m["height"]) == ("png", w, h)
+        m = parse_media_meta(make_jpeg(w, h, i))
+        assert (m["format"], m["width"], m["height"]) == ("jpeg", w, h)
+        rate, ch, bits, ns = media_wav_params(i)
+        m = parse_media_meta(make_wav(rate, ch, bits, ns))
+        assert m["format"] == "wav"
+        assert (m["sample_rate"], m["channels"], m["bits"], m["n_samples"]) == (
+            rate, ch, bits, ns
+        )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\0" * 6
+    m = parse_media_meta(gif)
+    assert (m["format"], m["width"], m["height"]) == ("gif", 320, 200)
+
+
+def test_media_header_parser_fuzz():
+    """Corruption robustness (read_tiff_meta fuzz pattern): every
+    truncation and every single-byte flip of valid containers must parse
+    without raising; truncations that cut the header degrade to
+    'unknown' or partial metadata, never garbage dimensions."""
+    from giga_spatial_spark.functions.multimodal import (
+        make_jpeg, make_png, make_wav, parse_media_meta,
+    )
+
+    samples = [make_png(300, 200, 1), make_jpeg(300, 200, 1),
+               make_wav(16000, 2, 16, 500)]
+    for b in samples:
+        for cut in range(0, len(b), 3):
+            m = parse_media_meta(b[:cut])  # must not raise
+            if m["width"] is not None:
+                assert 0 < m["width"] < 1 << 24
+        for pos in range(0, min(len(b), 48)):
+            mutated = bytearray(b)
+            mutated[pos] ^= 0xFF
+            parse_media_meta(bytes(mutated))  # must not raise
+    assert parse_media_meta(b"")["format"] == "unknown"
+    assert parse_media_meta(b"\x00" * 64)["format"] == "unknown"

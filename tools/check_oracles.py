@@ -4,7 +4,12 @@ column names, and a type-sensitive value hash (columns sorted by name, rows
 sorted by all columns; ints must be ints — 4070.0 != 4070).
 
 Run: python tools/check_oracles.py [sf_dir] [query ...]
-"""
+     python tools/check_oracles.py --json OUT.json [sf_dir] [query ...]
+
+--json writes a CORRECTNESS_r{N}.json-shaped artifact covering the FULL
+registry (or the listed queries): the supplementary full-board record the
+round-4 verdict asked for (driver snapshots covered 50 of the registry;
+this pins the rest each round without a judge re-run)."""
 
 from __future__ import annotations
 
@@ -54,6 +59,10 @@ def canon(pdf: pd.DataFrame) -> tuple[list[str], str]:
 
 def main() -> None:
     args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = args[1:] if args and os.path.isdir(args[0]) else args
 
@@ -70,12 +79,25 @@ def main() -> None:
     qs, oracles = E.queries(), E.oracle_sql()
     todo = names or list(qs)
     fails = []
+    record: dict[str, dict] = {}
     for name in todo:
         if name not in qs:
             print(f"{name}: UNKNOWN QUERY")
             continue
         if name not in oracles:
-            print(f"{name}: no_oracle")
+            try:
+                n_rows = len(qs[name](spark, sf_dir).toPandas())
+                print(f"{name}: no_oracle rows={n_rows}")
+                record[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": n_rows,
+                    "oracle_rows": None, "err": None,
+                    "note": "rows-only (no SQL oracle)",
+                }
+            except Exception as ex:  # noqa: BLE001
+                print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:300]}")
+                fails.append(name)
+                record[name] = {"err": f"{type(ex).__name__}: {str(ex)[:300]}"}
             continue
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
@@ -83,6 +105,7 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001
             print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:300]}")
             fails.append(name)
+            record[name] = {"err": f"{type(ex).__name__}: {str(ex)[:300]}"}
             continue
         scols, shash = canon(sdf)
         ocols, ohash = canon(odf)
@@ -92,6 +115,11 @@ def main() -> None:
         status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             fails.append(name)
+        record[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(sdf),
+            "oracle_rows": len(odf), "err": None,
+        }
         print(
             f"{name}: {status} rows={len(sdf)}/{len(odf)} "
             f"cols={'ok' if ok_cols else f'{scols} vs {ocols}'} hash={'ok' if ok_hash else 'MISMATCH'}"
@@ -103,6 +131,12 @@ def main() -> None:
             print("  duck :", o.to_dict("records"))
             print("  spark dtypes:", dict(s.dtypes.astype(str)))
             print("  duck  dtypes:", dict(o.dtypes.astype(str)))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"wrote {json_out} ({len(record)} entries)")
     print(f"\n{len(todo) - len(fails)}/{len(todo)} pass")
     sys.exit(1 if fails else 0)
 
