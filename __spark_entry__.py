@@ -1225,6 +1225,36 @@ def q_normalize_enums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+H3_FINE_RES, H3_PARENT_RES = 6, 3
+_H3_FILL = 0
+for _r in range(H3_PARENT_RES + 1, 16):
+    _H3_FILL |= 7 << ((15 - _r) * 3)
+_H3_RES_MASK = ~(15 << 52)  # clears the 4 resolution bits
+
+
+def q_h3_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 hierarchy roll-up (reference cell_to_parent, grid/h3.py:
+    414-466): docs assigned at res 6, rolled to their res-3 ancestors by
+    PURE BIT MATH (parent = digit truncation — whole-stage codegen on
+    the Spark side, the same bitwise expression in the oracle; only the
+    res-6 assignment itself crosses to the Arrow kernel)."""
+    from giga_spatial_spark import cells_h3
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    tagged = cells_h3.assign_cells_df(pts, H3_FINE_RES)
+    parent = (
+        F.col("h3_cell")
+        .bitwiseAND(F.lit(_H3_RES_MASK))
+        .bitwiseOR(F.lit(H3_PARENT_RES << 52))
+        .bitwiseOR(F.lit(_H3_FILL))
+    )
+    return (
+        tagged.select(parent.alias("h3_parent"))
+        .groupBy("h3_parent")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
 # 25 country spellings, one per nation key — exercises official names,
 # aliases, alpha-2, accents, passthrough ISO3, whitespace and an unknown.
 # The oracle maps keys to codes through its OWN literal CASE (public
@@ -1788,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_fgb": q_pip_fgb,
         "q_los": q_los,
         "q_normalize_enums": q_normalize_enums,
+        "q_h3_parent": q_h3_parent,
         "q_iso3": q_iso3,
         "q_multimodal_meta": q_multimodal_meta,
         "q_coverage": q_coverage,
@@ -2266,6 +2297,11 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_zonal": zonal_raster,
         "q_geotiff_mollweide": moll_zonal,
         "q_geotiff_laea": laea_zonal,
+        "q_h3_parent": (
+            f"WITH h3f AS ({H3S.h3_cell_sql(docs, H3_FINE_RES)}) "
+            f"SELECT ((h3_cell & {_H3_RES_MASK}) | {H3_PARENT_RES << 52} | {_H3_FILL}) "
+            "AS h3_parent, count(*) AS doc_count FROM h3f GROUP BY 1"
+        ),
         "q_raster_sample": raster_sample,
         "q_raster_multiband": raster_multiband,
         "q_k_factor": _k_factor_oracle_sql(docs),

@@ -292,8 +292,72 @@ def _closest_face(vec: np.ndarray) -> np.ndarray:
     return np.argmax(vec @ _FACE_VEC.T, axis=-1)
 
 
+def _face_bases() -> tuple[np.ndarray, np.ndarray]:
+    """Per-face tangent-plane basis (e1, e2) such that the gnomonic image
+    of a point v, p = v/⟨v,f⟩ − f (which has |p| = tan(angular distance)
+    by construction), satisfies x = ⟨p,e1⟩, y = ⟨p,e2⟩ in the Class II
+    hex frame — i.e. e1 points along azimuth az0 (θ=0) and e2 90° ccw
+    (θ=+π/2, which is azimuth az0 − π/2). Lets the forward path skip
+    per-point tan/acos/atan2 entirely."""
+    lat = FACE_CENTER_GEO[:, 0]
+    lng = FACE_CENTER_GEO[:, 1]
+    # local north/east unit vectors at each face center
+    north = np.stack(
+        [-np.sin(lat) * np.cos(lng), -np.sin(lat) * np.sin(lng), np.cos(lat)],
+        axis=-1,
+    )
+    east = np.stack(
+        [-np.sin(lng), np.cos(lng), np.zeros_like(lng)], axis=-1
+    )
+    az0 = FACE_AXES_AZ[:, 0][:, None]
+    e1 = north * np.cos(az0) + east * np.sin(az0)
+    e2 = north * np.cos(az0 - math.pi / 2) + east * np.sin(az0 - math.pi / 2)
+    return e1, e2
+
+
+_FACE_E1, _FACE_E2 = _face_bases()
+# Class III frames are the Class II frames rotated by +M_AP7_ROT_RADS
+# (θ' = θ − rot ⇔ basis rotated ccw by rot within the plane)
+_C3 = math.cos(M_AP7_ROT_RADS)
+_S3 = math.sin(M_AP7_ROT_RADS)
+_FACE_E1_III = _C3 * _FACE_E1 + _S3 * _FACE_E2
+_FACE_E2_III = -_S3 * _FACE_E1 + _C3 * _FACE_E2
+
+
+def _geo_to_hex2d_tangent(lat, lng, res: int, face=None):
+    """Tangent-plane formulation: p = v/⟨v,f⟩ − f has |p| = tan(angular
+    distance) by construction, so projecting onto the precomputed face
+    bases needs no per-point tan/acos/atan2. This is the algebra the
+    DuckDB twin replays (fewer libm divergence sources); equivalence with
+    the trig formulation is ~3e-13 relative (asserted in tests). The
+    numpy KERNEL uses the trig form (measured faster — numpy trig beats
+    the extra gather/array passes here)."""
+    cl = np.cos(lat)
+    vx = cl * np.cos(lng)
+    vy = cl * np.sin(lng)
+    vz = np.sin(lat)
+    if face is None:
+        face = np.argmax(
+            np.stack([vx, vy, vz], axis=-1) @ _FACE_VEC.T, axis=-1
+        )
+    fvx = _FACE_VEC[face, 0]
+    fvy = _FACE_VEC[face, 1]
+    fvz = _FACE_VEC[face, 2]
+    d = vx * fvx + vy * fvy + vz * fvz
+    px = vx / d - fvx
+    py = vy / d - fvy
+    pz = vz / d - fvz
+    E1 = _FACE_E1_III if res % 2 == 1 else _FACE_E1
+    E2 = _FACE_E2_III if res % 2 == 1 else _FACE_E2
+    scale = (M_SQRT7 ** res) / RES0_U_GNOMONIC
+    x = (px * E1[face, 0] + py * E1[face, 1] + pz * E1[face, 2]) * scale
+    y = (px * E2[face, 0] + py * E2[face, 1] + pz * E2[face, 2]) * scale
+    return face, x, y
+
+
 def _geo_to_hex2d(lat, lng, res: int, face=None):
-    """(lat, lng) radians → (face, x, y) on the face's res-`res` hex plane."""
+    """(lat, lng) radians → (face, x, y) on the face's res-`res` hex
+    plane (published trig formulation — azimuth/θ/tan)."""
     vec = _geo_to_vec(lat, lng)
     if face is None:
         face = _closest_face(vec)
@@ -565,39 +629,42 @@ def _forward_raw_vec(lat: np.ndarray, lng: np.ndarray, res: int):
     with NO canonical rotation applied — shared by latlng_to_cell and the
     calibration probes. lat/lng radians.
 
-    Hot path: flat int64 component arrays, lround via floor(x+0.5) (exact
-    here — n/7 is never a representable half-integer), digit encoded
-    directly as 4·di + 2·dj + dk (the unit-vector binary code)."""
+    Hot path: the walk runs in the shift-reduced k≡0 representation —
+    digits and slots are invariant under adding a constant to (i, j, k),
+    so the per-iteration normalizations of the literal algorithm drop
+    out and each aperture step is ~15 flat array passes. lround is
+    floor(x+0.5) (exact here — n/7 is never a representable
+    half-integer); the digit is encoded directly as 4·di + 2·dj + dk
+    (the unit-vector binary code)."""
     face, x, y = _geo_to_hex2d(lat, lng, res)
     ijk0 = _hex2d_to_ijk(x, y)
-    i = ijk0[:, 0].copy()
-    j = ijk0[:, 1].copy()
-    k = ijk0[:, 2].copy()
+    # shift-reduce: (i, j, k) ≡ (i−k, j−k, 0)
+    i = (ijk0[:, 0] - ijk0[:, 2]).astype(np.float64)
+    j = (ijk0[:, 1] - ijk0[:, 2]).astype(np.float64)
     n = lat.shape[0]
     digits = np.zeros((n, res), dtype=np.int64)
     for r in range(res, 0, -1):
-        li, lj, lk = i, j, k
-        a = i - k
-        b = j - k
+        li, lj = i, j
         if r % 2 == 1:  # Class III: up-aperture 7 (ccw)
-            ni = np.floor((3 * a - b) / 7.0 + 0.5).astype(np.int64)
-            nj = np.floor((a + 2 * b) / 7.0 + 0.5).astype(np.int64)
+            i = np.floor((3.0 * li - lj) / 7.0 + 0.5)
+            j = np.floor((li + 2.0 * lj) / 7.0 + 0.5)
+            # down-aperture 7 center in the k≡0 representation
+            ci = 2.0 * i + j
+            cj = 3.0 * j - i
         else:  # Class II: up-aperture 7r (cw)
-            ni = np.floor((2 * a + b) / 7.0 + 0.5).astype(np.int64)
-            nj = np.floor((3 * b - a) / 7.0 + 0.5).astype(np.int64)
-        m = np.minimum(np.minimum(ni, nj), 0)
-        i, j, k = ni - m, nj - m, -m
-        if r % 2 == 1:
-            ci, cj, ck = 3 * i + j, 3 * j + k, i + 3 * k
-        else:
-            ci, cj, ck = 3 * i + k, i + 3 * j, j + 3 * k
-        mc = np.minimum(np.minimum(ci, cj), ck)
-        di = li - (ci - mc)
-        dj = lj - (cj - mc)
-        dk = lk - (ck - mc)
-        md = np.minimum(np.minimum(di, dj), dk)
-        digits[:, r - 1] = 4 * (di - md) + 2 * (dj - md) + (dk - md)
-    return face, np.stack([i, j, k], axis=-1), digits
+            i = np.floor((2.0 * li + lj) / 7.0 + 0.5)
+            j = np.floor((3.0 * lj - li) / 7.0 + 0.5)
+            ci = 3.0 * i - j
+            cj = i + 2.0 * j
+        di = li - ci
+        dj = lj - cj
+        md = np.minimum(np.minimum(di, dj), 0.0)
+        digits[:, r - 1] = (4.0 * di + 2.0 * dj - 7.0 * md).astype(np.int64)
+    m = np.minimum(np.minimum(i, j), 0.0)
+    slot = np.stack(
+        [(i - m), (j - m), (0.0 - m)], axis=-1
+    ).astype(np.int64)
+    return face, slot, digits
 
 
 def _apply_canonical(digits: list[int], bc: int, face: int, rot: int) -> list[int]:
@@ -813,17 +880,20 @@ def _slot_tables():
 
 # ------------------------------------------------------------- index layout
 def _pack_index(res: int, bc: np.ndarray, digits: np.ndarray) -> np.ndarray:
-    """digits: (n, res) → standard H3 int64 (mode 1)."""
-    h = np.full(bc.shape, np.int64(1) << 59, dtype=np.int64)
-    h = h | (np.int64(res) << 52) | (bc.astype(np.int64) << 45)
+    """digits: (n, res) → standard H3 int64 (mode 1). Digit packing is a
+    single weighted row-sum (weights 8^(15-r)), not 15 shift passes."""
     fill = np.int64(0)
-    for r in range(1, MAX_RES + 1):
-        shift = (MAX_RES - r) * 3
-        if r <= res:
-            h = h | (digits[:, r - 1].astype(np.int64) << shift)
-        else:
-            fill = fill | (np.int64(INVALID_DIGIT) << shift)
-    return h | fill
+    for r in range(res + 1, MAX_RES + 1):
+        fill |= np.int64(INVALID_DIGIT) << ((MAX_RES - r) * 3)
+    head = (np.int64(1) << 59) | (np.int64(res) << 52) | fill
+    h = head | (bc.astype(np.int64) << 45)
+    if res > 0:
+        w = np.array(
+            [np.int64(1) << ((MAX_RES - r) * 3) for r in range(1, res + 1)],
+            dtype=np.int64,
+        )
+        h = h | (digits * w[None, :]).sum(axis=1, dtype=np.int64)
+    return h
 
 
 def get_resolution(h) -> np.ndarray:
@@ -886,10 +956,18 @@ def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
         rot_pow[0] = np.arange(7)
         for p in range(1, 6):
             rot_pow[p] = _ROT_CCW[rot_pow[p - 1]]
-        hex_rows = ~pent
-        digits[hex_rows] = np.take_along_axis(
-            rot_pow[rot[hex_rows]], digits[hex_rows], axis=1
-        )
+        # flat LUT gather (rot*7 + digit) — one fancy index, no
+        # take_along_axis temp
+        rot_flat = rot_pow.ravel()
+        digits = rot_flat[rot[:, None] * 7 + digits]
+        if pent.any():
+            # pentagons need the un-rotated digits back for their own path
+            inv = np.empty((6, 7), dtype=np.int64)
+            for p in range(6):
+                inv[p, rot_pow[p]] = np.arange(7)
+            digits[pent] = inv.ravel()[
+                rot[pent, None] * 7 + digits[pent]
+            ]
         if pent.any():
             pd = digits[pent]
             pbc = bc[pent]

@@ -92,10 +92,10 @@ def _slot_values() -> str:
 
 def h3_cell_sql(src: str, res: int, lon: str = "lon", lat: str = "lat") -> str:
     """SQL computing the H3 cell id at `res` for every row of ``src``
-    → SELECT *src columns*, h3_cell. Unrolled forward pipeline."""
-    fc_lat = H.FACE_CENTER_GEO[:, 0]
-    fc_lng = H.FACE_CENTER_GEO[:, 1]
-    az0 = H.FACE_AXES_AZ[:, 0]
+    → SELECT *src columns*, h3_cell. Unrolled forward pipeline — the
+    same tangent-plane algebra as the numpy kernel (p = v/⟨v,f⟩ − f
+    projected onto the face basis: no tan/acos/atan2, so the cross-engine
+    float envelope shrinks to mul/add/trig-of-input only)."""
     fvx, fvy, fvz = H._FACE_VEC[:, 0], H._FACE_VEC[:, 1], H._FACE_VEC[:, 2]
 
     dots = ", ".join(
@@ -109,22 +109,8 @@ def h3_cell_sql(src: str, res: int, lon: str = "lon", lat: str = "lat") -> str:
         + " ".join(f"WHEN fd{f} = fmax THEN {f}" for f in range(20))
         + " END)"
     )
-    # azimuth from face center to point:
-    #   atan2(cos(lat2) sin(lng2-lng1), cos(lat1) sin(lat2)
-    #         - sin(lat1) cos(lat2) cos(lng2-lng1))
-    az_y = (
-        f"(cos(rlat) * sin(rlng - {_case_by_face('face', fc_lng)}))"
-    )
-    az_x = (
-        f"(cos({_case_by_face('face', fc_lat)}) * sin(rlat) - "
-        f"sin({_case_by_face('face', fc_lat)}) * cos(rlat) * "
-        f"cos(rlng - {_case_by_face('face', fc_lng)}))"
-    )
-    theta = _posangle(
-        f"{_case_by_face('face', az0)} - {_posangle(f'atan2({az_y}, {az_x})')}"
-    )
-    if res % 2 == 1:
-        theta = _posangle(f"{theta} - {H.M_AP7_ROT_RADS!r}")
+    e1 = H._FACE_E1_III if res % 2 == 1 else H._FACE_E1
+    e2 = H._FACE_E2_III if res % 2 == 1 else H._FACE_E2
     scale = float(H.M_SQRT7 ** res)
 
     # hex2d -> ijk rounding (the published lattice rounding, CASE form)
@@ -304,7 +290,7 @@ hx6 AS (
     scratch = (
         ["rlat", "rlng", "vx", "vy", "vz"]
         + [f"fd{f}" for f in range(20)]
-        + ["fmax", "face", "gr", "gtheta", "gx", "gy", "a1", "a2", "x1", "x2",
+        + ["fmax", "face", "tpx", "tpy", "tpz", "gx", "gy", "a1", "a2", "x1", "x2",
            "m1", "m2", "r1", "r2", "ri0", "rj0", "ri1", "ri2", "rj2",
            "ci0", "cj0", "ck0", "bc", "rot", "pent", "cw1", "cw2"]
         + (list(cur) if res > 0 else [])
@@ -318,11 +304,19 @@ hvec AS (SELECT *, cos(rlat)*cos(rlng) AS vx, cos(rlat)*sin(rlng) AS vy,
 hdot AS MATERIALIZED (SELECT *, {dots} FROM hvec),
 hfac AS (SELECT *, {mx} AS fmax FROM hdot),
 hface AS MATERIALIZED (SELECT *, {face_case} AS face FROM hfac),
-hpol AS (SELECT *, acos(CASE WHEN fmax > 1 THEN 1 WHEN fmax < -1 THEN -1
-         ELSE fmax END) AS gr, {theta} AS gtheta FROM hface),
+hpol AS (SELECT *,
+  vx / fmax - {_case_by_face('face', fvx)} AS tpx,
+  vy / fmax - {_case_by_face('face', fvy)} AS tpy,
+  vz / fmax - {_case_by_face('face', fvz)} AS tpz FROM hface),
 hgxy AS MATERIALIZED (SELECT *,
-  (tan(gr) / {float(H.RES0_U_GNOMONIC)!r} * {scale!r}) * cos(gtheta) AS gx,
-  (tan(gr) / {float(H.RES0_U_GNOMONIC)!r} * {scale!r}) * sin(gtheta) AS gy
+  (tpx * {_case_by_face('face', e1[:, 0])} +
+   tpy * {_case_by_face('face', e1[:, 1])} +
+   tpz * {_case_by_face('face', e1[:, 2])}) *
+   {scale / float(H.RES0_U_GNOMONIC)!r} AS gx,
+  (tpx * {_case_by_face('face', e2[:, 0])} +
+   tpy * {_case_by_face('face', e2[:, 1])} +
+   tpz * {_case_by_face('face', e2[:, 2])}) *
+   {scale / float(H.RES0_U_GNOMONIC)!r} AS gy
   FROM hpol),{rnd},
 {', '.join(steps + [slot_join])}"""
         + (f",\n{rot_ctes}" if rot_ctes else "")

@@ -224,3 +224,32 @@ def test_polyfill_modes_nest():
     bbox = set(h3.polyfill(poly, 4, mode="bbox_overlap").tolist())
     assert full <= center <= overlap <= bbox
     assert len(full) > 0 and len(overlap) > len(center)
+
+
+def test_fast_projection_equals_trig_formulation():
+    """The tangent-plane fast path (no per-point tan/acos/atan2) must be
+    the published trig formulation to float precision: same faces, hex
+    coords to 1e-12 relative, and identical cell ids on the synthetic
+    corpus key domain."""
+    rng = np.random.RandomState(2)
+    lat = np.arcsin(rng.uniform(-1, 1, 50000))
+    lng = rng.uniform(-np.pi, np.pi, 50000)
+    for res in (0, 1, 9):
+        f1, x1, y1 = h3._geo_to_hex2d_tangent(lat, lng, res)
+        f2, x2, y2 = h3._geo_to_hex2d(lat, lng, res)
+        assert (f1 == f2).all()
+        scale = max(float(np.abs(x2).max()), 1.0)
+        assert np.abs(x1 - x2).max() / scale < 1e-11
+        assert np.abs(y1 - y2).max() / scale < 1e-11
+    from giga_spatial_spark import synth
+
+    keys = np.arange(0, 60000)
+    lo, la = synth.lon_np(keys), synth.lat_np(keys)
+    fast = h3.latlng_to_cell(la, lo, 6)
+    orig = h3._geo_to_hex2d
+    try:
+        h3._geo_to_hex2d = h3._geo_to_hex2d_tangent
+        tangent = h3.latlng_to_cell(la, lo, 6)
+    finally:
+        h3._geo_to_hex2d = orig
+    assert int((fast != tangent).sum()) == 0
