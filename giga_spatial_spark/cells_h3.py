@@ -1264,29 +1264,55 @@ def cell_to_boundary(h: int) -> np.ndarray:
     return np.array(corners)
 
 
-def grid_disk(h: int, k: int) -> np.ndarray:
-    """All cells within grid distance k: geometric ring walk — lattice
-    offsets within hex distance k around the center, indexed through
-    latlng_to_cell (exact away from pentagon distortion; the 12 pentagons
-    cover a vanishing area fraction and are re-indexed consistently)."""
+def grid_neighbors(h: int) -> np.ndarray:
+    """The adjacent cells of `h` (6 for hexagons, 5 for pentagons) —
+    EXACT at every res: probe points are stepped from the cell center
+    through each boundary-edge midpoint (both exact geometry), landing
+    ~35% past the edge — always inside the neighbor, immune to the
+    cross-face gnomonic drift that breaks naive lattice stepping at
+    coarse res."""
     h = int(h)
     res = int(get_resolution(np.array([h]))[0])
     lat_c, lng_c = cell_to_latlng(np.array([h], dtype=np.int64))
-    face, x, y = _geo_to_hex2d(
-        np.radians(np.array([lat_c[0]])), np.radians(np.array([lng_c[0]])), res
-    )
-    pts = []
-    for di in range(-k, k + 1):
-        for dj in range(max(-k, -k - di), min(k, k - di) + 1):
-            dx = di + 0.5 * dj
-            dy = dj * M_SIN60
-            pts.append((float(x[0]) + dx, float(y[0]) + dy))
-    pts = np.array(pts)
-    la, ln = _hex2d_to_geo(
-        np.full(len(pts), int(face[0])), pts[:, 0], pts[:, 1], res
-    )
-    cells = latlng_to_cell(np.degrees(la), np.degrees(ln), res)
-    return np.unique(cells)
+    cvec = _geo_to_vec(
+        np.radians(np.array([lat_c[0]])), np.radians(np.array([lng_c[0]]))
+    )[0]
+    b = cell_to_boundary(h)
+    bvec = _geo_to_vec(np.radians(b[:, 0]), np.radians(b[:, 1]))
+    n = len(bvec)
+    probes = []
+    for i in range(n):
+        mid = bvec[i] + bvec[(i + 1) % n]
+        mid = mid / np.linalg.norm(mid)
+        p = cvec + 1.35 * (mid - cvec)
+        p = p / np.linalg.norm(p)
+        probes.append(p)
+    probes = np.array(probes)
+    la = np.degrees(np.arcsin(np.clip(probes[:, 2], -1, 1)))
+    ln = np.degrees(np.arctan2(probes[:, 1], probes[:, 0]))
+    out = np.unique(latlng_to_cell(la, ln, res))
+    return out[out != h]
+
+
+def grid_disk(h: int, k: int) -> np.ndarray:
+    """All cells within grid distance k: BFS over exact single-step
+    neighbors (grid_neighbors) — k rings of frontier expansion, correct
+    across face edges and around pentagons at every res."""
+    h = int(h)
+    seen = {h}
+    frontier = {h}
+    for _ in range(k):
+        new: set[int] = set()
+        for c in frontier:
+            for nb in grid_neighbors(c):
+                nb = int(nb)
+                if nb not in seen:
+                    seen.add(nb)
+                    new.add(nb)
+        frontier = new
+        if not frontier:
+            break
+    return np.array(sorted(seen), dtype=np.int64)
 
 
 def polyfill(poly: np.ndarray, res: int, mode: str = "center") -> np.ndarray:
@@ -1300,6 +1326,14 @@ def polyfill(poly: np.ndarray, res: int, mode: str = "center") -> np.ndarray:
     from .geometry import point_in_polygon
 
     poly = np.asarray(poly, dtype=np.float64)
+    # antimeridian: a ring whose lon span exceeds 180° is (by the usual
+    # GIS convention) a ±180-crossing ring; unwrap negative lons to
+    # 180..360 so the bbox, sampling lattice and ray cast all run in a
+    # continuous frame (cells are indexed on the wrapped coordinates)
+    wrap = (poly[:, 0].max() - poly[:, 0].min()) > 180.0
+    if wrap:
+        poly = poly.copy()
+        poly[:, 0] = np.where(poly[:, 0] < 0.0, poly[:, 0] + 360.0, poly[:, 0])
     lon_min, lat_min = poly.min(axis=0)
     lon_max, lat_max = poly.max(axis=0)
     # mean edge length at res in degrees (~ hex spacing / 3 sampling)
@@ -1310,8 +1344,13 @@ def polyfill(poly: np.ndarray, res: int, mode: str = "center") -> np.ndarray:
     lats = np.arange(lat_min - hex_deg, lat_max + hex_deg, step)
     lons = np.arange(lon_min - hex_deg, lon_max + hex_deg, step)
     glon, glat = np.meshgrid(lons, lats)
-    cand = np.unique(latlng_to_cell(glat.ravel(), glon.ravel(), res))
+    slon = glon.ravel()
+    if wrap:
+        slon = np.where(slon > 180.0, slon - 360.0, slon)
+    cand = np.unique(latlng_to_cell(glat.ravel(), slon, res))
     clat, clng = cell_to_latlng(cand)
+    if wrap:
+        clng = np.where(clng < 0.0, clng + 360.0, clng)
     center_in = point_in_polygon(poly, clng, clat)
     if mode == "center":
         return cand[center_in]

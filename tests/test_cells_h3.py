@@ -253,3 +253,36 @@ def test_fast_projection_equals_trig_formulation():
     finally:
         h3._geo_to_hex2d = orig
     assert int((fast != tangent).sum()) == 0
+
+
+def test_grid_disk_exact_at_every_res():
+    """BFS disk over exact edge-midpoint neighbors: disk-3 has exactly
+    37 cells wherever no pentagon is within reach, at coarse AND fine
+    res (the one-shot lattice stepping this replaced drifted at res ≤ 4
+    near face edges); pentagons have exactly 5 neighbors."""
+    rng = np.random.RandomState(78)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 400)))
+    lng = rng.uniform(-180, 180, 400)
+    for res in (2, 4, 8):
+        cells = np.unique(h3.latlng_to_cell(lat, lng, res))[:60]
+        for c in cells:
+            d3 = h3.grid_disk(int(c), 3)
+            if h3.is_pentagon(d3).any():
+                continue
+            assert len(d3) == 37, f"res {res}"
+    pents = _res0_cells()[h3.is_pentagon(_res0_cells())]
+    assert len(h3.grid_neighbors(int(pents[0]))) == 5
+
+
+def test_polyfill_antimeridian():
+    """A Fiji-style ±180-crossing polygon polyfills correctly: every
+    returned center is inside the (unwrapped) ring, and both hemispheres
+    contribute cells."""
+    poly = np.array([[176.0, -20.0], [-176.0, -20.0], [-176.0, -14.0],
+                     [176.0, -14.0]])
+    cells = h3.polyfill(poly, 4, mode="center")
+    assert len(cells) > 10
+    la, ln = h3.cell_to_latlng(cells)
+    assert ((ln >= 176.0) | (ln <= -176.0)).all()
+    assert (ln > 0).any() and (ln < 0).any()
+    assert (la >= -20.0).all() and (la <= -14.0).all()
