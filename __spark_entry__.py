@@ -584,6 +584,30 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+H3_EVENTS_RES = 4
+
+
+def q_h3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-H3-cell event rollup — the batch twin of
+    streaming.pipeline.h3_windowed_counts (identical output on the same
+    data once the watermark closes; asserted in
+    tests/test_lineage_streaming.py). Coords derive from event_id, cells
+    from the geodesic H3 Arrow kernel; the oracle replays the full H3
+    forward SQL over the same derivation."""
+    from giga_spatial_spark import cells_h3
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts"
+    )
+    ev = synth.with_coords(ev, "event_id")
+    tagged = cells_h3.assign_cells_df(ev, H3_EVENTS_RES)
+    return (
+        tagged.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "h3_cell")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+    )
+
+
 def q_normalize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EntityProcessor-style string normalization (trim/lower/null-sentinel,
     entity_processor.py:329-389) over customer segments."""
@@ -1819,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_los": q_los,
         "q_normalize_enums": q_normalize_enums,
         "q_h3_parent": q_h3_parent,
+        "q_h3_events": q_h3_events,
         "q_iso3": q_iso3,
         "q_multimodal_meta": q_multimodal_meta,
         "q_coverage": q_coverage,
@@ -2389,6 +2414,14 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_top1": ann_top1,
         "q_ann_top1_gemm": ann_top1,
         "q_events_hourly": events_hourly,
+        "q_h3_events": (
+            "WITH ev AS (SELECT event_id, ts, "
+            f"{synth.lon_sql('event_id')} AS lon, "
+            f"{synth.lat_sql('event_id')} AS lat FROM events), "
+            f"h3f AS ({H3S.h3_cell_sql('SELECT * FROM ev', H3_EVENTS_RES)}) "
+            "SELECT date_trunc('hour', ts) AS hour, h3_cell, "
+            "count(*) AS event_count FROM h3f GROUP BY 1, 2"
+        ),
         "q_sessionize": sessionize,
         "q_normalize_strings": normalize_strings,
         "q_normalize_enums": normalize_enums,

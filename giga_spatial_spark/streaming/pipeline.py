@@ -83,3 +83,30 @@ def streaming_enrich(pages_stream: DataFrame, admin_polys, tile_zoom: int = 8,
     pts = entity_points(extract_stage(pages_stream))
     tagged = pip_join_rtree(pts, admin_polys, zoom=pip_zoom, convex=True)
     return tagged.withColumn("tile", tile_id(F.col("lon"), F.col("lat"), tile_zoom))
+
+
+def h3_windowed_counts(
+    events_stream: DataFrame,
+    res: int = 4,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window per-GEODESIC-H3-CELL event counts —
+    the streaming twin of q_h3_events (grid rollup of an event stream;
+    the reference is batch-only, SURVEY §2.10, and its grid is H3 —
+    grid/h3.py). The H3 assignment is the stateless Arrow kernel
+    (cells_h3.assign_cells_df — mapInPandas is a narrow streaming
+    transform), so the only stateful operator is the windowed count."""
+    from .. import cells_h3, synth
+
+    ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = synth.with_coords(ev, "event_id")
+    tagged = cells_h3.assign_cells_df(ev, res)
+    return (
+        tagged.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "h3_cell")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("w.start").alias("hour"), "h3_cell", "event_count"
+        )
+    )

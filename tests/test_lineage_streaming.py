@@ -189,3 +189,40 @@ def test_streaming_window_equals_batch(spark):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_h3_rollup_equals_batch(spark):
+    """Streaming per-H3-cell windowed counts (geodesic-grid rollup with
+    the Arrow assign kernel as a stateless streaming transform) must
+    equal the batch twin q_h3_events on the same data."""
+    import __spark_entry__ as E
+    from giga_spatial_spark.streaming.pipeline import h3_windowed_counts
+
+    tmp = tempfile.mkdtemp(prefix="stream_h3_")
+    try:
+        src_dir = os.path.join(tmp, "events_src")
+        os.makedirs(src_dir)
+        shutil.copy(f"{SF_DIR}/events.parquet", src_dir)
+        schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+        stream = spark.readStream.schema(schema).format("parquet").load(src_dir)
+        out = h3_windowed_counts(stream, res=E.H3_EVENTS_RES)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("h3_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from h3_counts").toPandas()
+        batch = E.q_h3_events(spark, SF_DIR).toPandas()
+        for pdf in (got, batch):
+            if getattr(pdf["hour"].dtype, "tz", None) is not None:
+                pdf["hour"] = pdf["hour"].dt.tz_localize(None)
+        key = ["hour", "h3_cell"]
+        g = got.sort_values(key).reset_index(drop=True)
+        b = batch.sort_values(key).reset_index(drop=True)
+        assert g[key + ["event_count"]].equals(b[key + ["event_count"]])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
