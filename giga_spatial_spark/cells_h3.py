@@ -937,6 +937,8 @@ def string_to_h3(s) -> np.ndarray:
 def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
     """(lat, lng) degrees → H3 cell ids (vectorized; the published
     geoToH3 algorithm)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"H3 resolution must be 0..{MAX_RES}, got {res}")
     bc_lut, rot_lut = _slot_tables()
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
