@@ -1108,14 +1108,12 @@ def cell_to_children(h: int, child_res: int) -> np.ndarray:
         base = cells & ~(np.int64(0x7) << shift)
         base = (base & ~(np.int64(0xF) << 52)) | (np.int64(r) << 52)
         spine = is_pentagon(cells)
-        reps = np.where(spine, 6, 7)
         out = []
         for idx in range(cells.shape[0]):
             digs = [0, 2, 3, 4, 5, 6] if spine[idx] else list(range(7))
             for d in digs:
                 out.append(base[idx] | (np.int64(d) << shift))
         cells = np.array(out, dtype=np.int64)
-        del reps
     return cells
 
 
