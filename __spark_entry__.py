@@ -608,6 +608,41 @@ def q_h3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_coord_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-coordinate repair + validation (reference
+    entity_processor.py:428-459 split of 'lat, lon' single cells, and
+    :889-988 coordinate masks): deterministic messy strings — plain,
+    whitespace-padded, negative, junk, and null-island variants — built
+    per doc key, split by operators/normalize.repair_merged_coords and
+    classified by validate_coords. The oracle rebuilds the SAME strings
+    from the key arithmetic and runs DuckDB's own regexp_extract +
+    TRY_CAST + CASE — independent engine paths over identical inputs."""
+    from giga_spatial_spark.operators.normalize import (
+        repair_merged_coords,
+        validate_coords,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = (F.col("doc_id") * 7 % 191) - 95   # some |lat| > 90
+    b = F.col("doc_id") * 13 % 100
+    c = (F.col("doc_id") * 11 % 361) - 180
+    d = F.col("doc_id") * 17 % 100
+    lat_s = F.concat(a.cast("string"), F.lit("."), F.lpad(b.cast("string"), 2, "0"))
+    lon_s = F.concat(c.cast("string"), F.lit("."), F.lpad(d.cast("string"), 2, "0"))
+    merged = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit("not a coordinate"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("0.00, 0.00"))
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("  "), lat_s, F.lit(" ,  "), lon_s, F.lit(" ")),
+        )
+        .otherwise(F.concat(lat_s, F.lit(","), lon_s))
+    )
+    df = docs.withColumn("merged", merged)
+    out = validate_coords(repair_merged_coords(df, "merged"))
+    return out.select("doc_id", "latitude", "longitude", "coord_status")
+
+
 def q_normalize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EntityProcessor-style string normalization (trim/lower/null-sentinel,
     entity_processor.py:329-389) over customer segments."""
@@ -1844,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_enums": q_normalize_enums,
         "q_h3_parent": q_h3_parent,
         "q_h3_events": q_h3_events,
+        "q_coord_repair": q_coord_repair,
         "q_iso3": q_iso3,
         "q_multimodal_meta": q_multimodal_meta,
         "q_coverage": q_coverage,
@@ -2414,6 +2450,34 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_top1": ann_top1,
         "q_ann_top1_gemm": ann_top1,
         "q_events_hourly": events_hourly,
+        "q_coord_repair": """
+WITH d AS (SELECT doc_id FROM documents),
+m AS (SELECT doc_id,
+  concat(CAST((doc_id * 7 % 191) - 95 AS VARCHAR), '.',
+         lpad(CAST(doc_id * 13 % 100 AS VARCHAR), 2, '0')) AS lat_s,
+  concat(CAST((doc_id * 11 % 361) - 180 AS VARCHAR), '.',
+         lpad(CAST(doc_id * 17 % 100 AS VARCHAR), 2, '0')) AS lon_s
+  FROM d),
+mm AS (SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0 THEN 'not a coordinate'
+       WHEN doc_id % 7 = 0 THEN '0.00, 0.00'
+       WHEN doc_id % 2 = 0 THEN concat('  ', lat_s, ' ,  ', lon_s, ' ')
+       ELSE concat(lat_s, ',', lon_s) END AS merged
+  FROM m),
+rx AS (SELECT doc_id,
+  TRY_CAST(regexp_extract(merged,
+    '^\\s*(-?\\d+(?:\\.\\d+)?)\\s*,\\s*(-?\\d+(?:\\.\\d+)?)\\s*$', 1) AS DOUBLE) AS latitude,
+  TRY_CAST(regexp_extract(merged,
+    '^\\s*(-?\\d+(?:\\.\\d+)?)\\s*,\\s*(-?\\d+(?:\\.\\d+)?)\\s*$', 2) AS DOUBLE) AS longitude
+  FROM mm)
+SELECT doc_id, latitude, longitude,
+  CASE WHEN latitude IS NULL OR longitude IS NULL THEN 'missing'
+       WHEN latitude < -90 OR latitude > 90 OR longitude < -180 OR longitude > 180
+         THEN 'out_of_range'
+       WHEN latitude = 0.0 AND longitude = 0.0 THEN 'null_island'
+       ELSE 'ok' END AS coord_status
+FROM rx""",
+
         "q_h3_events": (
             "WITH ev AS (SELECT event_id, ts, "
             f"{synth.lon_sql('event_id')} AS lon, "
