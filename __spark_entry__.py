@@ -643,6 +643,205 @@ def q_coord_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "latitude", "longitude", "coord_status")
 
 
+def q_utm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM CRS estimation (reference estimate_utm_crs_with_fallback,
+    processing/geo.py:21-66: zone from longitude, hemisphere from latitude,
+    EPSG 326xx/327xx) and Mercator ground-resolution math (reference
+    calculate_pixels_at_location, geo.py:1176-1213: 156543.03392·cos(lat)/2^z
+    and its meters→pixels inverse) — pure native column expressions; the
+    oracle replays the identical arithmetic in DuckDB. JVM and DuckDB libm
+    cos() differ by 1 ULP on ~0.4% of arguments, so the doubles are
+    compared in rounded integer micro-units (house pattern)."""
+    from giga_spatial_spark.functions.geo import (
+        mercator_meters_per_pixel,
+        pixels_for_meters,
+        utm_epsg_expr,
+    )
+
+    pts = _docs_pts(spark, sf_dir)
+    return pts.select(
+        "doc_id",
+        utm_epsg_expr(F.col("lon"), F.col("lat")).cast("long").alias("utm_epsg"),
+        F.round(mercator_meters_per_pixel(F.col("lat"), 12) * 1e6)
+        .cast("long")
+        .alias("m_per_px_micro"),
+        F.round(pixels_for_meters(F.col("lat"), F.lit(500.0), 12) * 1e6)
+        .cast("long")
+        .alias("px_500m_micro"),
+    )
+
+
+def q_quadkey_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution cell-set compaction (reference h3.compact_cells
+    usage grid/h3.py:395-412; quadkey analog): the doc-point zoom-8 cover,
+    densified so every doc_id%4==0 cell contributes its full sibling set
+    (guaranteeing collapsible groups), compacted driver-side — the
+    reference design, cover sets are small. The oracle replays compaction
+    in DuckDB as 8 unrolled collapse levels: at each level, parents whose
+    4 children are all present replace them; leftovers accumulate.
+    Scale note: the collect is the DISTINCT zoom-8 cover — hard-bounded
+    by the 4^8 = 65 536-cell domain regardless of input size."""
+    pts = _docs_pts(spark, sf_dir)
+    qk = pts.select(
+        "doc_id",
+        cells.quadkey(F.col("lon"), F.col("lat"), TILE_ZOOM).alias("qk"),
+    )
+    sib = qk.where(F.col("doc_id") % 4 == 0).select(
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.substring("qk", 1, TILE_ZOOM - 1), F.lit(d))
+                    for d in "0123"
+                ]
+            )
+        ).alias("qk")
+    )
+    cover = {r.qk for r in qk.select("qk").union(sib).distinct().collect()}
+    compacted = cells.compact_quadkeys(cover)
+    return spark.createDataFrame(
+        [(q, len(q)) for q in compacted], "qk string, zoom bigint"
+    )
+
+
+def q_h3_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic H3 multi-resolution compaction (reference
+    h3.compact_cells on covers, grid/h3.py:395-412): res-5 doc cells,
+    densified so every doc_id%4==0 cell's full pentagon-aware sibling set
+    is present (parent→children round-trip), compacted driver-side by
+    cells_h3.compact. The oracle replays the whole thing in DuckDB:
+    the full forward H3 SQL, sibling densification by digit bit-surgery
+    (7 siblings, 6 when the parent is a pentagon), then 5 unrolled
+    collapse levels — parent = res/digit bit-mask surgery, completeness =
+    HAVING count(*) = 7-or-6 with an in-SQL pentagon test.
+    Scale note: the collect is the DISTINCT res-5 cover — hard-bounded by
+    the 2 016 842-cell res-5 domain (~32 MB of rows) regardless of input
+    size; finer target resolutions should compact distributed instead."""
+    import numpy as np
+
+    from giga_spatial_spark import cells_h3
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    agged = (
+        cells_h3.assign_cells_df(pts, HEX_RES)
+        .groupBy("h3_cell")
+        .agg(F.max((F.col("doc_id") % 4 == 0).cast("int")).alias("densify"))
+        .collect()
+    )
+    cover: set[int] = set()
+    for r in agged:
+        h = int(r["h3_cell"])
+        cover.add(h)
+        if r["densify"]:
+            parent = int(
+                cells_h3.cell_to_parent(
+                    np.array([h], dtype=np.int64), HEX_RES - 1
+                )[0]
+            )
+            cover.update(int(c) for c in cells_h3.cell_to_children(parent, HEX_RES))
+    comp = cells_h3.compact(np.fromiter(cover, dtype=np.int64, count=len(cover)))
+    res = cells_h3.get_resolution(comp)
+    return spark.createDataFrame(
+        [(int(c), int(rr)) for c, rr in zip(comp, res)],
+        "h3_cell bigint, res bigint",
+    )
+
+
+def _h3_compact_sql(docs: str) -> str:
+    """Unrolled SQL twin of q_h3_compact (see its docstring)."""
+    from giga_spatial_spark import cells_h3
+    from giga_spatial_spark.functions import h3_sql as H3S
+    import numpy as np
+
+    pents = ", ".join(str(int(b)) for b in np.nonzero(cells_h3.PENTAGONS)[0])
+
+    def pent_test(c: str, res: int) -> str:
+        """cell `c` (at resolution `res`) is a pentagon."""
+        conds = [f"((({c}) >> 45) & 127) IN ({pents})"]
+        for r in range(1, res + 1):
+            conds.append(f"((({c}) >> {(15 - r) * 3}) & 7) = 0")
+        return "(" + " AND ".join(conds) + ")"
+
+    shift5 = (15 - HEX_RES) * 3
+    ctes = [
+        f"h3f AS MATERIALIZED ({H3S.h3_cell_sql(docs, HEX_RES)})",
+        # one row per distinct cell, with a flag marking cells whose full
+        # sibling set must be injected
+        "hc AS (SELECT h3_cell, max(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)"
+        " AS densify FROM h3f GROUP BY 1)",
+        # sibling injection: rewrite the res-5 digit; parent pentagons
+        # have no K (=1) child
+        "dens AS (SELECT h3_cell FROM hc UNION "
+        f"SELECT (h3_cell & ~(CAST(7 AS BIGINT) << {shift5})) | "
+        f"(CAST(d.d AS BIGINT) << {shift5}) AS h3_cell "
+        "FROM hc, (VALUES (0),(1),(2),(3),(4),(5),(6)) d(d) "
+        "WHERE densify = 1 AND NOT ("
+        + pent_test(
+            f"((h3_cell & ~(CAST(15 AS BIGINT) << 52)) | "
+            f"(CAST({HEX_RES - 1} AS BIGINT) << 52)) | (CAST(7 AS BIGINT) << {shift5})",
+            HEX_RES - 1,
+        )
+        + " AND d.d = 1))",
+        f"s{HEX_RES} AS (SELECT DISTINCT h3_cell FROM dens)",
+    ]
+    rems = []
+    for n in range(HEX_RES, 0, -1):
+        sh = (15 - n) * 3
+        parent = (
+            f"((h3_cell & ~(CAST(15 AS BIGINT) << 52)) | "
+            f"(CAST({n - 1} AS BIGINT) << 52)) | (CAST(7 AS BIGINT) << {sh})"
+        )
+        ctes.append(
+            f"f{n} AS (SELECT h3_cell FROM "
+            f"(SELECT {parent} AS h3_cell FROM s{n}) GROUP BY 1 "
+            f"HAVING count(*) = CASE WHEN {pent_test('h3_cell', n - 1)} "
+            "THEN 6 ELSE 7 END)"
+        )
+        ctes.append(
+            f"r{n} AS (SELECT h3_cell FROM s{n} WHERE {parent} "
+            f"NOT IN (SELECT h3_cell FROM f{n}))"
+        )
+        ctes.append(f"s{n - 1} AS (SELECT h3_cell FROM f{n})")
+        rems.append(f"SELECT h3_cell FROM r{n}")
+    rems.append("SELECT h3_cell FROM s0")
+    union = " UNION ALL ".join(rems)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h3_cell, (h3_cell >> 52) & 15 AS res FROM ({union})"
+    )
+
+
+def _quadkey_compact_sql() -> str:
+    """Unrolled SQL twin of cells.compact_quadkeys over the densified
+    zoom-8 doc cover (see q_quadkey_compact)."""
+    qk8 = cells.quadkey_sql(synth.lon_sql("doc_id"), synth.lat_sql("doc_id"), TILE_ZOOM)
+    ctes = [
+        f"pts AS (SELECT doc_id, {qk8} AS qk FROM documents)",
+        "dens AS (SELECT qk FROM pts UNION "
+        "SELECT substr(qk, 1, 7) || d.d AS qk FROM pts, "
+        "(VALUES ('0'),('1'),('2'),('3')) d(d) WHERE doc_id % 4 = 0)",
+        "s8 AS (SELECT DISTINCT qk FROM dens)",
+    ]
+    rems = []
+    for n in range(TILE_ZOOM, 0, -1):
+        p = n - 1
+        ctes.append(
+            f"f{n} AS (SELECT substr(qk, 1, {p}) AS qk FROM s{n} "
+            f"GROUP BY 1 HAVING count(*) = 4)"
+        )
+        ctes.append(
+            f"r{n} AS (SELECT qk FROM s{n} WHERE substr(qk, 1, {p}) "
+            f"NOT IN (SELECT qk FROM f{n}))"
+        )
+        ctes.append(f"s{p} AS (SELECT qk FROM f{n})")
+        rems.append(f"SELECT qk FROM r{n}")
+    rems.append("SELECT qk FROM s0")
+    union = " UNION ALL ".join(rems)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT qk, CAST(length(qk) AS BIGINT) AS zoom FROM ({union})"
+    )
+
+
 def q_normalize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EntityProcessor-style string normalization (trim/lower/null-sentinel,
     entity_processor.py:329-389) over customer segments."""
@@ -1880,6 +2079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_h3_parent": q_h3_parent,
         "q_h3_events": q_h3_events,
         "q_coord_repair": q_coord_repair,
+        "q_utm_pixels": q_utm_pixels,
+        "q_quadkey_compact": q_quadkey_compact,
+        "q_h3_compact": q_h3_compact,
         "q_iso3": q_iso3,
         "q_multimodal_meta": q_multimodal_meta,
         "q_coverage": q_coverage,
@@ -2477,6 +2679,24 @@ SELECT doc_id, latitude, longitude,
        WHEN latitude = 0.0 AND longitude = 0.0 THEN 'null_island'
        ELSE 'ok' END AS coord_status
 FROM rx""",
+
+        "q_utm_pixels": f"""
+WITH p AS (SELECT doc_id,
+  {synth.lon_sql('doc_id')} AS lon, {synth.lat_sql('doc_id')} AS lat
+  FROM documents),
+z AS (SELECT doc_id, lat,
+  least(greatest(CAST(floor((lon + 180.0) / 6.0) + 1 AS INTEGER), 1), 60) AS zone
+  FROM p)
+SELECT doc_id,
+  CASE WHEN lat >= 0 THEN 32600 + zone ELSE 32700 + zone END AS utm_epsg,
+  CAST(round(156543.03392 * cos(radians(lat)) / 4096.0 * 1000000.0) AS BIGINT)
+    AS m_per_px_micro,
+  CAST(round(500.0 / (156543.03392 * cos(radians(lat)) / 4096.0) * 1000000.0)
+    AS BIGINT) AS px_500m_micro
+FROM z""",
+
+        "q_quadkey_compact": _quadkey_compact_sql(),
+        "q_h3_compact": _h3_compact_sql(docs),
 
         "q_h3_events": (
             "WITH ev AS (SELECT event_id, ts, "
