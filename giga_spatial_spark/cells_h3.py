@@ -1416,6 +1416,113 @@ def uncompact(cells: np.ndarray, res: int) -> np.ndarray:
     return np.unique(np.concatenate(out)) if out else np.empty(0, np.int64)
 
 
+def is_pentagon_expr(c):
+    """Native-column pentagon test (no Python): pentagonal base cell AND
+    every digit ≤ res is 0 — pure bit arithmetic on the standard index
+    layout, so it rides whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    base = F.shiftright(c, 45).bitwiseAND(F.lit(127))
+    res = F.shiftright(c, 52).bitwiseAND(F.lit(15))
+    cond = base.isin([int(b) for b in np.nonzero(PENTAGONS)[0]])
+    for r in range(1, MAX_RES + 1):
+        dig = F.shiftright(c, (MAX_RES - r) * 3).bitwiseAND(F.lit(7))
+        cond = cond & ((dig == 0) | (F.lit(r) > res))
+    return cond
+
+
+def compact_cells_df(df, col: str = "h3_cell", res: int | None = None):
+    """DISTRIBUTED multi-res compaction — the scale path for target
+    resolutions whose cell domain is too large for the driver-side
+    `compact` (res ≥ ~7; res-15 has 5.7e14 cells). Same semantics:
+    complete sibling sets (7, or 6 under a pentagon parent) collapse to
+    their parent, iterated res→0. Entirely native column bit math — the
+    per-level plan is one hash aggregate on the parent key plus a
+    left-anti join, each level ~7× smaller than the last, so total cost
+    ≈ 1.2× one leaf-level shuffle. Input must be uniform-resolution
+    (`res`; read from the data when omitted). Returns a DataFrame of
+    `col` (multi-res)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    cur = df.select(col).distinct()
+    if res is None:
+        row = cur.select(
+            F.shiftright(F.col(col), 52).bitwiseAND(F.lit(15)).alias("r")
+        ).first()
+        if row is None:
+            return cur
+        res = int(row["r"])
+    remainders = []
+    for r in range(res, 0, -1):
+        shift = (MAX_RES - r) * 3
+        parent = (
+            F.col(col)
+            .bitwiseAND(F.lit(~(15 << 52)))
+            .bitwiseOR(F.lit((r - 1) << 52))
+            .bitwiseOR(F.lit(INVALID_DIGIT << shift))
+        )
+        # one materialization per level shared by `full` and the
+        # remainder anti-join (avoids recomputing the whole prefix)
+        with_p = cur.withColumn("_p", parent).localCheckpoint(eager=True)
+        full = (
+            with_p.groupBy("_p")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(
+                F.col("_n")
+                == F.when(is_pentagon_expr(F.col("_p")), 6).otherwise(7)
+            )
+            .select("_p")
+        )
+        remainders.append(
+            with_p.join(full, "_p", "left_anti").select(col)
+        )
+        cur = full.select(F.col("_p").alias(col))
+    remainders.append(cur)
+    return reduce(lambda a, b: a.unionByName(b), remainders)
+
+
+def uncompact_cells_df(df, res: int, col: str = "h3_cell"):
+    """DISTRIBUTED uncompact: expand a (possibly multi-res) cell set to
+    uniform `res`. Per level: cells one res above expand through a
+    7-digit explode with the pentagon K-child filtered natively; all
+    other rows pass through untouched. Pure column bit math."""
+    from pyspark.sql import functions as F
+
+    cur = df.select(col)
+    for r in range(1, res + 1):
+        shift = (MAX_RES - r) * 3
+        cres = F.shiftright(F.col(col), 52).bitwiseAND(F.lit(15))
+        expand = cur.where(cres == r - 1)
+        keep = cur.where(cres != r - 1)
+        bumped = (
+            F.col(col)
+            .bitwiseAND(F.lit(~(15 << 52)))
+            .bitwiseOR(F.lit(r << 52))
+        )
+        children = (
+            expand.select(
+                bumped.alias("_c"),
+                is_pentagon_expr(F.col(col)).alias("_pent"),
+            )
+            .select(
+                "_c",
+                "_pent",
+                F.explode(F.array([F.lit(d) for d in range(7)])).alias("_d"),
+            )
+            .where(~(F.col("_pent") & (F.col("_d") == K_DIGIT)))
+            .select(
+                F.col("_c")
+                .bitwiseAND(F.lit(~(7 << shift)))
+                .bitwiseOR(F.shiftleft(F.col("_d").cast("long"), shift))
+                .alias(col)
+            )
+        )
+        cur = children.unionByName(keep)
+    return cur
+
+
 def assign_cells_df(points, res: int, lon: str = "lon", lat: str = "lat",
                     out_col: str = "h3_cell"):
     """points DataFrame → + h3_cell column (Arrow-batched numpy kernel,

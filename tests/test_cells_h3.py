@@ -286,3 +286,52 @@ def test_polyfill_antimeridian():
     assert ((ln >= 176.0) | (ln <= -176.0)).all()
     assert (ln > 0).any() and (ln < 0).any()
     assert (la >= -20.0).all() and (la <= -14.0).all()
+
+
+def test_distributed_compact_uncompact_parity(spark):
+    """compact_cells_df / uncompact_cells_df (the native-bit-math scale
+    path) agree exactly with the driver-side compact/uncompact on a set
+    mixing a fully-collapsible two-level subtree, a pentagon spine, and
+    scattered leaves."""
+    from pyspark.sql import functions as F
+
+    hexc = int(h3.latlng_to_cell(20.0, 15.0, 2))
+    pent = int(_res0_cells()[h3.is_pentagon(_res0_cells())][1])
+    pent2 = int(h3.cell_to_children(pent, 2)[0])  # res-2 pentagon
+    rng = np.random.RandomState(5)
+    scatter = h3.latlng_to_cell(
+        np.degrees(np.arcsin(rng.uniform(-1, 1, 200))),
+        rng.uniform(-180, 180, 200),
+        4,
+    )
+    cells = np.unique(
+        np.concatenate(
+            [
+                h3.cell_to_children(hexc, 4),      # collapses 2 levels
+                h3.cell_to_children(pent2, 4),     # pentagon completeness
+                h3.cell_to_children(hexc, 4)[:-1], # dup + partials
+                scatter,
+            ]
+        )
+    )
+    want = set(h3.compact(cells).tolist())
+    df = spark.createDataFrame([(int(c),) for c in cells], "h3_cell long")
+    got = {
+        r["h3_cell"]
+        for r in h3.compact_cells_df(df, res=4).collect()
+    }
+    assert got == want
+    # auto-detected res matches the explicit one
+    got2 = {r["h3_cell"] for r in h3.compact_cells_df(df).collect()}
+    assert got2 == want
+    # round-trip back to uniform res 4 recovers the input set exactly
+    comp_df = spark.createDataFrame([(int(c),) for c in sorted(want)], "h3_cell long")
+    back = {r["h3_cell"] for r in h3.uncompact_cells_df(comp_df, 4).collect()}
+    assert back == set(cells.tolist())
+    # pentagon child counts survive the native path: the res-2 pentagon
+    # expands to 6 children, not 7
+    pdf = spark.createDataFrame([(pent2,)], "h3_cell long")
+    kids = [r["h3_cell"] for r in h3.uncompact_cells_df(pdf, 3).collect()]
+    assert len(kids) == 6 and sorted(kids) == sorted(
+        h3.cell_to_children(pent2, 3).tolist()
+    )
