@@ -643,6 +643,90 @@ def q_coord_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "latitude", "longitude", "coord_status")
 
 
+def q_nfkc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFKC normalization + strip (reference entity_processor.py:359-364,
+    step 3 of the EntityProcessor pipeline) — the one normalization step
+    Spark SQL can't express, run through the Arrow-batched
+    normalize.nfkc_strip UDF over deterministic per-key strings that
+    exercise fullwidth forms, ligatures, superscripts, unit/temperature
+    compatibility glyphs, vulgar fractions, roman numerals, combining
+    accents, and NBSP-vs-strip interaction. The oracle rebuilds the SAME
+    inputs and replays the PUBLISHED per-character NFKC mappings as a
+    literal replace chain — Python unicodedata vs an independent SQL
+    path."""
+    from giga_spatial_spark.operators.normalize import nfkc_strip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    k = F.col("doc_id") % 6
+    raw = (
+        F.when(k == 0, F.lit("  \uff21\uff42\uff43\uff11\uff12\uff13  "))
+        .when(k == 1, F.lit("\ufb01nance \u00b2, \u339e"))
+        .when(k == 2, F.lit("\u00a0\u2103 x\u00a0"))
+        .when(k == 3, F.lit("e\u0301 test \u216b"))
+        .when(k == 4, F.lit("\u00bd cup"))
+        .otherwise(F.lit("hello world"))
+    )
+    return (
+        docs.withColumn("raw", raw)
+        .withColumn("norm", nfkc_strip(F.col("raw")))
+        .select("doc_id", "norm")
+    )
+
+
+# published NFKC decompositions (+ canonical composition for the combining
+# accent) of exactly the compatibility characters q_nfkc uses
+_NFKC_ORACLE_MAP = [
+    ("\uff21", "A"), ("\uff42", "b"), ("\uff43", "c"),
+    ("\uff11", "1"), ("\uff12", "2"), ("\uff13", "3"),
+    ("\ufb01", "fi"), ("\u00b2", "2"), ("\u339e", "km"),
+    ("\u2103", "\u00b0C"), ("e\u0301", "\u00e9"),
+    ("\u00bd", "1\u20442"), ("\u216b", "XII"), ("\u00a0", " "),
+]
+
+
+def _nfkc_oracle_sql() -> str:
+    raw = (
+        "CASE doc_id % 6 "
+        "WHEN 0 THEN '  \uff21\uff42\uff43\uff11\uff12\uff13  ' "
+        "WHEN 1 THEN '\ufb01nance \u00b2, \u339e' "
+        "WHEN 2 THEN '\u00a0\u2103 x\u00a0' "
+        "WHEN 3 THEN 'e\u0301 test \u216b' "
+        "WHEN 4 THEN '\u00bd cup' "
+        "ELSE 'hello world' END"
+    )
+    expr = raw
+    for src, dst in _NFKC_ORACLE_MAP:
+        expr = f"replace({expr}, '{src}', '{dst}')"
+    return f"SELECT doc_id, trim({expr}) AS norm FROM documents"
+
+
+def q_titlecase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admin-name title-casing with unknown→NULL (reference
+    entity.py:138-148): deterministic messy admin names per doc key run
+    through normalize.titlecase_admin_expr (clean → sentinel-null →
+    initcap, all native). The oracle rebuilds the SAME inputs and
+    replays title-casing INDEPENDENTLY — clean_string_sql then DuckDB
+    string_split / list_transform / array_to_string (DuckDB has no
+    initcap; the lambda pipeline is its own word-walk)."""
+    from giga_spatial_spark.operators.normalize import titlecase_admin_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    k = F.col("doc_id") % 8
+    raw = (
+        F.when(k == 0, F.lit("  new south wales "))
+        .when(k == 1, F.lit("UNKNOWN"))
+        .when(k == 2, F.lit("n/a"))
+        .when(k == 3, F.lit("ile-de-france"))
+        .when(k == 4, F.lit("BAVARIA"))
+        .when(k == 5, F.lit("null"))
+        .when(k == 6, F.lit("puerto  rico"))
+        .otherwise(F.lit("WESTERN cape"))
+    )
+    return docs.select(
+        "doc_id", titlecase_admin_expr(raw).alias("admin_name")
+    )
+
+
 def q_utm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTM CRS estimation (reference estimate_utm_crs_with_fallback,
     processing/geo.py:21-66: zone from longitude, hemisphere from latitude,
@@ -2079,6 +2163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_h3_parent": q_h3_parent,
         "q_h3_events": q_h3_events,
         "q_coord_repair": q_coord_repair,
+        "q_nfkc": q_nfkc,
+        "q_titlecase": q_titlecase,
         "q_utm_pixels": q_utm_pixels,
         "q_quadkey_compact": q_quadkey_compact,
         "q_h3_compact": q_h3_compact,
@@ -2697,6 +2783,20 @@ FROM z""",
 
         "q_quadkey_compact": _quadkey_compact_sql(),
         "q_h3_compact": _h3_compact_sql(docs),
+        "q_nfkc": _nfkc_oracle_sql(),
+        "q_titlecase": (
+            "WITH raw AS (SELECT doc_id, CASE doc_id % 8 "
+            "WHEN 0 THEN '  new south wales ' WHEN 1 THEN 'UNKNOWN' "
+            "WHEN 2 THEN 'n/a' WHEN 3 THEN 'ile-de-france' "
+            "WHEN 4 THEN 'BAVARIA' WHEN 5 THEN 'null' "
+            "WHEN 6 THEN 'puerto  rico' ELSE 'WESTERN cape' END AS s "
+            "FROM documents), "
+            f"c AS (SELECT doc_id, {clean_string_sql('s')} AS s FROM raw) "
+            "SELECT doc_id, array_to_string(list_transform("
+            "string_split(s, ' '), "
+            "x -> upper(substr(x, 1, 1)) || lower(substr(x, 2))), ' ') "
+            "AS admin_name FROM c"
+        ),
 
         "q_h3_events": (
             "WITH ev AS (SELECT event_id, ts, "

@@ -18,6 +18,17 @@ Work unit = any coarse key (tile prefix, input file, partition id). The
 content hash is an order-independent 64-bit fold (sum of xxhash64 over all
 row structs in the unit) so resume verification is O(rows) and
 shuffle-free (map-side partial agg).
+
+When `cover=(lat_col, lon_col, res)` is given, each manifest record also
+carries the unit's COMPACT geodesic H3 cover (north-rule lineage fields:
+input file, H3 cover, row counts, content hashes) — the distinct res-R
+cells its rows touch, hierarchy-compacted and stored as H3 hex strings, so
+a resumed or downstream job can partition-prune against a unit without
+touching its data. Scale posture: the driver materialization is the
+DISTINCT (unit, cell) set, bounded by the cover resolution (res ≤ 5 ≈ 2M
+cells globally, thousands per realistic unit), never by row count; cell
+assignment is the stateless Arrow kernel and the distinct is one map-side
+partial-agg shuffle.
 """
 
 from __future__ import annotations
@@ -32,9 +43,15 @@ from pyspark.sql import functions as F
 
 
 class LineageStage:
-    def __init__(self, stage_dir: str, unit_col: str = "unit"):
+    def __init__(
+        self,
+        stage_dir: str,
+        unit_col: str = "unit",
+        cover: tuple[str, str, int] | None = None,
+    ):
         self.stage_dir = stage_dir
         self.unit_col = unit_col
+        self.cover = cover
         self.data_dir = os.path.join(stage_dir, "data")
         self.manifest_dir = os.path.join(stage_dir, "manifest")
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -118,6 +135,7 @@ class LineageStage:
             )
             .collect()
         )
+        covers = self._unit_covers(written) if self.cover is not None else {}
         now = time.time()
         self._append_manifest(
             [
@@ -126,12 +144,53 @@ class LineageStage:
                     "row_count": r["row_count"],
                     "content_hash": int(r["content_hash"]) if r["content_hash"] is not None else 0,
                     "ts": now,
+                    **(
+                        {"h3_cover": covers.get(str(r[unit]), [])}
+                        if self.cover is not None
+                        else {}
+                    ),
                     **(extra_meta or {}),
                 }
                 for r in stats
             ]
         )
         return len(stats)
+
+    def _unit_covers(self, written: DataFrame) -> dict[str, list[str]]:
+        """Per-unit compact H3 cover of the rows just written. Distinct
+        (unit, cell) before the collect — driver memory is bounded by the
+        cover resolution's cell count, not by rows."""
+        import numpy as np
+
+        from .. import cells_h3
+
+        lat_c, lon_c, res = self.cover
+        if lat_c not in written.columns or lon_c not in written.columns:
+            raise ValueError(
+                f"lineage cover columns ({lat_c}, {lon_c}) not in written "
+                f"schema {written.columns}"
+            )
+        unit = self.unit_col
+        tagged = cells_h3.assign_cells_df(
+            written.select(unit, lat_c, lon_c).where(
+                F.col(lat_c).isNotNull() & F.col(lon_c).isNotNull()
+            ),
+            res,
+            lon=lon_c,
+            lat=lat_c,
+            out_col="_cover_cell",
+        )
+        by_unit: dict[str, list[int]] = {}
+        for r in tagged.select(unit, "_cover_cell").distinct().collect():
+            by_unit.setdefault(str(r[0]), []).append(int(r[1]))
+        return {
+            u: sorted(
+                cells_h3.h3_to_string(
+                    cells_h3.compact(np.asarray(sorted(cells), dtype=np.int64))
+                ).tolist()
+            )
+            for u, cells in by_unit.items()
+        }
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read only manifest-committed units (uncommitted partials from a

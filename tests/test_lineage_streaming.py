@@ -62,6 +62,54 @@ def test_lineage_kill_resume(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_lineage_h3_cover(spark):
+    """cover=(lat, lon, res) adds a compact geodesic-H3 cover to each
+    manifest record: every row's res-R cell must be contained in its
+    unit's cover (after uncompaction), covers hold only ancestors-or-equal
+    of touched cells, and resume keeps them byte-stable."""
+    import numpy as np
+
+    from giga_spatial_spark import cells_h3
+
+    tmp = tempfile.mkdtemp(prefix="lineage_cov_")
+    res = 4
+    try:
+        docs = synth.with_coords(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"), "doc_id"
+        ).withColumn("unit", (F.col("doc_id") % 3).cast("string"))
+
+        def transform(df):
+            return df.select("unit", "doc_id", "lat", "lon")
+
+        stage = LineageStage(
+            os.path.join(tmp, "stage1"), cover=("lat", "lon", res)
+        )
+        assert stage.run(docs, transform) == 3
+        manifest = stage.completed_units()
+
+        pdf = transform(docs).toPandas()
+        cells = cells_h3.latlng_to_cell(
+            pdf["lat"].to_numpy(np.float64), pdf["lon"].to_numpy(np.float64), res
+        )
+        for u in ["0", "1", "2"]:
+            cover = manifest[u]["h3_cover"]
+            assert cover, f"unit {u} has an empty cover"
+            packed = cells_h3.string_to_h3(np.array(cover))
+            # compact form: strictly fewer-or-equal entries than raw cells
+            raw = np.unique(cells[(pdf["unit"] == u).to_numpy()])
+            assert len(packed) <= len(raw)
+            flat = cells_h3.uncompact(packed, res)
+            assert set(raw.tolist()) <= set(flat.tolist())
+            # and nothing outside: uncompacted cover == exact distinct set
+            assert set(flat.tolist()) == set(raw.tolist())
+
+        # resume: zero work, cover records untouched
+        assert stage.run(docs, transform) == 0
+        assert stage.completed_units() == manifest
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_enrich_equals_batch(spark):
     """The flagship enrichment as a stream (file source over generated
     pages) must produce the same per-zone tag multiset as the batch path."""
