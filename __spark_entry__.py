@@ -787,6 +787,103 @@ def q_quadkey_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone polygon area in m² + planar area-weighted centroid
+    (reference add_area_in_meters geo.py:438-477 and the centroid
+    tie-break geo.py:848-866), computed NATIVELY over an exploded vertex
+    table: window lead() with a first_value wrap closes the ring, one
+    groupBy(zone) folds the shoelace cross terms — the 100-TB shape for
+    polygon stats over a billion-parcel layer (one shuffle keyed by
+    polygon id, whole-stage codegen arithmetic, no Python). The oracle
+    replays it in DuckDB from the same vertex literals but projects each
+    vertex to the local equirectangular meter frame FIRST and shoelaces
+    in meters (the reference's formulation) — an independently-ordered
+    float path that must agree after integer rounding (km², micro-deg)."""
+    from pyspark.sql import Window
+
+    rows = [
+        (zid, i, float(p[i, 0]), float(p[i, 1]))
+        for zid, p in sorted(ADMIN_POLYS.items())
+        for i in range(len(p))
+    ]
+    v = spark.createDataFrame(rows, "zone_id bigint, idx bigint, x double, y double")
+    w = Window.partitionBy("zone_id").orderBy("idx")
+    wa = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vv = v.select(
+        "zone_id",
+        "x",
+        "y",
+        F.coalesce(F.lead("x").over(w), F.first("x").over(wa)).alias("xn"),
+        F.coalesce(F.lead("y").over(w), F.first("y").over(wa)).alias("yn"),
+    )
+    cross = F.col("x") * F.col("yn") - F.col("xn") * F.col("y")
+    g = vv.groupBy("zone_id").agg(
+        F.sum(cross).alias("s2a"),
+        F.sum((F.col("x") + F.col("xn")) * cross).alias("sx"),
+        F.sum((F.col("y") + F.col("yn")) * cross).alias("sy"),
+        F.avg("y").alias("lat0"),
+    )
+    m = 111_194.9
+    return g.select(
+        "zone_id",
+        F.round(
+            F.lit(0.5 * m * m)
+            * F.cos(F.radians(F.col("lat0")))
+            * F.abs(F.col("s2a"))
+            / F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("area_km2"),
+        F.round(F.col("sx") / (F.lit(3.0) * F.col("s2a")) * 1e6)
+        .cast("bigint")
+        .alias("centroid_lon_micro"),
+        F.round(F.col("sy") / (F.lit(3.0) * F.col("s2a")) * 1e6)
+        .cast("bigint")
+        .alias("centroid_lat_micro"),
+    )
+
+
+def _geom_stats_sql() -> str:
+    verts = ", ".join(
+        f"({zid}, {i}, {float(p[i, 0])!r}, {float(p[i, 1])!r})"
+        for zid, p in sorted(ADMIN_POLYS.items())
+        for i in range(len(p))
+    )
+    m = "111194.9"
+    return (
+        f"WITH v0(zone_id, idx, x, y) AS (VALUES {verts}), "
+        # DuckDB parses bare numeric literals as DECIMAL; force doubles
+        "v AS (SELECT zone_id, idx, CAST(x AS DOUBLE) AS x, "
+        "CAST(y AS DOUBLE) AS y FROM v0), "
+        "l AS (SELECT zone_id, avg(y) AS lat0 FROM v GROUP BY zone_id), "
+        # meter-frame projection FIRST (reference formulation): an
+        # independently-rounded float path from the engine's factored
+        # degree-space shoelace
+        "p AS (SELECT v.zone_id, idx, "
+        f"x * {m} * cos(radians(lat0)) AS xm, y * {m} AS ym, x, y "
+        "FROM v JOIN l ON v.zone_id = l.zone_id), "
+        "n AS (SELECT zone_id, x, y, xm, ym, "
+        "coalesce(lead(xm) OVER zw, first_value(xm) OVER za) AS xmn, "
+        "coalesce(lead(ym) OVER zw, first_value(ym) OVER za) AS ymn, "
+        "coalesce(lead(x) OVER zw, first_value(x) OVER za) AS xn, "
+        "coalesce(lead(y) OVER zw, first_value(y) OVER za) AS yn "
+        "FROM p WINDOW zw AS (PARTITION BY zone_id ORDER BY idx), "
+        "za AS (PARTITION BY zone_id ORDER BY idx "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)), "
+        "g AS (SELECT zone_id, "
+        "sum(xm * ymn - xmn * ym) AS s2a_m, "
+        "sum(x * yn - xn * y) AS s2a, "
+        "sum((x + xn) * (x * yn - xn * y)) AS sx, "
+        "sum((y + yn) * (x * yn - xn * y)) AS sy "
+        "FROM n GROUP BY zone_id) "
+        "SELECT zone_id, "
+        "CAST(round(0.5 * abs(s2a_m) / 1e6) AS BIGINT) AS area_km2, "
+        "CAST(round(sx / (3.0 * s2a) * 1e6) AS BIGINT) AS centroid_lon_micro, "
+        "CAST(round(sy / (3.0 * s2a) * 1e6) AS BIGINT) AS centroid_lat_micro "
+        "FROM g"
+    )
+
+
 def q_h3_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic H3 multi-resolution compaction (reference
     h3.compact_cells on covers, grid/h3.py:395-412): res-5 doc cells,
@@ -2165,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_coord_repair": q_coord_repair,
         "q_nfkc": q_nfkc,
         "q_titlecase": q_titlecase,
+        "q_geom_stats": q_geom_stats,
         "q_utm_pixels": q_utm_pixels,
         "q_quadkey_compact": q_quadkey_compact,
         "q_h3_compact": q_h3_compact,
@@ -2784,6 +2882,7 @@ FROM z""",
         "q_quadkey_compact": _quadkey_compact_sql(),
         "q_h3_compact": _h3_compact_sql(docs),
         "q_nfkc": _nfkc_oracle_sql(),
+        "q_geom_stats": _geom_stats_sql(),
         "q_titlecase": (
             "WITH raw AS (SELECT doc_id, CASE doc_id % 8 "
             "WHEN 0 THEN '  new south wales ' WHEN 1 THEN 'UNKNOWN' "

@@ -249,3 +249,23 @@ def test_iso3166_full_registry(spark):
     )
     got = [r[0] for r in df.select(iso3_expr(F.col("country"))).collect()]
     assert got == ["CIV", "NGA", "KIR", None]
+
+
+def test_geom_stats_matches_numpy(spark):
+    """q_geom_stats' native window/groupBy shoelace must agree with the
+    driver-side numpy implementations (geo.polygon_area_m2,
+    geometry.polygon_centroid) — a third, independently-coded path."""
+    import __spark_entry__ as E
+    from giga_spatial_spark.functions.geo import polygon_area_m2
+    from giga_spatial_spark.geometry import polygon_centroid
+
+    got = {
+        int(r["zone_id"]): r
+        for r in E.q_geom_stats(spark, str(E)).collect()  # sf_dir unused
+    }
+    for zid, poly in E.ADMIN_POLYS.items():
+        r = got[zid]
+        assert r["area_km2"] == round(polygon_area_m2(poly) / 1e6)
+        cx, cy = polygon_centroid(poly)
+        assert r["centroid_lon_micro"] == round(cx * 1e6)
+        assert r["centroid_lat_micro"] == round(cy * 1e6)
