@@ -787,6 +787,139 @@ def q_quadkey_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Krüger UTM projection (reference buffers/areas project
+    through pyproj into the estimated UTM CRS, processing/geo.py:268-324,
+    :438-477; the engine's from-scratch series lives in functions/utm.py).
+    Stateless Arrow kernel, zone-grouped within each batch — zero shuffle,
+    the 100-TB shape for projection. The oracle replays the ENTIRE
+    forward series in DuckDB (functions/utm_sql.py) with hyperbolics
+    expanded via exp/ln — an independent float path agreeing to ~1e-9 m,
+    compared in integer millimeters."""
+    import numpy as np
+    import pandas as pd
+
+    from giga_spatial_spark.functions import utm
+
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    schema = "doc_id bigint, zone bigint, easting_mm bigint, northing_mm bigint"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = pdf["lon"].to_numpy(np.float64)
+            lat = pdf["lat"].to_numpy(np.float64)
+            zone = np.clip(
+                np.floor((lon + 180.0) / 6.0).astype(np.int64) + 1, 1, 60
+            )
+            e = np.empty_like(lon)
+            n = np.empty_like(lat)
+            for z in np.unique(zone):
+                m = zone == z
+                e[m], n[m] = utm.utm_forward(lon[m], lat[m], int(z))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "zone": zone,
+                    # floor(x*1000 + 0.5): the exact expression the SQL
+                    # twin uses (np.rint banker's-rounds at .5)
+                    "easting_mm": np.floor(e * 1000.0 + 0.5).astype(np.int64),
+                    "northing_mm": np.floor(n * 1000.0 + 0.5).astype(np.int64),
+                }
+            )
+
+    return pts.mapInPandas(kernel, schema=schema)
+
+
+def _utm_project_sql() -> str:
+    from giga_spatial_spark.functions import utm_sql
+
+    fwd, fin = utm_sql.forward_ctes("src")
+    zone = (
+        "least(greatest(CAST(floor((lon + 180.0) / 6.0) + 1 AS BIGINT), 1), "
+        "60)"
+    )
+    return (
+        f"WITH src AS (SELECT doc_id, {synth.lon_sql('doc_id')} AS lon, "
+        f"{synth.lat_sql('doc_id')} AS lat, "
+        f"{utm_sql.zone_cm_sql(synth.lon_sql('doc_id'))} AS cm "
+        f"FROM documents), {fwd} "
+        f"SELECT doc_id, {zone} AS zone, "
+        "CAST(floor(easting * 1000.0 + 0.5) AS BIGINT) AS easting_mm, "
+        "CAST(floor(northing * 1000.0 + 0.5) AS BIGINT) AS northing_mm "
+        f"FROM {fin}"
+    )
+
+
+BUFFER_RADIUS_M = 25_000.0
+BUFFER_N_POINTS = 32
+
+
+def q_utm_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity geodesic point buffers (buffer_geodataframe,
+    processing/geo.py:268-324: project to the point's UTM zone, circle in
+    meters, inverse-project the ring). One probe per admin-zone centroid
+    (spans both hemispheres and 10+ UTM zones); the ring vertices are the
+    query output in integer micro-degrees. The oracle rebuilds every ring
+    in DuckDB: full Krüger forward AND inverse series incl. the 4 unrolled
+    Newton conformal→geodetic iterations (functions/utm_sql.py) — the
+    complete buffer pipeline replayed on an independent float path."""
+    import numpy as np
+
+    from giga_spatial_spark.functions.utm import buffer_point_utm
+
+    rows = []
+    for zid, poly in sorted(ADMIN_POLYS.items()):
+        cx, cy = polygon_centroid(poly)
+        ring = buffer_point_utm(cx, cy, BUFFER_RADIUS_M, BUFFER_N_POINTS)
+        for i in range(len(ring)):
+            rows.append(
+                (
+                    zid,
+                    i,
+                    int(np.floor(ring[i, 0] * 1e6 + 0.5)),
+                    int(np.floor(ring[i, 1] * 1e6 + 0.5)),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "probe_id bigint, idx bigint, lon_micro bigint, lat_micro bigint"
+    )
+
+
+def _utm_buffer_sql() -> str:
+    from giga_spatial_spark.functions import utm_sql
+    from giga_spatial_spark.geometry import polygon_centroid
+
+    probes = ", ".join(
+        f"({zid}, {cx!r}, {cy!r})"
+        for zid, (cx, cy) in (
+            (z, polygon_centroid(p)) for z, p in sorted(ADMIN_POLYS.items())
+        )
+    )
+    fwd, ffin = utm_sql.forward_ctes("p")
+    inv, ifin = utm_sql.inverse_ctes(
+        "ring", easting="ring_e", northing="ring_n", south="(lat < 0)"
+    )
+    ang = f"(idx * (2 * pi() / {BUFFER_N_POINTS}))"
+    return (
+        f"WITH p0(probe_id, plon, plat) AS (VALUES {probes}), "
+        "p AS (SELECT probe_id, CAST(plon AS DOUBLE) AS lon, "
+        "CAST(plat AS DOUBLE) AS lat, "
+        f"{utm_sql.zone_cm_sql('CAST(plon AS DOUBLE)')} AS cm FROM p0), "
+        f"{fwd}, "
+        f"ring AS (SELECT *, "
+        f"easting + {BUFFER_RADIUS_M!r} * cos({ang}) AS ring_e, "
+        f"northing + {BUFFER_RADIUS_M!r} * sin({ang}) AS ring_n "
+        f"FROM {ffin}, range({BUFFER_N_POINTS}) r(idx)), "
+        f"{inv} "
+        "SELECT probe_id, idx, "
+        "CAST(floor(lon_out * 1e6 + 0.5) AS BIGINT) AS lon_micro, "
+        "CAST(floor(lat_out * 1e6 + 0.5) AS BIGINT) AS lat_micro "
+        f"FROM {ifin}"
+    )
+
+
 def q_geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-zone polygon area in m² + planar area-weighted centroid
     (reference add_area_in_meters geo.py:438-477 and the centroid
@@ -2263,6 +2396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nfkc": q_nfkc,
         "q_titlecase": q_titlecase,
         "q_geom_stats": q_geom_stats,
+        "q_utm_project": q_utm_project,
+        "q_utm_buffer": q_utm_buffer,
         "q_utm_pixels": q_utm_pixels,
         "q_quadkey_compact": q_quadkey_compact,
         "q_h3_compact": q_h3_compact,
@@ -2883,6 +3018,8 @@ FROM z""",
         "q_h3_compact": _h3_compact_sql(docs),
         "q_nfkc": _nfkc_oracle_sql(),
         "q_geom_stats": _geom_stats_sql(),
+        "q_utm_project": _utm_project_sql(),
+        "q_utm_buffer": _utm_buffer_sql(),
         "q_titlecase": (
             "WITH raw AS (SELECT doc_id, CASE doc_id % 8 "
             "WHEN 0 THEN '  new south wales ' WHEN 1 THEN 'UNKNOWN' "

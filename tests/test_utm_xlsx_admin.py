@@ -269,3 +269,38 @@ def test_geom_stats_matches_numpy(spark):
         cx, cy = polygon_centroid(poly)
         assert r["centroid_lon_micro"] == round(cx * 1e6)
         assert r["centroid_lat_micro"] == round(cy * 1e6)
+
+
+def test_utm_sql_twins_match_numpy():
+    """The DuckDB Krüger forward/inverse twins (functions/utm_sql.py,
+    hyperbolics expanded via exp/ln) must agree with the numpy kernels to
+    well under the oracle rounding grain (mm forward, micro-deg inverse)
+    over random global points in every UTM zone."""
+    import duckdb
+    import pandas as pd
+
+    from giga_spatial_spark.functions import utm, utm_sql
+
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-179, 179, 2000)
+    lat = rng.uniform(-80, 80, 2000)
+    zone = np.array([utm.utm_zone(x) for x in lon])
+    e, n = np.empty_like(lon), np.empty_like(lat)
+    for z in np.unique(zone):
+        m = zone == z
+        e[m], n[m] = utm.utm_forward(lon[m], lat[m], int(z))
+
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"lon": lon, "lat": lat}))
+    fwd, ffin = utm_sql.forward_ctes("src")
+    inv, ifin = utm_sql.inverse_ctes(ffin, south="(lat < 0)")
+    q = (
+        f"WITH src AS (SELECT lon, lat, {utm_sql.zone_cm_sql('lon')} AS cm "
+        f"FROM pts), {fwd}, {inv} "
+        f"SELECT easting, northing, lon_out, lat_out FROM {ifin}"
+    )
+    df = con.execute(q).fetchdf()
+    assert np.abs(df["easting"].to_numpy() - e).max() < 1e-6   # meters
+    assert np.abs(df["northing"].to_numpy() - n).max() < 1e-6
+    assert np.abs(df["lon_out"].to_numpy() - lon).max() < 1e-8  # degrees
+    assert np.abs(df["lat_out"].to_numpy() - lat).max() < 1e-8
