@@ -920,6 +920,58 @@ def _utm_buffer_sql() -> str:
     )
 
 
+def q_utm_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact UTM polygon areas (reference add_area_in_meters,
+    processing/geo.py:438-477: project into the centroid's UTM zone,
+    shoelace in meters — the precise path, vs q_geom_stats'
+    equirectangular approximation). Engine = functions/utm.polygon_area_utm
+    per admin zone (dim-side); oracle = Krüger forward on every vertex in
+    SQL, equator-consistent northern-frame northings, meter-space
+    shoelace. Compared in whole km² (series agreement ~1e-9 m)."""
+    import numpy as np
+
+    from giga_spatial_spark.functions.utm import polygon_area_utm
+
+    rows = [
+        (zid, int(np.floor(polygon_area_utm(p) / 1e6 + 0.5)))
+        for zid, p in sorted(ADMIN_POLYS.items())
+    ]
+    return spark.createDataFrame(rows, "zone_id bigint, area_km2 bigint")
+
+
+def _utm_area_sql() -> str:
+    from giga_spatial_spark.functions import utm_sql
+
+    verts = ", ".join(
+        f"({zid}, {i}, {float(p[i, 0])!r}, {float(p[i, 1])!r}, "
+        f"{float(p[:, 0].mean())!r})"
+        for zid, p in sorted(ADMIN_POLYS.items())
+        for i in range(len(p))
+    )
+    fwd, ffin = utm_sql.forward_ctes("v")
+    return (
+        f"WITH v0(zone_id, idx, x, y, mlon) AS (VALUES {verts}), "
+        "v AS (SELECT zone_id, idx, CAST(x AS DOUBLE) AS lon, "
+        "CAST(y AS DOUBLE) AS lat, "
+        f"{utm_sql.zone_cm_sql('CAST(mlon AS DOUBLE)')} AS cm FROM v0), "
+        f"{fwd}, "
+        # polygon_area_utm projects everything in the NORTHERN convention
+        # (strips the per-point false northing again) so equator-straddling
+        # rings stay in one frame
+        f"w AS (SELECT zone_id, idx, easting AS e, "
+        "CASE WHEN lat < 0 THEN northing - 10000000.0 ELSE northing END "
+        f"AS n FROM {ffin}), "
+        "nx AS (SELECT zone_id, e, n, "
+        "coalesce(lead(e) OVER zw, first_value(e) OVER za) AS en, "
+        "coalesce(lead(n) OVER zw, first_value(n) OVER za) AS nn "
+        "FROM w WINDOW zw AS (PARTITION BY zone_id ORDER BY idx), "
+        "za AS (PARTITION BY zone_id ORDER BY idx "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) "
+        "SELECT zone_id, CAST(floor(0.5 * abs(sum(e * nn - en * n)) / 1e6 "
+        "+ 0.5) AS BIGINT) AS area_km2 FROM nx GROUP BY zone_id"
+    )
+
+
 def q_geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-zone polygon area in m² + planar area-weighted centroid
     (reference add_area_in_meters geo.py:438-477 and the centroid
@@ -2398,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geom_stats": q_geom_stats,
         "q_utm_project": q_utm_project,
         "q_utm_buffer": q_utm_buffer,
+        "q_utm_area": q_utm_area,
         "q_utm_pixels": q_utm_pixels,
         "q_quadkey_compact": q_quadkey_compact,
         "q_h3_compact": q_h3_compact,
@@ -3020,6 +3073,7 @@ FROM z""",
         "q_geom_stats": _geom_stats_sql(),
         "q_utm_project": _utm_project_sql(),
         "q_utm_buffer": _utm_buffer_sql(),
+        "q_utm_area": _utm_area_sql(),
         "q_titlecase": (
             "WITH raw AS (SELECT doc_id, CASE doc_id % 8 "
             "WHEN 0 THEN '  new south wales ' WHEN 1 THEN 'UNKNOWN' "
