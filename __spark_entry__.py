@@ -1430,6 +1430,79 @@ def q_geotiff_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ALB_W, ALB_H, ALB_DX = 160, 120, 52000.0
+
+
+def _albers_anchor() -> tuple[float, float]:
+    """Top-left EPSG:5070 (x0, y1) of the Albers fixture grid: centered
+    on the joint meter-space bounding box of zones 2/8/9 (the three
+    fixture zones nearest the projection origin) so the grid overlaps
+    several zones, via the from-scratch ellipsoidal forward."""
+    import numpy as np
+
+    from giga_spatial_spark.functions import albers as AL
+
+    xs, ys = [], []
+    for zid in (2, 8, 9):
+        arr = np.asarray(ADMIN_POLYS[zid], dtype=np.float64)
+        x, y = AL.forward(arr[:, 0], arr[:, 1])
+        xs.append(x)
+        ys.append(y)
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    cx = (float(x.min()) + float(x.max())) / 2.0
+    cy = (float(y.min()) + float(y.max())) / 2.0
+    return (cx - ALB_W / 2 * ALB_DX, cy + ALB_H / 2 * ALB_DX)
+
+
+def q_geotiff_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:5070 (NAD83 Conus Albers — NLCD/LANDFIRE grid) raster
+    ingest: a deterministic GeoTIFF whose geotransform is Albers METERS
+    (GeoKeyDirectory code 5070) is decoded strip-parallel, pixel centers
+    inverse-projected through the from-scratch ellipsoidal Albers conic
+    (functions/albers — Snyder eqs 14-12..14-21 + authalic series), then
+    the q_geotiff_zonal flow. The oracle replays the grid,
+    albers.inverse_sql and the zone predicates in SQL. Reference:
+    tif_processor.py accepts arbitrary projected CRSs via rasterio;
+    EPSG:5070 is the standard US-wide public raster CRS (the most common
+    family after EPSG:3035, which landed last commit)."""
+    import getpass
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    x0, y1 = _albers_anchor()
+    params = (
+        f"albers_v1|w={ALB_W}|h={ALB_H}|x0={x0!r}|y1={y1!r}|dx={ALB_DX!r}|"
+        "vals=(px*23+py*31+7)%977/10|nodata=(px*7+py*13)%23==0:-9999"
+    )
+    key = hashlib.sha256(params.encode()).hexdigest()[:16]
+    path = f"/tmp/spark_graft_geotiff_{getpass.getuser()}/albers_{key}.tif"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        px = np.arange(ALB_W)[None, :]
+        row = np.arange(ALB_H)[:, None]
+        vals = ((px * 23 + row * 31 + 7) % 977) / 10.0
+        vals = np.where((px * 7 + row * 13) % 23 == 0, -9999.0, vals)
+        write_tiff(
+            path + ".tmp", vals, lon0=x0, lat1=y1, dx=ALB_DX, dy=ALB_DX,
+            nodata=-9999.0, crs="EPSG:5070",
+        )
+        os.replace(path + ".tmp", path)
+    pixels = tiff_pixel_table(spark, path)
+    valid = pixels.where(F.col("value").isNotNull())
+    matches = pip_join_rtree(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    return matches.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("px_count"),
+        (F.sum(F.round(F.col("value") * 10).cast("bigint")) / 10.0).alias("v_sum"),
+        F.round(F.min("value"), 1).alias("v_min"),
+        F.round(F.max("value"), 1).alias("v_max"),
+    )
+
+
 def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point sampling of the raster (reference tif_processor.py:958-1006):
     doc points → containing-pixel equi-join."""
@@ -2413,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geotiff_zonal": q_geotiff_zonal,
         "q_geotiff_mollweide": q_geotiff_mollweide,
         "q_geotiff_laea": q_geotiff_laea,
+        "q_geotiff_albers": q_geotiff_albers,
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
         "q_raster_merge": q_raster_merge,
@@ -2865,6 +2939,32 @@ def oracle_sql() -> dict[str, str]:
         "FROM m GROUP BY zone_id"
     )
 
+    from giga_spatial_spark.functions import albers as _AL
+
+    ax0, ay1 = _albers_anchor()
+    ax_sql = f"({ax0!r} + ((i % {ALB_W}) + 0.5) * {ALB_DX!r})"
+    ay_sql = f"({ay1!r} - ((i // {ALB_W}) + 0.5) * {ALB_DX!r})"
+    alon_sql, alat_sql = _AL.inverse_sql(ax_sql, ay_sql)
+    alb_val = (
+        f"CASE WHEN ((i % {ALB_W}) * 7 + (i // {ALB_W}) * 13) % 23 = 0 "
+        f"THEN NULL ELSE (((i % {ALB_W}) * 23 + (i // {ALB_W}) * 31 + 7) % 977) / 10.0 END"
+    )
+    alb_pip = " UNION ALL ".join(
+        f"SELECT {zid} AS zone_id, r.value FROM avalid r WHERE "
+        + synth.convex_contains_sql(poly, "r.lon", "r.lat")
+        for zid, poly in sorted(ADMIN_POLYS.items())
+    )
+    albers_zonal = (
+        f"WITH araster AS (SELECT {alb_val} AS value, {alon_sql} AS lon, "
+        f"{alat_sql} AS lat FROM range({ALB_W * ALB_H}) t(i)), "
+        "avalid AS MATERIALIZED (SELECT * FROM araster WHERE value IS NOT NULL), "
+        f"m AS ({alb_pip}) "
+        "SELECT zone_id, count(*) AS px_count, "
+        "sum(cast(round(value * 10, 0) as bigint)) / 10.0 AS v_sum, "
+        "round(min(value), 1) AS v_min, round(max(value), 1) AS v_max "
+        "FROM m GROUP BY zone_id"
+    )
+
     clon6, clat6 = cells.tile_center_sql(6, "tile_x", "tile_y")
     tile_member = " UNION ALL ".join(
         f"SELECT tile, {zid} AS zone_id FROM ctr WHERE "
@@ -2932,6 +3032,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_zonal": zonal_raster,
         "q_geotiff_mollweide": moll_zonal,
         "q_geotiff_laea": laea_zonal,
+        "q_geotiff_albers": albers_zonal,
         "q_h3_parent": (
             f"WITH h3f AS ({H3S.h3_cell_sql(docs, H3_FINE_RES)}) "
             f"SELECT ((h3_cell & {_H3_RES_MASK}) | {H3_PARENT_RES << 52} | {_H3_FILL}) "

@@ -36,13 +36,16 @@ def _parse(crs: str) -> tuple[str, int]:
         return ("mollweide", 0)
     if c in ("EPSG:3035", "3035"):
         return ("laea_europe", 0)
+    if c in ("EPSG:5070", "5070"):
+        return ("albers_conus", 0)
     if c.startswith("EPSG:326") and len(c) == 10:
         return ("utm_north", int(c[8:]))
     if c.startswith("EPSG:327") and len(c) == 10:
         return ("utm_south", int(c[8:]))
     raise ValueError(
         f"unsupported crs {crs!r} — supported: EPSG:4326, EPSG:3857, "
-        "ESRI:54009, EPSG:3035 (LAEA Europe), EPSG:326xx/327xx (UTM)"
+        "ESRI:54009, EPSG:3035 (LAEA Europe), EPSG:5070 (Conus Albers), "
+        "EPSG:326xx/327xx (UTM)"
     )
 
 
@@ -61,6 +64,10 @@ def _to_geographic(xs: np.ndarray, ys: np.ndarray, kind: str, zone: int):
         from . import laea
 
         return laea.inverse(xs, ys)
+    if kind == "albers_conus":
+        from . import albers
+
+        return albers.inverse(xs, ys)
     from . import utm
 
     south = kind == "utm_south"
@@ -86,6 +93,10 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, kind: str, zone: int):
         from . import laea
 
         return laea.forward(lon, lat)
+    if kind == "albers_conus":
+        from . import albers
+
+        return albers.forward(lon, lat)
     from . import utm
 
     e, n = utm.utm_forward(lon, lat, zone)

@@ -292,3 +292,70 @@ def test_laea_geotiff_round_trip(spark, tmp_path):
     top = pdf[(pdf.px == 0) & (pdf.py == 2)].iloc[0]
     assert abs(top.lon - want_lon[0]) < 1e-12
     assert abs(top.lat - want_lat[0]) < 1e-12
+
+
+def test_albers_conus_crs_leg():
+    """EPSG:5070 (ellipsoidal Conus Albers, functions/albers): projection
+    origin exact, scale along both standard parallels exactly 1,
+    forward/inverse round trip < 1e-7 deg across CONUS, the equal-area
+    property holds to 1e-6, and transform_points routes it."""
+    import math
+
+    import numpy as np
+
+    from giga_spatial_spark.functions import albers
+    from giga_spatial_spark.functions.crs import transform_points
+
+    x, y = albers.forward(np.array([-96.0]), np.array([23.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # the defining property of the conic: k = 1 on both standard parallels
+    for phi_d in (29.5, 45.5):
+        phi = math.radians(phi_d)
+        _, fy = albers.forward(np.array([-96.0]), np.array([phi_d]))
+        rho = albers._RHO0 - fy[0]
+        m = math.cos(phi) / math.sqrt(1 - albers.E2 * math.sin(phi) ** 2)
+        assert abs(rho * albers._N / (albers.A_GRS80 * m) - 1) < 1e-12
+    rng = np.random.RandomState(0)
+    lon = rng.uniform(-125, -66, 5000)
+    lat = rng.uniform(24, 50, 5000)
+    fx, fy = transform_points(lon, lat, "EPSG:4326", "EPSG:5070")
+    lo2, la2 = transform_points(fx, fy, "EPSG:5070", "EPSG:4326")
+    assert np.abs(lo2 - lon).max() < 1e-7
+    assert np.abs(la2 - lat).max() < 1e-7
+    # equal-area: jacobian of a tiny cell matches the ellipsoidal patch
+    d = 1e-4
+    x0, y0 = albers.forward(np.array([-105.0]), np.array([39.7]))
+    x1, y1 = albers.forward(np.array([-105.0 + d]), np.array([39.7]))
+    x2, y2 = albers.forward(np.array([-105.0]), np.array([39.7 + d]))
+    ja = abs(
+        (x1[0] - x0[0]) * (y2[0] - y0[0]) - (x2[0] - x0[0]) * (y1[0] - y0[0])
+    )
+    phi = math.radians(39.7)
+    a, e2 = albers.A_GRS80, albers.E2
+    m = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+    n = a / (1 - e2 * math.sin(phi) ** 2) ** 0.5
+    truth = m * math.radians(d) * n * math.cos(phi) * math.radians(d)
+    assert abs(ja / truth - 1) < 1e-6
+
+
+def test_albers_geotiff_round_trip(spark, tmp_path):
+    """A GeoTIFF tagged EPSG:5070 decodes with pixel centers
+    inverse-projected through the ellipsoidal Albers."""
+    import numpy as np
+
+    from giga_spatial_spark.functions import albers
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    vals = (np.arange(12, dtype=np.float64).reshape(3, 4) + 1.0)
+    x0, y1 = albers.forward(np.array([-105.0]), np.array([39.7]))
+    path = str(tmp_path / "albers.tif")
+    write_tiff(path, vals, lon0=float(x0[0]), lat1=float(y1[0]),
+               dx=10000.0, dy=10000.0, crs="EPSG:5070")
+    pdf = tiff_pixel_table(spark, path).toPandas().sort_values(["py", "px"])
+    assert len(pdf) == 12
+    want_lon, want_lat = albers.inverse(
+        np.array([float(x0[0]) + 5000.0]), np.array([float(y1[0]) - 5000.0])
+    )
+    top = pdf[(pdf.px == 0) & (pdf.py == 2)].iloc[0]
+    assert abs(top.lon - want_lon[0]) < 1e-12
+    assert abs(top.lat - want_lat[0]) < 1e-12
