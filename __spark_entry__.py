@@ -1503,6 +1503,79 @@ def q_geotiff_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LCC_W, LCC_H, LCC_DX = 160, 120, 89000.0
+
+
+def _lcc_anchor() -> tuple[float, float]:
+    """Top-left EPSG:2154 (x0, y1) of the Lambert-93 fixture grid:
+    centered on the joint meter-space bounding box of zones 3/5/7 via the
+    from-scratch ellipsoidal conformal forward."""
+    import numpy as np
+
+    from giga_spatial_spark.functions import lcc as LC
+
+    xs, ys = [], []
+    for zid in (3, 5, 7):
+        arr = np.asarray(ADMIN_POLYS[zid], dtype=np.float64)
+        x, y = LC.forward(arr[:, 0], arr[:, 1])
+        xs.append(x)
+        ys.append(y)
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    cx = (float(x.min()) + float(x.max())) / 2.0
+    cy = (float(y.min()) + float(y.max())) / 2.0
+    return (cx - LCC_W / 2 * LCC_DX, cy + LCC_H / 2 * LCC_DX)
+
+
+def q_geotiff_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:2154 (RGF93 / Lambert-93 — the French national grid, and the
+    engine's representative of the Lambert conformal conic family that
+    national mapping agencies + US State Plane use) raster ingest: a
+    deterministic GeoTIFF whose geotransform is LCC METERS
+    (GeoKeyDirectory code 2154) is decoded strip-parallel, pixel centers
+    inverse-projected through the from-scratch ellipsoidal LCC
+    (functions/lcc — Snyder eqs 15-1..15-11 + conformal→geodetic series;
+    forward validated bit-level against published Lambert-93 coordinates
+    of Paris), then the q_geotiff_zonal flow. The oracle replays the
+    grid, lcc.inverse_sql and the zone predicates in SQL. Reference:
+    tif_processor.py accepts arbitrary projected CRSs via rasterio."""
+    import getpass
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    x0, y1 = _lcc_anchor()
+    params = (
+        f"lcc_v1|w={LCC_W}|h={LCC_H}|x0={x0!r}|y1={y1!r}|dx={LCC_DX!r}|"
+        "vals=(px*37+py*17+11)%953/10|nodata=(px*3+py*17)%29==0:-9999"
+    )
+    key = hashlib.sha256(params.encode()).hexdigest()[:16]
+    path = f"/tmp/spark_graft_geotiff_{getpass.getuser()}/lcc_{key}.tif"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        px = np.arange(LCC_W)[None, :]
+        row = np.arange(LCC_H)[:, None]
+        vals = ((px * 37 + row * 17 + 11) % 953) / 10.0
+        vals = np.where((px * 3 + row * 17) % 29 == 0, -9999.0, vals)
+        write_tiff(
+            path + ".tmp", vals, lon0=x0, lat1=y1, dx=LCC_DX, dy=LCC_DX,
+            nodata=-9999.0, crs="EPSG:2154",
+        )
+        os.replace(path + ".tmp", path)
+    pixels = tiff_pixel_table(spark, path)
+    valid = pixels.where(F.col("value").isNotNull())
+    matches = pip_join_rtree(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    return matches.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("px_count"),
+        (F.sum(F.round(F.col("value") * 10).cast("bigint")) / 10.0).alias("v_sum"),
+        F.round(F.min("value"), 1).alias("v_min"),
+        F.round(F.max("value"), 1).alias("v_max"),
+    )
+
+
 def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point sampling of the raster (reference tif_processor.py:958-1006):
     doc points → containing-pixel equi-join."""
@@ -2487,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geotiff_mollweide": q_geotiff_mollweide,
         "q_geotiff_laea": q_geotiff_laea,
         "q_geotiff_albers": q_geotiff_albers,
+        "q_geotiff_lcc": q_geotiff_lcc,
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
         "q_raster_merge": q_raster_merge,
@@ -2965,6 +3039,32 @@ def oracle_sql() -> dict[str, str]:
         "FROM m GROUP BY zone_id"
     )
 
+    from giga_spatial_spark.functions import lcc as _LC
+
+    cx0, cy1 = _lcc_anchor()
+    cx_sql = f"({cx0!r} + ((i % {LCC_W}) + 0.5) * {LCC_DX!r})"
+    cy_sql = f"({cy1!r} - ((i // {LCC_W}) + 0.5) * {LCC_DX!r})"
+    clon_sql, clat_sql = _LC.inverse_sql(cx_sql, cy_sql)
+    lcc_val = (
+        f"CASE WHEN ((i % {LCC_W}) * 3 + (i // {LCC_W}) * 17) % 29 = 0 "
+        f"THEN NULL ELSE (((i % {LCC_W}) * 37 + (i // {LCC_W}) * 17 + 11) % 953) / 10.0 END"
+    )
+    lcc_pip = " UNION ALL ".join(
+        f"SELECT {zid} AS zone_id, r.value FROM cvalid r WHERE "
+        + synth.convex_contains_sql(poly, "r.lon", "r.lat")
+        for zid, poly in sorted(ADMIN_POLYS.items())
+    )
+    lcc_zonal = (
+        f"WITH craster AS (SELECT {lcc_val} AS value, {clon_sql} AS lon, "
+        f"{clat_sql} AS lat FROM range({LCC_W * LCC_H}) t(i)), "
+        "cvalid AS MATERIALIZED (SELECT * FROM craster WHERE value IS NOT NULL), "
+        f"m AS ({lcc_pip}) "
+        "SELECT zone_id, count(*) AS px_count, "
+        "sum(cast(round(value * 10, 0) as bigint)) / 10.0 AS v_sum, "
+        "round(min(value), 1) AS v_min, round(max(value), 1) AS v_max "
+        "FROM m GROUP BY zone_id"
+    )
+
     clon6, clat6 = cells.tile_center_sql(6, "tile_x", "tile_y")
     tile_member = " UNION ALL ".join(
         f"SELECT tile, {zid} AS zone_id FROM ctr WHERE "
@@ -3033,6 +3133,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_mollweide": moll_zonal,
         "q_geotiff_laea": laea_zonal,
         "q_geotiff_albers": albers_zonal,
+        "q_geotiff_lcc": lcc_zonal,
         "q_h3_parent": (
             f"WITH h3f AS ({H3S.h3_cell_sql(docs, H3_FINE_RES)}) "
             f"SELECT ((h3_cell & {_H3_RES_MASK}) | {H3_PARENT_RES << 52} | {_H3_FILL}) "

@@ -38,6 +38,8 @@ def _parse(crs: str) -> tuple[str, int]:
         return ("laea_europe", 0)
     if c in ("EPSG:5070", "5070"):
         return ("albers_conus", 0)
+    if c in ("EPSG:2154", "2154"):
+        return ("lcc_france", 0)
     if c.startswith("EPSG:326") and len(c) == 10:
         return ("utm_north", int(c[8:]))
     if c.startswith("EPSG:327") and len(c) == 10:
@@ -45,7 +47,7 @@ def _parse(crs: str) -> tuple[str, int]:
     raise ValueError(
         f"unsupported crs {crs!r} — supported: EPSG:4326, EPSG:3857, "
         "ESRI:54009, EPSG:3035 (LAEA Europe), EPSG:5070 (Conus Albers), "
-        "EPSG:326xx/327xx (UTM)"
+        "EPSG:2154 (Lambert-93), EPSG:326xx/327xx (UTM)"
     )
 
 
@@ -68,6 +70,10 @@ def _to_geographic(xs: np.ndarray, ys: np.ndarray, kind: str, zone: int):
         from . import albers
 
         return albers.inverse(xs, ys)
+    if kind == "lcc_france":
+        from . import lcc
+
+        return lcc.inverse(xs, ys)
     from . import utm
 
     south = kind == "utm_south"
@@ -97,6 +103,10 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, kind: str, zone: int):
         from . import albers
 
         return albers.forward(lon, lat)
+    if kind == "lcc_france":
+        from . import lcc
+
+        return lcc.forward(lon, lat)
     from . import utm
 
     e, n = utm.utm_forward(lon, lat, zone)

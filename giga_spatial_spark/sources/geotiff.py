@@ -239,12 +239,14 @@ def tiff_pixel_table(
     meta = read_tiff_meta(path)
     if meta.crs not in (
         "EPSG:4326", "ESRI:54009", "EPSG:3857", "EPSG:3035", "EPSG:5070",
+        "EPSG:2154",
     ):
         raise ValueError(
             f"unsupported raster CRS {meta.crs!r} — supported: EPSG:4326 "
             "(geographic), ESRI:54009 (Mollweide, the GHSL grid), "
             "EPSG:3035 (LAEA Europe — CORINE/EU grids), "
-            "EPSG:5070 (Conus Albers — NLCD/LANDFIRE grids) and "
+            "EPSG:5070 (Conus Albers — NLCD/LANDFIRE grids), "
+            "EPSG:2154 (Lambert-93 — French national grids) and "
             "EPSG:3857 (web mercator tile pyramids)"
         )
     bc = spark.sparkContext.broadcast(meta)
@@ -309,6 +311,14 @@ def tiff_pixel_table(
                         xm = np.broadcast_to(lon, shape2)
                         ym = np.broadcast_to(lat, shape2)
                         lon, lat = _albers.inverse(xm, ym)
+                    elif m.crs == "EPSG:2154":
+                        # Lambert-93 meters: ellipsoidal conformal-conic
+                        # inverse (functions/lcc, Snyder 15-11 + 3-5)
+                        from ..functions import lcc as _lcc
+
+                        xm = np.broadcast_to(lon, shape2)
+                        ym = np.broadcast_to(lat, shape2)
+                        lon, lat = _lcc.inverse(xm, ym)
                     elif m.crs == "EPSG:3857":
                         # web-mercator meters: closed-form spherical inverse
                         R = 6378137.0

@@ -359,3 +359,75 @@ def test_albers_geotiff_round_trip(spark, tmp_path):
     top = pdf[(pdf.px == 0) & (pdf.py == 2)].iloc[0]
     assert abs(top.lon - want_lon[0]) < 1e-12
     assert abs(top.lat - want_lat[0]) < 1e-12
+
+
+def test_lcc_lambert93_crs_leg():
+    """EPSG:2154 (ellipsoidal Lambert conformal conic, functions/lcc):
+    false origin exact, forward matches the PUBLISHED Lambert-93
+    coordinates of Paris to the centimeter, scale exactly 1 on both
+    standard parallels, conformality (isotropic local scale) to 1e-7,
+    round trip < 1e-9 deg, and transform_points routes it."""
+    import math
+
+    import numpy as np
+
+    from giga_spatial_spark.functions import lcc
+    from giga_spatial_spark.functions.crs import transform_points
+
+    x, y = lcc.forward(np.array([3.0]), np.array([46.5]))
+    assert abs(x[0] - 700000.0) < 1e-6 and abs(y[0] - 6600000.0) < 1e-6
+    # public external anchor: Paris (2.3522 E, 48.8566 N) in Lambert-93
+    x, y = lcc.forward(np.array([2.3522]), np.array([48.8566]))
+    assert abs(x[0] - 652469.02) < 0.01
+    assert abs(y[0] - 6862035.26) < 0.01
+    # k = 1 on both standard parallels (defining property of the conic)
+    for phi_d in (44.0, 49.0):
+        phi = math.radians(phi_d)
+        _, fy = lcc.forward(np.array([3.0]), np.array([phi_d]))
+        rho = lcc._RHO0 - (fy[0] - lcc.Y_0)
+        m = math.cos(phi) / math.sqrt(1 - lcc.E2 * math.sin(phi) ** 2)
+        assert abs(rho * lcc._N / (lcc.A_GRS80 * m) - 1) < 1e-12
+    rng = np.random.RandomState(0)
+    lon = rng.uniform(-5, 10, 5000)
+    lat = rng.uniform(41, 52, 5000)
+    fx, fy = transform_points(lon, lat, "EPSG:4326", "EPSG:2154")
+    lo2, la2 = transform_points(fx, fy, "EPSG:2154", "EPSG:4326")
+    assert np.abs(lo2 - lon).max() < 1e-9
+    assert np.abs(la2 - lat).max() < 1e-9
+    # conformality: meridian scale == parallel scale at a random point
+    d = 1e-6
+    x0, y0 = lcc.forward(np.array([5.0]), np.array([47.0]))
+    x1, y1 = lcc.forward(np.array([5.0 + d]), np.array([47.0]))
+    x2, y2 = lcc.forward(np.array([5.0]), np.array([47.0 + d]))
+    phi = math.radians(47.0)
+    a, e2 = lcc.A_GRS80, lcc.E2
+    m = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+    n = a / (1 - e2 * math.sin(phi) ** 2) ** 0.5
+    kp = math.hypot(x1[0] - x0[0], y1[0] - y0[0]) / (
+        n * math.cos(phi) * math.radians(d)
+    )
+    km = math.hypot(x2[0] - x0[0], y2[0] - y0[0]) / (m * math.radians(d))
+    assert abs(kp / km - 1) < 1e-7
+
+
+def test_lcc_geotiff_round_trip(spark, tmp_path):
+    """A GeoTIFF tagged EPSG:2154 decodes with pixel centers
+    inverse-projected through the ellipsoidal Lambert conformal conic."""
+    import numpy as np
+
+    from giga_spatial_spark.functions import lcc
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    vals = (np.arange(12, dtype=np.float64).reshape(3, 4) + 1.0)
+    x0, y1 = lcc.forward(np.array([2.3522]), np.array([48.8566]))
+    path = str(tmp_path / "lcc.tif")
+    write_tiff(path, vals, lon0=float(x0[0]), lat1=float(y1[0]),
+               dx=10000.0, dy=10000.0, crs="EPSG:2154")
+    pdf = tiff_pixel_table(spark, path).toPandas().sort_values(["py", "px"])
+    assert len(pdf) == 12
+    want_lon, want_lat = lcc.inverse(
+        np.array([float(x0[0]) + 5000.0]), np.array([float(y1[0]) - 5000.0])
+    )
+    top = pdf[(pdf.px == 0) & (pdf.py == 2)].iloc[0]
+    assert abs(top.lon - want_lon[0]) < 1e-12
+    assert abs(top.lat - want_lat[0]) < 1e-12

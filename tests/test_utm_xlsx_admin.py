@@ -185,8 +185,13 @@ def test_crs_transform_roundtrips():
     assert abs(x5[0] - 3.141592653589793 * 6378137.0) < 1e-3 and abs(y5[0]) < 1e-9
     import pytest as _p
 
+    # EPSG:2154 gained a from-scratch leg (functions/lcc) in round 5 —
+    # it must now round-trip rather than raise
+    fx, fy = transform_points([2.3522], [48.8566], "EPSG:4326", "EPSG:2154")
+    lo6, la6 = transform_points(fx, fy, "EPSG:2154", "EPSG:4326")
+    assert abs(lo6[0] - 2.3522) < 1e-9 and abs(la6[0] - 48.8566) < 1e-9
     with _p.raises(ValueError, match="unsupported crs"):
-        transform_points([0.0], [0.0], "EPSG:2154", "EPSG:4326")
+        transform_points([0.0], [0.0], "EPSG:27700", "EPSG:4326")
 
 
 def test_reproject_rings_dataframe(spark):
