@@ -1576,6 +1576,60 @@ def q_geotiff_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cog_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloud-optimized GeoTIFF sink + overview ingest (reference to_cog,
+    tif_processor.py:2079, rio-cogeo role): a deterministic raster is
+    written ONCE through write_cog (tiled, internal 2× nodata-aware
+    'average' overviews, COG byte layout: IFD chain up front, smallest
+    overview's tile data first), then overview LEVEL 1 is decoded
+    tile-parallel via tiff_pixel_table(level=1) and zonally aggregated.
+    The oracle replays the overview math itself in SQL — the explicit
+    ((a+b)+(c+d))/n block-average over the full-res formula grid
+    (downsample2_mean's documented operation order) — so the sink's
+    pyramid arithmetic, the IFD-chain walk, and the per-overview geo
+    tags are all under the hash. Aggregates use integer 1/40-units
+    (averages of n∈{1..4} tenth-valued pixels are exact multiples of
+    0.025) to stay inside the house centi-unit rounding envelope."""
+    import getpass
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from giga_spatial_spark.operators.raster import RasterMeta
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_cog
+
+    rmeta = RasterMeta()
+    params = (
+        f"cog_v1|w={rmeta.width}|h={rmeta.height}|lon0={rmeta.lon0!r}|"
+        f"lat1={rmeta.lat1!r}|dx={rmeta.dx!r}|dy={rmeta.dy!r}|"
+        "vals=(px*41+row*13+5)%983/10|nodata=(px*11+row*3)%31==0:-9999|ov=64"
+    )
+    key = hashlib.sha256(params.encode()).hexdigest()[:16]
+    path = f"/tmp/spark_graft_geotiff_{getpass.getuser()}/cog_{key}.tif"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        px = np.arange(rmeta.width)[None, :]
+        row = np.arange(rmeta.height)[:, None]  # row 0 = north edge
+        vals = ((px * 41 + row * 13 + 5) % 983) / 10.0
+        vals = np.where((px * 11 + row * 3) % 31 == 0, -9999.0, vals)
+        write_cog(
+            path + ".tmp", vals, lon0=rmeta.lon0, lat1=rmeta.lat1,
+            dx=rmeta.dx, dy=rmeta.dy, nodata=-9999.0,
+            min_overview_size=64,
+        )
+        os.replace(path + ".tmp", path)
+    pixels = tiff_pixel_table(spark, path, level=1)
+    valid = pixels.where(F.col("value").isNotNull())
+    matches = pip_join_rtree(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    return matches.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("px_count"),
+        F.sum(F.round(F.col("value") * 40).cast("bigint")).alias("v_sum40"),
+        F.min(F.round(F.col("value") * 40).cast("bigint")).alias("v_min40"),
+        F.max(F.round(F.col("value") * 40).cast("bigint")).alias("v_max40"),
+    )
+
+
 def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point sampling of the raster (reference tif_processor.py:958-1006):
     doc points → containing-pixel equi-join."""
@@ -2561,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geotiff_laea": q_geotiff_laea,
         "q_geotiff_albers": q_geotiff_albers,
         "q_geotiff_lcc": q_geotiff_lcc,
+        "q_cog_overview": q_cog_overview,
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
         "q_raster_merge": q_raster_merge,
@@ -3065,6 +3120,53 @@ def oracle_sql() -> dict[str, str]:
         "FROM m GROUP BY zone_id"
     )
 
+    # COG overview-1 oracle: replay the full-res formula grid and the
+    # EXPLICIT ((a+b)+(c+d))/n 2x2 block average (downsample2_mean's
+    # documented operation order — bit-identical doubles in both engines)
+    _rm = __import__(
+        "giga_spatial_spark.operators.raster", fromlist=["RasterMeta"]
+    ).RasterMeta()
+    _ow, _oh = _rm.width // 2, _rm.height // 2
+
+    def _cogf(px: str, row: str) -> str:
+        return (
+            f"(CASE WHEN (({px}) * 11 + ({row}) * 3) % 31 = 0 THEN NULL "
+            f"ELSE ((({px}) * 41 + ({row}) * 13 + 5) % 983) / 10.0 END)"
+        )
+
+    _oa = _cogf("2*c", "2*r")
+    _ob = _cogf("2*c+1", "2*r")
+    _oc = _cogf("2*c", "2*r+1")
+    _od = _cogf("2*c+1", "2*r+1")
+    _on = (
+        f"(({_oa} IS NOT NULL)::BIGINT + ({_ob} IS NOT NULL)::BIGINT + "
+        f"({_oc} IS NOT NULL)::BIGINT + ({_od} IS NOT NULL)::BIGINT)"
+    )
+    _os = (
+        f"((coalesce({_oa}, 0.0) + coalesce({_ob}, 0.0)) + "
+        f"(coalesce({_oc}, 0.0) + coalesce({_od}, 0.0)))"
+    )
+    cog_pip = " UNION ALL ".join(
+        f"SELECT {zid} AS zone_id, r.value FROM ovalid r WHERE "
+        + synth.convex_contains_sql(poly, "r.lon", "r.lat")
+        for zid, poly in sorted(ADMIN_POLYS.items())
+    )
+    cog_overview = (
+        f"WITH og AS (SELECT i % {_ow} AS c, i // {_ow} AS r "
+        f"FROM range({_ow * _oh}) t(i)), "
+        f"ov AS (SELECT CASE WHEN {_on} > 0 THEN {_os} / {_on} "
+        "ELSE NULL END AS value, "
+        f"({_rm.lon0!r} + (c + 0.5) * {2.0 * _rm.dx!r}) AS lon, "
+        f"({_rm.lat1!r} - (r + 0.5) * {2.0 * _rm.dy!r}) AS lat FROM og), "
+        "ovalid AS MATERIALIZED (SELECT * FROM ov WHERE value IS NOT NULL), "
+        f"m AS ({cog_pip}) "
+        "SELECT zone_id, count(*) AS px_count, "
+        "cast(sum(cast(round(value * 40, 0) as bigint)) as bigint) AS v_sum40, "
+        "min(cast(round(value * 40, 0) as bigint)) AS v_min40, "
+        "max(cast(round(value * 40, 0) as bigint)) AS v_max40 "
+        "FROM m GROUP BY zone_id"
+    )
+
     clon6, clat6 = cells.tile_center_sql(6, "tile_x", "tile_y")
     tile_member = " UNION ALL ".join(
         f"SELECT tile, {zid} AS zone_id FROM ctr WHERE "
@@ -3134,6 +3236,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_laea": laea_zonal,
         "q_geotiff_albers": albers_zonal,
         "q_geotiff_lcc": lcc_zonal,
+        "q_cog_overview": cog_overview,
         "q_h3_parent": (
             f"WITH h3f AS ({H3S.h3_cell_sql(docs, H3_FINE_RES)}) "
             f"SELECT ((h3_cell & {_H3_RES_MASK}) | {H3_PARENT_RES << 52} | {_H3_FILL}) "

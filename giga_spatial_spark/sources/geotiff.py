@@ -117,7 +117,46 @@ def read_tiff_meta(path: str) -> TiffMeta:
         ) from e
 
 
+def read_tiff_ifds(path: str) -> list[TiffMeta]:
+    """Walk the full IFD chain: [full-res, overview1, overview2, ...] for
+    COGs written by write_cog (each overview IFD carries its own scaled
+    geo tags, so every entry is a self-describing TiffMeta); single-IFD
+    files return a one-element list."""
+    metas = []
+    next_off = None
+    seen: set[int] = set()
+    while next_off != 0:
+        # a corrupt next-IFD pointer can form a cycle or an absurd chain;
+        # fail loudly instead of walking forever (fuzz posture)
+        if next_off is not None:
+            if next_off in seen or len(seen) >= 64:
+                raise ValueError(
+                    f"corrupt or unsupported TIFF {path!r}: IFD chain "
+                    "cycle or longer than 64 entries"
+                )
+            seen.add(next_off)
+        try:
+            meta, next_off = _read_tiff_meta_at(path, next_off)
+        except ValueError:
+            raise
+        except (KeyError, struct.error, TypeError, IndexError) as e:
+            raise ValueError(
+                f"corrupt or unsupported TIFF {path!r}: "
+                f"{type(e).__name__}: {e}"
+            ) from e
+        metas.append(meta)
+    return metas
+
+
 def _read_tiff_meta(path: str) -> TiffMeta:
+    return _read_tiff_meta_at(path, None)[0]
+
+
+def _read_tiff_meta_at(
+    path: str, ifd_off: int | None
+) -> tuple[TiffMeta, int]:
+    """Parse one IFD (``ifd_off=None`` → the first); returns the meta and
+    the file offset of the next IFD in the chain (0 = end)."""
     with open(path, "rb") as f:
         magic = f.read(4)
         if magic[:2] == b"II":
@@ -128,7 +167,8 @@ def _read_tiff_meta(path: str) -> TiffMeta:
             raise ValueError(f"not a TIFF: {path}")
         if struct.unpack(bo + "H", magic[2:4])[0] != 42:
             raise ValueError(f"not a classic TIFF: {path}")
-        (ifd_off,) = struct.unpack(bo + "I", f.read(4))
+        if ifd_off is None:
+            (ifd_off,) = struct.unpack(bo + "I", f.read(4))
         f.seek(ifd_off)
         (n_entries,) = struct.unpack(bo + "H", f.read(2))
         tags: dict[int, object] = {}
@@ -136,6 +176,7 @@ def _read_tiff_meta(path: str) -> TiffMeta:
             entry = f.read(12)
             tag, typ, count = struct.unpack(bo + "HHI", entry[:8])
             tags[tag] = _read_values(f, bo, typ, count, entry[8:12])
+        (next_off,) = struct.unpack(bo + "I", f.read(4))
 
         def one(tag, default=None):
             v = tags.get(tag, default)
@@ -196,7 +237,7 @@ def _read_tiff_meta(path: str) -> TiffMeta:
             tile_width=tile_w,
             tile_length=tile_l,
             crs=crs,
-        )
+        ), int(next_off)
 
 
 def decode_strip(meta: TiffMeta, strip_idx: int, buf: bytes) -> np.ndarray:
@@ -225,7 +266,7 @@ def decode_strip(meta: TiffMeta, strip_idx: int, buf: bytes) -> np.ndarray:
 
 
 def tiff_pixel_table(
-    spark: SparkSession, path: str, band: int = 1
+    spark: SparkSession, path: str, band: int = 1, level: int = 0
 ) -> DataFrame:
     """GeoTIFF → pixel table (band, px, py, lon, lat, value): IFD parsed
     once on the driver, strips decoded in parallel on executors (each task
@@ -236,7 +277,18 @@ def tiff_pixel_table(
         DoubleType, IntegerType, LongType, StructField, StructType,
     )
 
-    meta = read_tiff_meta(path)
+    if level == 0:
+        meta = read_tiff_meta(path)
+    else:
+        # COG overview selection: IFD chain walked once on the driver;
+        # each overview IFD carries its own scaled geo tags
+        ifds = read_tiff_ifds(path)
+        if level >= len(ifds):
+            raise ValueError(
+                f"overview level {level} not present — {path!r} has "
+                f"{len(ifds)} IFD(s) (level 0..{len(ifds) - 1})"
+            )
+        meta = ifds[level]
     if meta.crs not in (
         "EPSG:4326", "ESRI:54009", "EPSG:3857", "EPSG:3035", "EPSG:5070",
         "EPSG:2154",
@@ -496,4 +548,194 @@ def write_tiff(
             f.write(blob)
         for s in strips:
             f.write(s)
+    return path
+
+
+def downsample2_mean(arr: np.ndarray, nodata: float | None) -> np.ndarray:
+    """Nodata-aware 2× average reduction (GDAL 'average' overview
+    semantics) with an EXPLICIT summation order — ((a+b)+(c+d))/n over
+    each 2×2 block — so a SQL oracle can replay it bit-for-bit. 2-d
+    (h, w) or 3-d (h, w, bands); odd edges are treated as
+    partially-valid blocks (mean of the present pixels)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    h, w, spp = arr.shape
+    H, W = (h + 1) // 2, (w + 1) // 2
+    fill = nodata if nodata is not None else np.nan
+    padded = np.full((2 * H, 2 * W, spp), fill, dtype=np.float64)
+    padded[:h, :w] = arr
+    a = padded[0::2, 0::2]
+    b = padded[0::2, 1::2]
+    c = padded[1::2, 0::2]
+    d = padded[1::2, 1::2]
+    if nodata is not None:
+        va, vb = a != nodata, b != nodata
+        vc, vd = c != nodata, d != nodata
+    else:
+        va, vb = ~np.isnan(a), ~np.isnan(b)
+        vc, vd = ~np.isnan(c), ~np.isnan(d)
+    s = (np.where(va, a, 0.0) + np.where(vb, b, 0.0)) + (
+        np.where(vc, c, 0.0) + np.where(vd, d, 0.0)
+    )
+    n = (
+        va.astype(np.int64) + vb.astype(np.int64)
+        + vc.astype(np.int64) + vd.astype(np.int64)
+    )
+    out = np.where(n > 0, s / np.maximum(n, 1), fill)
+    return out[:, :, 0] if squeeze else out
+
+
+def write_cog(
+    path: str,
+    array: np.ndarray,
+    lon0: float,
+    lat1: float,
+    dx: float,
+    dy: float,
+    nodata: float | None = None,
+    tile_size: tuple[int, int] = (256, 256),
+    compression: int = 8,
+    crs: str | None = None,
+    min_overview_size: int = 256,
+) -> str:
+    """Cloud-optimized GeoTIFF writer — the reference's to_cog sink
+    (gigaspatial/handlers/tif_processor.py:2079, rio-cogeo role) from
+    scratch: tiled layout, internal 2× 'average' overviews down to
+    min_overview_size, and the COG byte layout (header → full IFD chain →
+    tag values → tile data with the SMALLEST overview first and the
+    full-resolution level last, so a range-reader renders a preview from
+    a short prefix). Every overview IFD carries NewSubfileType=1 plus its
+    own scaled geo tags, so read_tiff_ifds / tiff_pixel_table(level=k)
+    treat each level as a self-describing raster. float64 samples, 2-d
+    single band or 3-d (h, w, bands) chunky interleave, like write_tiff.
+    """
+    arr = np.ascontiguousarray(array, dtype="<f8")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    tw, tl = tile_size
+
+    # --- overview pyramid (nodata-aware 2x average) ---
+    levels: list[dict] = []
+    cur, cdx, cdy = arr, float(dx), float(dy)
+    while True:
+        levels.append({"arr": cur, "dx": cdx, "dy": cdy})
+        h, w = cur.shape[:2]
+        if max(h, w) <= min_overview_size:
+            break
+        cur = downsample2_mean(cur, nodata)
+        if cur.ndim == 2:
+            cur = cur[:, :, None]
+        cdx, cdy = cdx * 2.0, cdy * 2.0
+
+    # --- per-level tiles + IFD entries ---
+    for lv_i, lv in enumerate(levels):
+        a = lv["arr"]
+        height, width, spp = a.shape
+        tiles = []
+        for r0 in range(0, height, tl):
+            for c0 in range(0, width, tw):
+                tile = np.full(
+                    (tl, tw, spp),
+                    nodata if nodata is not None else 0.0,
+                    dtype="<f8",
+                )
+                block = a[r0 : r0 + tl, c0 : c0 + tw]
+                tile[: block.shape[0], : block.shape[1]] = block
+                raw = tile.tobytes()
+                tiles.append(zlib.compress(raw) if compression == 8 else raw)
+        entries = []
+        if lv_i > 0:
+            entries.append((254, 4, [1]))  # NewSubfileType: reduced-res
+        entries.append((256, 4, [width]))
+        entries.append((257, 4, [height]))
+        entries.append((258, 3, [64] * spp))
+        entries.append((259, 3, [compression if compression == 8 else 1]))
+        entries.append((262, 3, [1]))
+        entries.append((277, 3, [spp]))
+        entries.append((284, 3, [1]))
+        entries.append((322, 4, [tw]))
+        entries.append((323, 4, [tl]))
+        entries.append((324, 4, [0] * len(tiles)))  # patched after layout
+        entries.append((325, 4, [len(t) for t in tiles]))
+        entries.append((339, 3, [3] * spp))
+        entries.append((33550, 12, [lv["dx"], lv["dy"], 0.0]))
+        entries.append((33922, 12, [0.0, 0.0, 0.0, lon0, lat1, 0.0]))
+        if crs is not None:
+            if crs == "ESRI:54009":
+                keys = [(1024, 0, 1, 1), (3072, 0, 1, 54009)]
+            elif crs.upper() == "EPSG:4326":
+                keys = [(1024, 0, 1, 2), (2048, 0, 1, 4326)]
+            elif crs.upper().startswith("EPSG:"):
+                keys = [(1024, 0, 1, 1), (3072, 0, 1, int(crs.split(":")[1]))]
+            else:
+                raise ValueError(f"unsupported crs {crs!r}")
+            shorts = [1, 1, 0, len(keys)]
+            for row in keys:
+                shorts.extend(row)
+            entries.append((34735, 3, shorts))
+        if nodata is not None:
+            nd = (repr(float(nodata)) + "\x00").encode("ascii")
+            entries.append((42113, 2, nd))
+        entries.sort(key=lambda e: e[0])
+        lv["tiles"] = tiles
+        lv["entries"] = entries
+
+    # --- layout: header | IFD chain | tag blobs | tile data (smallest
+    # overview first, full-res last — the COG convention) ---
+    def packed(typ, values):
+        if typ == 2:
+            return values
+        return struct.pack(f"<{len(values)}{_TYPE_FMT[typ]}", *values)
+
+    cursor = 8
+    for lv in levels:
+        lv["ifd_off"] = cursor
+        cursor += 2 + 12 * len(lv["entries"]) + 4
+    for lv in levels:
+        blob_offs = {}
+        for tag, typ, values in lv["entries"]:
+            data = packed(typ, values)
+            if len(data) > 4:
+                blob_offs[tag] = cursor
+                cursor += len(data)
+        lv["blob_offs"] = blob_offs
+    for lv in reversed(levels):
+        offs = []
+        for t in lv["tiles"]:
+            offs.append(cursor)
+            cursor += len(t)
+        lv["tile_offs"] = offs
+        # patch the 324 entry with real offsets
+        lv["entries"] = [
+            (tag, typ, offs if tag == 324 else values)
+            for tag, typ, values in lv["entries"]
+        ]
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, levels[0]["ifd_off"]))
+        for i, lv in enumerate(levels):
+            assert f.tell() == lv["ifd_off"]
+            f.write(struct.pack("<H", len(lv["entries"])))
+            for tag, typ, values in lv["entries"]:
+                data = packed(typ, values)
+                count = len(values)
+                f.write(struct.pack("<HHI", tag, typ, count))
+                if len(data) > 4:
+                    f.write(struct.pack("<I", lv["blob_offs"][tag]))
+                else:
+                    f.write(data.ljust(4, b"\x00"))
+            nxt = levels[i + 1]["ifd_off"] if i + 1 < len(levels) else 0
+            f.write(struct.pack("<I", nxt))
+        for lv in levels:
+            for tag, typ, values in lv["entries"]:
+                data = packed(typ, values)
+                if len(data) > 4:
+                    assert f.tell() == lv["blob_offs"][tag], (tag,)
+                    f.write(data)
+        for lv in reversed(levels):
+            assert f.tell() == lv["tile_offs"][0]
+            for t in lv["tiles"]:
+                f.write(t)
     return path

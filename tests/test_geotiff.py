@@ -206,8 +206,9 @@ def test_unsupported_crs_raises(spark, tmp_path):
 
     from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
 
-    p = str(tmp_path / "lcc.tif")
-    write_tiff(p, np.ones((2, 2)), lon0=0, lat1=1, dx=1, dy=1, crs="EPSG:2154")
+    # EPSG:2154 gained a real leg in round 5; 27700 (OSGB) has none
+    p = str(tmp_path / "osgb.tif")
+    write_tiff(p, np.ones((2, 2)), lon0=0, lat1=1, dx=1, dy=1, crs="EPSG:27700")
     with _pytest.raises(ValueError, match="unsupported raster CRS"):
         tiff_pixel_table(spark, p)
 
@@ -431,3 +432,96 @@ def test_lcc_geotiff_round_trip(spark, tmp_path):
     top = pdf[(pdf.px == 0) & (pdf.py == 2)].iloc[0]
     assert abs(top.lon - want_lon[0]) < 1e-12
     assert abs(top.lat - want_lat[0]) < 1e-12
+
+
+def test_write_cog_structure_and_overviews(spark, tmp_path):
+    """write_cog emits a structurally valid COG: full IFD chain up front
+    (header → IFDs → tag values → tile data), overview IFDs flagged
+    reduced-resolution with their own scaled geo tags, tile data ordered
+    smallest-overview-first / full-res-last, every level's pixels exact
+    (level 0 bit-identical to the input; each overview equal to the
+    nodata-aware ((a+b)+(c+d))/n block average of the previous level),
+    and tiff_pixel_table(level=k) decoding any level tile-parallel."""
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import (
+        downsample2_mean,
+        read_tiff_ifds,
+        tiff_pixel_table,
+        write_cog,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.uniform(0, 99, (300, 420)), 1)
+    vals[rng.uniform(size=vals.shape) < 0.15] = -9999.0
+    path = str(tmp_path / "cog.tif")
+    write_cog(path, vals, lon0=-10.0, lat1=20.0, dx=0.05, dy=0.05,
+              nodata=-9999.0, crs="EPSG:4326", min_overview_size=64,
+              tile_size=(128, 128))
+    ifds = read_tiff_ifds(path)
+    # pyramid: 420x300 -> 210x150 -> 105x75 -> 53x38 (<=64 stops)
+    assert [(m.width, m.height) for m in ifds] == [
+        (420, 300), (210, 150), (105, 75), (53, 38)]
+    assert all(m.tile_width == 128 for m in ifds)
+    assert all(m.crs == "EPSG:4326" and m.nodata == -9999.0 for m in ifds)
+    # overview geo tags: same top-left corner, doubled pixel size
+    for k, m in enumerate(ifds):
+        assert m.dx == 0.05 * 2 ** k and m.lon0 == -10.0 and m.lat1 == 20.0
+    # COG layout: all IFDs + tag blobs before any tile data; smallest
+    # overview's tile data first, full-res last
+    first_data = min(min(m.strip_offsets) for m in ifds)
+    import os
+    assert first_data > 8 and min(ifds[-1].strip_offsets) == first_data
+    assert max(
+        off + cnt
+        for off, cnt in zip(ifds[0].strip_offsets, ifds[0].strip_byte_counts)
+    ) == os.path.getsize(path)
+    # pixel exactness per level via the Spark pixel table
+    want = vals.astype(np.float64)
+    for k, m in enumerate(ifds):
+        pdf = tiff_pixel_table(spark, path, level=k).toPandas()
+        assert len(pdf) == m.width * m.height
+        got = np.full((m.height, m.width), np.nan)
+        rows = (m.height - 1 - pdf.py.values).astype(int)
+        got[rows, pdf.px.values.astype(int)] = pdf.value.values
+        masked = np.where(want == -9999.0, np.nan, want)
+        assert np.array_equal(got, masked, equal_nan=True), k
+        if k + 1 <= len(ifds) - 1:
+            want = downsample2_mean(want, -9999.0)
+    # asking past the chain raises the clear error
+    import pytest as _p
+
+    with _p.raises(ValueError, match="overview level"):
+        tiff_pixel_table(spark, path, level=len(ifds))
+
+
+def test_write_cog_fuzz_corruption(tmp_path):
+    """Truncations and random single-byte flips of a COG fail only with
+    the normalized ValueError (read_tiff_meta fuzz pattern) — the IFD
+    chain walk never surfaces opaque struct/Key/Index errors."""
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import read_tiff_ifds, write_cog
+
+    vals = np.arange(80 * 60, dtype=np.float64).reshape(60, 80)
+    path = str(tmp_path / "cog_fuzz.tif")
+    write_cog(path, vals, lon0=0.0, lat1=10.0, dx=0.1, dy=0.1,
+              min_overview_size=32, tile_size=(32, 32))
+    data = open(path, "rb").read()
+    rng = np.random.RandomState(0)
+    for cut in [7, 20, 120, len(data) // 2]:
+        p2 = str(tmp_path / "cut.tif")
+        open(p2, "wb").write(data[:cut])
+        try:
+            read_tiff_ifds(p2)
+        except ValueError:
+            pass
+    for _ in range(48):
+        b = bytearray(data)
+        b[rng.randint(min(len(b), 4000))] = rng.randint(256)
+        p3 = str(tmp_path / "flip.tif")
+        open(p3, "wb").write(bytes(b))
+        try:
+            read_tiff_ifds(p3)
+        except ValueError:
+            pass
