@@ -112,6 +112,35 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_custom_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation CALLABLE per zone (reference sample_by_polygons
+    stat=callable, tif_processor.py:1029-1046): an arbitrary Python
+    np.ndarray->float function — here the 25th percentile — runs as an
+    applyInPandas grouped kernel (zonal.aggregate_custom_stat). The
+    oracle replays it with DuckDB's quantile_cont(0.25): n_chars is an
+    integer domain and linear quantile interpolation lands on exact
+    quarter fractions, compared in rounded 1/100-units to absorb the
+    a+(b-a)*f vs (1-f)a+fb formulation ulp."""
+    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat", "n_chars")
+    zones_dim = spark.createDataFrame(
+        [(zid,) for zid in sorted(ADMIN_POLYS)], "zone_id int"
+    )
+    matches = pip_join_native(pts, ADMIN_POLYS, zoom=PIP_ZOOM)
+
+    def p25(v):
+        import numpy as np
+
+        return float(np.percentile(v, 25))
+
+    out = zonal.aggregate_custom_stat(
+        matches, zones_dim, p25, value_col="n_chars", out_col="n_p25"
+    )
+    return out.select(
+        "zone_id",
+        (F.round(F.col("n_p25") * 100).cast("bigint")).alias("n_p25_c"),
+    )
+
+
 def q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest facility per document (reference poi.py:287-391), broadcast
     numpy kernel, haversine parity with geo.py:561-581."""
@@ -2580,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_tag_rtree": q_pip_tag_rtree,
         "q_zonal_count": q_zonal_count,
         "q_zonal_stats": q_zonal_stats,
+        "q_custom_agg": q_custom_agg,
         "q_knn_nearest": q_knn_nearest,
         "q_knn_grid": q_knn_grid,
         "q_hex_ring": q_hex_ring,
@@ -2772,6 +2802,13 @@ def oracle_sql() -> dict[str, str]:
         "FROM pip GROUP BY zone_id) "
         "SELECT z.zone_id, coalesce(a.n_count, 0) AS n_count, a.n_sum, a.n_max, a.n_median "
         "FROM z LEFT JOIN a USING (zone_id)"
+    )
+
+    custom_agg = (
+        f"WITH pip AS ({pip}), z(zone_id) AS (VALUES {zone_ids}), "
+        "a AS (SELECT zone_id, cast(round(quantile_cont(n_chars, 0.25) "
+        "* 100, 0) as bigint) AS n_p25_c FROM pip GROUP BY zone_id) "
+        "SELECT z.zone_id, a.n_p25_c FROM z LEFT JOIN a USING (zone_id)"
     )
 
     cents = ", ".join(
@@ -3450,6 +3487,7 @@ FROM m""",
             "USING (zone_id)"
         ),
         "q_zonal_stats": zonal_stats,
+        "q_custom_agg": custom_agg,
         "q_knn_nearest": knn,
         "q_knn_grid": knn,
         "q_hex_ring": hex_ring,
