@@ -1605,6 +1605,85 @@ def q_geotiff_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSTOM_CRS_PARAMS = {
+    "ct": 11,  # Albers equal-area conic, user-defined parameters
+    "sp1": -30.0, "sp2": 5.0, "lat0": -10.0, "lon0": -80.0,
+    "x0": 1500000.0, "y0": 2500000.0,
+}
+CUS_W, CUS_H, CUS_DX = 160, 120, 52000.0
+
+
+def _custom_crs_anchor() -> tuple[float, float]:
+    """Top-left (x0, y1) of the user-defined-CRS fixture grid: centered
+    on the joint meter-space bbox of zones 2/8/9 under the CUSTOM Albers
+    parameters (no EPSG code names them)."""
+    import numpy as np
+
+    from giga_spatial_spark.functions.crs import projection_from_params
+
+    pj = projection_from_params(CUSTOM_CRS_PARAMS)
+    xs, ys = [], []
+    for zid in (2, 8, 9):
+        arr = np.asarray(ADMIN_POLYS[zid], dtype=np.float64)
+        x, y = pj.forward(arr[:, 0], arr[:, 1])
+        xs.append(x)
+        ys.append(y)
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    cx = (float(x.min()) + float(x.max())) / 2.0
+    cy = (float(y.min()) + float(y.max())) / 2.0
+    return (cx - CUS_W / 2 * CUS_DX, cy + CUS_H / 2 * CUS_DX)
+
+
+def q_geotiff_custom_crs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-DEFINED projection ingest — the reference accepts ANY
+    rasterio CRS (tif_processor.py), including rasters whose GeoTIFF
+    GeoKeys carry ProjectedCSTypeGeoKey=32767 + explicit parameters
+    rather than an EPSG code. A fixture tagged with a custom Albers
+    (southern-hemisphere standard parallels no EPSG code names) is
+    written with GeoKeyDirectory + GeoDoubleParams, the reader rebuilds
+    the parameterized conic (crs.projection_from_params → AlbersConic),
+    and pixel centers inverse-project through it strip-parallel. The
+    oracle replays the SAME instance's inverse_sql — parameter coverage,
+    not a fixed code registry, is what is hash-checked."""
+    import getpass
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    x0, y1 = _custom_crs_anchor()
+    params = (
+        f"customcrs_v1|{sorted(CUSTOM_CRS_PARAMS.items())!r}|w={CUS_W}|"
+        f"h={CUS_H}|x0={x0!r}|y1={y1!r}|dx={CUS_DX!r}|"
+        "vals=(px*43+py*29+13)%941/10|nodata=(px*13+py*7)%37==0:-9999"
+    )
+    key = hashlib.sha256(params.encode()).hexdigest()[:16]
+    path = f"/tmp/spark_graft_geotiff_{getpass.getuser()}/customcrs_{key}.tif"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        px = np.arange(CUS_W)[None, :]
+        row = np.arange(CUS_H)[:, None]
+        vals = ((px * 43 + row * 29 + 13) % 941) / 10.0
+        vals = np.where((px * 13 + row * 7) % 37 == 0, -9999.0, vals)
+        write_tiff(
+            path + ".tmp", vals, lon0=x0, lat1=y1, dx=CUS_DX, dy=CUS_DX,
+            nodata=-9999.0, crs=CUSTOM_CRS_PARAMS,
+        )
+        os.replace(path + ".tmp", path)
+    pixels = tiff_pixel_table(spark, path)
+    valid = pixels.where(F.col("value").isNotNull())
+    matches = pip_join_rtree(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    return matches.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("px_count"),
+        (F.sum(F.round(F.col("value") * 10).cast("bigint")) / 10.0).alias("v_sum"),
+        F.round(F.min("value"), 1).alias("v_min"),
+        F.round(F.max("value"), 1).alias("v_max"),
+    )
+
+
 def q_cog_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cloud-optimized GeoTIFF sink + overview ingest (reference to_cog,
     tif_processor.py:2079, rio-cogeo role): a deterministic raster is
@@ -2646,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geotiff_albers": q_geotiff_albers,
         "q_geotiff_lcc": q_geotiff_lcc,
         "q_cog_overview": q_cog_overview,
+        "q_geotiff_custom_crs": q_geotiff_custom_crs,
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
         "q_raster_merge": q_raster_merge,
@@ -3157,6 +3237,33 @@ def oracle_sql() -> dict[str, str]:
         "FROM m GROUP BY zone_id"
     )
 
+    from giga_spatial_spark.functions.crs import projection_from_params as _pfp
+
+    _cpj = _pfp(CUSTOM_CRS_PARAMS)
+    ux0, uy1 = _custom_crs_anchor()
+    ux_sql = f"({ux0!r} + ((i % {CUS_W}) + 0.5) * {CUS_DX!r})"
+    uy_sql = f"({uy1!r} - ((i // {CUS_W}) + 0.5) * {CUS_DX!r})"
+    ulon_sql, ulat_sql = _cpj.inverse_sql(ux_sql, uy_sql)
+    cus_val = (
+        f"CASE WHEN ((i % {CUS_W}) * 13 + (i // {CUS_W}) * 7) % 37 = 0 "
+        f"THEN NULL ELSE (((i % {CUS_W}) * 43 + (i // {CUS_W}) * 29 + 13) % 941) / 10.0 END"
+    )
+    cus_pip = " UNION ALL ".join(
+        f"SELECT {zid} AS zone_id, r.value FROM uvalid r WHERE "
+        + synth.convex_contains_sql(poly, "r.lon", "r.lat")
+        for zid, poly in sorted(ADMIN_POLYS.items())
+    )
+    custom_crs_zonal = (
+        f"WITH uraster AS (SELECT {cus_val} AS value, {ulon_sql} AS lon, "
+        f"{ulat_sql} AS lat FROM range({CUS_W * CUS_H}) t(i)), "
+        "uvalid AS MATERIALIZED (SELECT * FROM uraster WHERE value IS NOT NULL), "
+        f"m AS ({cus_pip}) "
+        "SELECT zone_id, count(*) AS px_count, "
+        "sum(cast(round(value * 10, 0) as bigint)) / 10.0 AS v_sum, "
+        "round(min(value), 1) AS v_min, round(max(value), 1) AS v_max "
+        "FROM m GROUP BY zone_id"
+    )
+
     # COG overview-1 oracle: replay the full-res formula grid and the
     # EXPLICIT ((a+b)+(c+d))/n 2x2 block average (downsample2_mean's
     # documented operation order — bit-identical doubles in both engines)
@@ -3274,6 +3381,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_albers": albers_zonal,
         "q_geotiff_lcc": lcc_zonal,
         "q_cog_overview": cog_overview,
+        "q_geotiff_custom_crs": custom_crs_zonal,
         "q_h3_parent": (
             f"WITH h3f AS ({H3S.h3_cell_sql(docs, H3_FINE_RES)}) "
             f"SELECT ((h3_cell & {_H3_RES_MASK}) | {H3_PARENT_RES << 52} | {_H3_FILL}) "

@@ -1,17 +1,18 @@
-"""Albers equal-area conic, ellipsoidal — EPSG:5070 — from scratch.
+"""Albers equal-area conic, ellipsoidal, ANY parameters — from scratch.
 
 EPSG:5070 (NAD83 / Conus Albers: lat_1=29.5, lat_2=45.5, lat_0=23,
 lon_0=-96, x_0=y_0=0 on GRS80) is the standard grid of US-wide public
-rasters (NLCD, LANDFIRE, cropland data layers) — with EPSG:3035 LAEA
-covered last commit, it is the most common projected raster CRS the
-reference's flows meet that the engine still refused
-(gigaspatial/handlers/tif_processor.py accepts any rasterio CRS). No
-projection library exists in this container, so this implements the
-published ellipsoidal Albers equations (Snyder 1987, "Map Projections —
-A Working Manual", pp.98-103, eqs 14-1..14-21) directly — the same
-from-scratch pattern as functions/laea.py, with which it shares the
-authalic-q machinery (Snyder 3-12) and the authalic→geodetic series
-(3-18, sub-µm on GRS80).
+rasters (NLCD, LANDFIRE, cropland data layers) and is this module's
+default instance; `AlbersConic` takes arbitrary standard parallels /
+origin / false origin / ellipsoid, which is how user-defined GeoTIFF
+GeoKeys (ProjCoordTransGeoKey 11) are ingested — the reference accepts
+any rasterio CRS (gigaspatial/handlers/tif_processor.py), so parameter
+coverage, not a fixed code list, is the parity target. No projection
+library exists in this container; this implements the published
+ellipsoidal Albers equations (Snyder 1987, "Map Projections — A Working
+Manual", pp.98-103, eqs 14-1..14-21) directly — the same from-scratch
+pattern as functions/laea.py, sharing the authalic-q machinery
+(Snyder 3-12 / 3-18, sub-µm on GRS80) via functions/ellipsoid.py:
 
   forward: n from the two standard parallels' (m, q), C = m1² + n·q1,
            ρ = a·√(C − n·q)/n, θ = n·(λ − λ0)
@@ -28,86 +29,134 @@ import math
 
 import numpy as np
 
-from .laea import A_GRS80, E2, _C2, _C4, _C6, _q, _QP
+from .ellipsoid import (
+    A_GRS80,
+    E2_GRS80,
+    authalic_coeffs,
+    m_parallel,
+    q_authalic,
+    sql_double,
+)
 
-PHI_1 = math.radians(29.5)
-PHI_2 = math.radians(45.5)
-LAT_0 = math.radians(23.0)
-LON_0 = math.radians(-96.0)
-X_0 = 0.0
-Y_0 = 0.0
-
-
-def _m(phi: float) -> float:
-    """Snyder (14-15): m = cos φ / √(1 − e² sin²φ)."""
-    return math.cos(phi) / math.sqrt(1.0 - E2 * math.sin(phi) ** 2)
+E2 = E2_GRS80  # back-compat re-export (tests reference albers.E2)
 
 
-_M1 = _m(PHI_1)
-_M2 = _m(PHI_2)
-_Q0 = float(_q(np.array(math.sin(LAT_0))))
-_Q1 = float(_q(np.array(math.sin(PHI_1))))
-_Q2 = float(_q(np.array(math.sin(PHI_2))))
-_N = (_M1 * _M1 - _M2 * _M2) / (_Q2 - _Q1)  # Snyder (14-14)
-_C = _M1 * _M1 + _N * _Q1  # Snyder (14-13)
-_RHO0 = A_GRS80 * math.sqrt(_C - _N * _Q0) / _N  # Snyder (14-12a)
+class AlbersConic:
+    """Ellipsoidal Albers equal-area conic with arbitrary parameters.
+
+    Degrees in, meters out; n > 0 (northern-opening cone) and n < 0 both
+    supported — θ recovery uses sign-adjusted atan2 per Snyder p.102."""
+
+    def __init__(
+        self,
+        phi1_deg: float,
+        phi2_deg: float,
+        lat0_deg: float,
+        lon0_deg: float,
+        x0: float = 0.0,
+        y0: float = 0.0,
+        a: float = A_GRS80,
+        e2: float = E2_GRS80,
+    ):
+        if abs(phi1_deg + phi2_deg) < 1e-12:
+            raise ValueError(
+                "Albers standard parallels must not be symmetric about "
+                "the equator (n = 0 degenerates the cone)"
+            )
+        self.a, self.e2 = float(a), float(e2)
+        self.phi1 = math.radians(phi1_deg)
+        self.phi2 = math.radians(phi2_deg)
+        self.lat0 = math.radians(lat0_deg)
+        self.lon0 = math.radians(lon0_deg)
+        self.x0, self.y0 = float(x0), float(y0)
+        self.qp = float(q_authalic(np.array(1.0), self.e2))
+        m1 = m_parallel(self.phi1, self.e2)
+        m2 = m_parallel(self.phi2, self.e2)
+        q0 = float(q_authalic(np.array(math.sin(self.lat0)), self.e2))
+        q1 = float(q_authalic(np.array(math.sin(self.phi1)), self.e2))
+        q2 = float(q_authalic(np.array(math.sin(self.phi2)), self.e2))
+        if abs(self.phi1 - self.phi2) < 1e-12:
+            self.n = math.sin(self.phi1)  # 1-SP limit (Snyder 14-14 note)
+        else:
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)  # Snyder (14-14)
+        self.C = m1 * m1 + self.n * q1  # Snyder (14-13)
+        self.rho0 = self.a * math.sqrt(self.C - self.n * q0) / self.n
+        self.c2, self.c4, self.c6 = authalic_coeffs(self.e2)
+
+    def forward(self, lon_deg, lat_deg):
+        """(lon, lat) degrees → projected (x, y) meters. Vectorized."""
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        # wrap Δλ to (-π, π] so the cone seam sits opposite lon_0
+        dl = np.remainder(lam - self.lon0 + math.pi, 2.0 * math.pi) - math.pi
+        theta = self.n * dl  # Snyder (14-4)
+        rho = (
+            self.a
+            * np.sqrt(
+                np.maximum(self.C - self.n * q_authalic(np.sin(phi), self.e2), 0.0)
+            )
+            / self.n
+        )  # Snyder (14-12)
+        x = rho * np.sin(theta) + self.x0
+        y = self.rho0 - rho * np.cos(theta) + self.y0
+        return x, y
+
+    def inverse(self, x, y):
+        """Projected (x, y) meters → (lon, lat) degrees. Closed form +
+        published authalic series; vectorized."""
+        xs = np.asarray(x, dtype=np.float64) - self.x0
+        ys = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = sgn * np.sqrt(xs * xs + ys * ys)
+        theta = np.arctan2(sgn * xs, sgn * ys)  # Snyder p.102 sign rule
+        qv = (self.C - (rho * self.n / self.a) ** 2) / self.n  # (14-19)
+        beta = np.arcsin(np.clip(qv / self.qp, -1.0, 1.0))
+        phi = (
+            beta
+            + self.c2 * np.sin(2.0 * beta)
+            + self.c4 * np.sin(4.0 * beta)
+            + self.c6 * np.sin(6.0 * beta)
+        )
+        lam = self.lon0 + theta / self.n  # Snyder (14-9)
+        return np.degrees(lam), np.degrees(phi)
+
+    def inverse_sql(self, x_sql: str, y_sql: str) -> tuple[str, str]:
+        """(lon_sql, lat_sql) DuckDB twins of ``inverse`` — identical
+        operation order, trig-ulp equivalence (laea.inverse_sql
+        pattern)."""
+        d = sql_double
+        sgn = 1.0 if self.n >= 0 else -1.0
+        xs = f"(({x_sql}) - {d(self.x0)})"
+        ys = f"({d(self.rho0)} - (({y_sql}) - {d(self.y0)}))"
+        rho = f"({d(sgn)} * sqrt({xs}*{xs} + {ys}*{ys}))"
+        theta = f"atan2({d(sgn)} * {xs}, {d(sgn)} * {ys})"
+        rn = f"({rho} * {d(self.n)} / {d(self.a)})"
+        qv = f"(({d(self.C)} - {rn} * {rn}) / {d(self.n)})"
+        beta = f"asin(least(greatest({qv} / {d(self.qp)}, -1.0), 1.0))"
+        phi = (
+            f"({beta} + {d(self.c2)} * sin(2.0 * {beta}) + "
+            f"{d(self.c4)} * sin(4.0 * {beta})"
+            f" + {d(self.c6)} * sin(6.0 * {beta}))"
+        )
+        lam = f"({d(self.lon0)} + {theta} / {d(self.n)})"
+        return f"degrees({lam})", f"degrees({phi})"
 
 
-def forward(lon_deg, lat_deg):
-    """(lon, lat) degrees → EPSG:5070 (x, y) meters. Vectorized."""
-    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    # wrap Δλ to (-π, π] so the cone seam sits opposite lon_0
-    dl = np.remainder(lam - LON_0 + math.pi, 2.0 * math.pi) - math.pi
-    theta = _N * dl  # Snyder (14-4)
-    rho = (
-        A_GRS80
-        * np.sqrt(np.maximum(_C - _N * _q(np.sin(phi)), 0.0))
-        / _N
-    )  # Snyder (14-12)
-    x = rho * np.sin(theta) + X_0
-    y = _RHO0 - rho * np.cos(theta) + Y_0
-    return x, y
+# canonical EPSG:5070 instance + module-level API (house convention:
+# laea.py/mollweide.py expose plain functions; oracles interpolate the
+# same instance constants both here and in the SQL twins)
+_EPSG_5070 = AlbersConic(29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
 
+PHI_1, PHI_2 = _EPSG_5070.phi1, _EPSG_5070.phi2
+LAT_0, LON_0 = _EPSG_5070.lat0, _EPSG_5070.lon0
+X_0, Y_0 = _EPSG_5070.x0, _EPSG_5070.y0
+_N, _C, _RHO0, _QP = (
+    _EPSG_5070.n,
+    _EPSG_5070.C,
+    _EPSG_5070.rho0,
+    _EPSG_5070.qp,
+)
 
-def inverse(x, y):
-    """EPSG:5070 (x, y) meters → (lon, lat) degrees. Closed form +
-    published authalic series; vectorized."""
-    xs = np.asarray(x, dtype=np.float64) - X_0
-    ys = _RHO0 - (np.asarray(y, dtype=np.float64) - Y_0)
-    rho = np.sqrt(xs * xs + ys * ys)
-    theta = np.arctan2(xs, ys)  # n > 0 for 5070
-    qv = (_C - (rho * _N / A_GRS80) ** 2) / _N  # Snyder (14-19)
-    beta = np.arcsin(np.clip(qv / _QP, -1.0, 1.0))
-    phi = (
-        beta
-        + _C2 * np.sin(2.0 * beta)
-        + _C4 * np.sin(4.0 * beta)
-        + _C6 * np.sin(6.0 * beta)
-    )
-    lam = LON_0 + theta / _N  # Snyder (14-9)
-    return np.degrees(lam), np.degrees(phi)
-
-
-def inverse_sql(x_sql: str, y_sql: str) -> tuple[str, str]:
-    """(lon_sql, lat_sql) DuckDB twins of ``inverse`` — identical
-    operation order, trig-ulp equivalence (laea.inverse_sql pattern)."""
-
-    def d(v: float) -> str:
-        # ::DOUBLE — DuckDB types long bare decimal literals as DECIMAL
-        # and overflows its 38-digit scale in chained multiplications
-        return f"{v!r}::DOUBLE"
-
-    xs = f"(({x_sql}) - {d(X_0)})"
-    ys = f"({d(_RHO0)} - (({y_sql}) - {d(Y_0)}))"
-    rho = f"sqrt({xs}*{xs} + {ys}*{ys})"
-    theta = f"atan2({xs}, {ys})"
-    rn = f"({rho} * {d(_N)} / {d(A_GRS80)})"
-    qv = f"(({d(_C)} - {rn} * {rn}) / {d(_N)})"
-    beta = f"asin(least(greatest({qv} / {d(_QP)}, -1.0), 1.0))"
-    phi = (
-        f"({beta} + {d(_C2)} * sin(2.0 * {beta}) + {d(_C4)} * sin(4.0 * {beta})"
-        f" + {d(_C6)} * sin(6.0 * {beta}))"
-    )
-    lam = f"({d(LON_0)} + {theta} / {d(_N)})"
-    return f"degrees({lam})", f"degrees({phi})"
+forward = _EPSG_5070.forward
+inverse = _EPSG_5070.inverse
+inverse_sql = _EPSG_5070.inverse_sql

@@ -25,9 +25,73 @@ import pandas as pd
 
 _R_WEB = 6378137.0
 
+# user-registered projection objects (anything with forward/inverse over
+# degree/meter arrays — LambertConformal, AlbersConic, LaeaAzimuthal
+# instances): the role of the reference's cached arbitrary-CRS pyproj
+# transformers (zonal/base.py:448-461) for parameters no EPSG code names
+_CUSTOM: dict[str, object] = {}
+
+
+def register_crs(name: str, projection) -> None:
+    """Register a parameterized projection instance under a name usable
+    anywhere a CRS string is accepted (transform_points, reproject_rings).
+    ``projection`` needs vectorized forward(lon, lat)->(x, y) and
+    inverse(x, y)->(lon, lat) in degrees/meters."""
+    key = name.upper().replace(" ", "")
+    for attr in ("forward", "inverse"):
+        if not callable(getattr(projection, attr, None)):
+            raise TypeError(f"projection must define {attr}(…)")
+    _CUSTOM[key] = projection
+
+
+# GeoTIFF ProjCoordTransGeoKey codes → parameterized families
+_CT_LCC_2SP = 8
+_CT_LAEA = 10
+_CT_ALBERS = 11
+
+
+def projection_from_params(p: dict):
+    """Build a projection instance from user-defined GeoTIFF GeoKey
+    parameters: {"ct": coord-trans code, "sp1", "sp2", "lat0", "lon0",
+    "x0", "y0"[, "a", "e2"]}. Supports the conic/azimuthal families the
+    engine implements from scratch (LCC 2SP=8, LAEA=10, Albers=11)."""
+    ct = int(p["ct"])
+    kw = {}
+    if "a" in p:
+        kw["a"] = float(p["a"])
+    if "e2" in p:
+        kw["e2"] = float(p["e2"])
+    if ct == _CT_LCC_2SP:
+        from .lcc import LambertConformal
+
+        return LambertConformal(
+            p["sp1"], p["sp2"], p["lat0"], p["lon0"],
+            p.get("x0", 0.0), p.get("y0", 0.0), **kw,
+        )
+    if ct == _CT_ALBERS:
+        from .albers import AlbersConic
+
+        return AlbersConic(
+            p["sp1"], p["sp2"], p["lat0"], p["lon0"],
+            p.get("x0", 0.0), p.get("y0", 0.0), **kw,
+        )
+    if ct == _CT_LAEA:
+        from .laea import LaeaAzimuthal
+
+        return LaeaAzimuthal(
+            p["lat0"], p["lon0"], p.get("x0", 0.0), p.get("y0", 0.0), **kw,
+        )
+    raise ValueError(
+        f"unsupported ProjCoordTransGeoKey {ct} — user-defined GeoTIFF "
+        "projections are supported for LCC 2SP (8), LAEA (10) and "
+        "Albers (11); named EPSG codes cover the other families"
+    )
+
 
 def _parse(crs: str) -> tuple[str, int]:
     c = crs.upper().replace(" ", "")
+    if c in _CUSTOM:
+        return ("custom:" + c, 0)
     if c in ("EPSG:4326", "WGS84", "4326"):
         return ("geographic", 0)
     if c in ("EPSG:3857", "EPSG:900913", "3857"):
@@ -54,6 +118,8 @@ def _parse(crs: str) -> tuple[str, int]:
 def _to_geographic(xs: np.ndarray, ys: np.ndarray, kind: str, zone: int):
     if kind == "geographic":
         return xs, ys
+    if kind.startswith("custom:"):
+        return _CUSTOM[kind[7:]].inverse(xs, ys)
     if kind == "webmercator":
         lon = np.degrees(xs / _R_WEB)
         lat = np.degrees(np.arctan(np.sinh(ys / _R_WEB)))
@@ -86,6 +152,8 @@ def _to_geographic(xs: np.ndarray, ys: np.ndarray, kind: str, zone: int):
 def _from_geographic(lon: np.ndarray, lat: np.ndarray, kind: str, zone: int):
     if kind == "geographic":
         return lon, lat
+    if kind.startswith("custom:"):
+        return _CUSTOM[kind[7:]].forward(lon, lat)
     if kind == "webmercator":
         x = np.radians(lon) * _R_WEB
         lat_c = np.clip(lat, -85.05112878, 85.05112878)
@@ -146,6 +214,24 @@ def reproject_rings(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
+    # resolve now, on the driver: custom-registered projections live in
+    # the driver's _CUSTOM registry, which does NOT exist on executors —
+    # the resolved (picklable) projection objects ship in the closure
+    fk, fz = _parse(from_crs)
+    tk, tz = _parse(to_crs)
+    fobj = _CUSTOM[fk[7:]] if fk.startswith("custom:") else None
+    tobj = _CUSTOM[tk[7:]] if tk.startswith("custom:") else None
+
+    def _tx(xs, ys):
+        lon, lat = (
+            fobj.inverse(xs, ys) if fobj is not None
+            else _to_geographic(xs, ys, fk, fz)
+        )
+        return (
+            tobj.forward(lon, lat) if tobj is not None
+            else _from_geographic(lon, lat, tk, tz)
+        )
+
     @F.pandas_udf(StringType())
     def kernel(col: pd.Series) -> pd.Series:
         def go(doc):
@@ -156,9 +242,7 @@ def reproject_rings(
             for ring in rings:
                 arr = np.asarray(ring, dtype=np.float64)
                 if len(arr):
-                    x, y = transform_points(
-                        arr[:, 0], arr[:, 1], from_crs, to_crs
-                    )
+                    x, y = _tx(arr[:, 0], arr[:, 1])
                     nr.append(np.column_stack([x, y]).tolist())
                 else:
                     nr.append([])

@@ -1,19 +1,22 @@
-"""Lambert conformal conic, ellipsoidal — EPSG:2154 — from scratch.
+"""Lambert conformal conic, ellipsoidal, ANY parameters — from scratch.
 
 EPSG:2154 (RGF93 / Lambert-93: lat_1=49, lat_2=44, lat_0=46.5, lon_0=3,
-x_0=700000, y_0=6600000 on GRS80) is the French national grid and the
-most widely used public-raster CRS of the Lambert conformal conic family
-(national mapping agencies across Europe and the US State Plane system
-use the same projection with different parameters). The reference accepts
-it via rasterio (gigaspatial/handlers/tif_processor.py takes any CRS); no
+x_0=700000, y_0=6600000 on GRS80) — the French national grid — is this
+module's default instance; `LambertConformal` takes arbitrary standard
+parallels / origin / false origin / ellipsoid, which is how user-defined
+GeoTIFF GeoKeys (ProjCoordTransGeoKey 8, LCC 2SP) are ingested: the
+whole LCC family (national grids across Europe, the US State Plane
+system) shares these equations with different numbers. The reference
+accepts any rasterio CRS (gigaspatial/handlers/tif_processor.py); no
 projection library exists in this container, so this implements the
 published ellipsoidal LCC equations (Snyder 1987, "Map Projections — A
 Working Manual", pp.107-109, eqs 15-1..15-11) directly — the same
-from-scratch pattern as functions/{laea,albers}.py:
+from-scratch pattern as functions/{laea,albers}.py, with the shared
+series machinery in functions/ellipsoid.py:
 
   forward: t(φ) = tan(π/4−φ/2)/[(1−e·sinφ)/(1+e·sinφ)]^(e/2),
            n = (ln m1 − ln m2)/(ln t1 − ln t2), F = m1/(n·t1^n),
-           ρ = a·F·t^n, θ = n·(λ−λ0)
+           ρ = a·F·t^n, θ = n·(λ − λ0)
   inverse: ρ/θ recovery about ρ0, t = (ρ/(aF))^(1/n),
            χ = π/2 − 2·atan(t), then the published conformal→geodetic
            series (Snyder 3-5, e²…e⁸ terms — sub-µm on GRS80).
@@ -28,100 +31,123 @@ import math
 
 import numpy as np
 
-from .laea import A_GRS80, E2, E
+from .ellipsoid import (
+    A_GRS80,
+    E2_GRS80,
+    conformal_coeffs,
+    m_parallel,
+    sql_double,
+    t_conformal,
+)
 
-PHI_1 = math.radians(49.0)
-PHI_2 = math.radians(44.0)
-LAT_0 = math.radians(46.5)
-LON_0 = math.radians(3.0)
-X_0 = 700000.0
-Y_0 = 6600000.0
-
-
-def _t(phi):
-    """Snyder (15-9): conformal t for latitude φ (vectorized-safe)."""
-    esin = E * np.sin(phi)
-    return np.tan(math.pi / 4.0 - phi / 2.0) / (
-        (1.0 - esin) / (1.0 + esin)
-    ) ** (E / 2.0)
+E2 = E2_GRS80  # back-compat re-export (tests reference lcc.E2)
 
 
-def _m(phi: float) -> float:
-    """Snyder (14-15): m = cos φ / √(1 − e² sin²φ)."""
-    return math.cos(phi) / math.sqrt(1.0 - E2 * math.sin(phi) ** 2)
+class LambertConformal:
+    """Ellipsoidal Lambert conformal conic (2SP) with arbitrary
+    parameters. Degrees in, meters out; n > 0 and n < 0 (southern
+    cones) both supported."""
+
+    def __init__(
+        self,
+        phi1_deg: float,
+        phi2_deg: float,
+        lat0_deg: float,
+        lon0_deg: float,
+        x0: float = 0.0,
+        y0: float = 0.0,
+        a: float = A_GRS80,
+        e2: float = E2_GRS80,
+    ):
+        if abs(phi1_deg + phi2_deg) < 1e-12:
+            raise ValueError(
+                "LCC standard parallels must not be symmetric about the "
+                "equator (n = 0 degenerates to Mercator)"
+            )
+        self.a, self.e2 = float(a), float(e2)
+        self.phi1 = math.radians(phi1_deg)
+        self.phi2 = math.radians(phi2_deg)
+        self.lat0 = math.radians(lat0_deg)
+        self.lon0 = math.radians(lon0_deg)
+        self.x0, self.y0 = float(x0), float(y0)
+        m1 = m_parallel(self.phi1, self.e2)
+        m2 = m_parallel(self.phi2, self.e2)
+        t0 = float(t_conformal(np.array(self.lat0), self.e2))
+        t1 = float(t_conformal(np.array(self.phi1), self.e2))
+        t2 = float(t_conformal(np.array(self.phi2), self.e2))
+        if abs(self.phi1 - self.phi2) < 1e-12:
+            self.n = math.sin(self.phi1)  # 1-SP limit
+        else:
+            self.n = (math.log(m1) - math.log(m2)) / (
+                math.log(t1) - math.log(t2)
+            )
+        self.F = m1 / (self.n * t1 ** self.n)  # Snyder (15-10)
+        self.rho0 = self.a * self.F * t0 ** self.n  # Snyder (15-7a)
+        self.d2, self.d4, self.d6, self.d8 = conformal_coeffs(self.e2)
+
+    def forward(self, lon_deg, lat_deg):
+        """(lon, lat) degrees → projected (x, y) meters. Vectorized."""
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        # wrap Δλ to (-π, π] so the cone seam sits opposite lon_0
+        dl = np.remainder(lam - self.lon0 + math.pi, 2.0 * math.pi) - math.pi
+        theta = self.n * dl  # Snyder (14-4)
+        rho = self.a * self.F * t_conformal(phi, self.e2) ** self.n
+        x = rho * np.sin(theta) + self.x0
+        y = self.rho0 - rho * np.cos(theta) + self.y0
+        return x, y
+
+    def inverse(self, x, y):
+        """Projected (x, y) meters → (lon, lat) degrees. Closed form +
+        published conformal series; vectorized."""
+        xs = np.asarray(x, dtype=np.float64) - self.x0
+        ys = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = sgn * np.sqrt(xs * xs + ys * ys)
+        theta = np.arctan2(sgn * xs, sgn * ys)  # Snyder p.107 sign rule
+        tv = (rho / (self.a * self.F)) ** (1.0 / self.n)  # Snyder (15-11)
+        chi = math.pi / 2.0 - 2.0 * np.arctan(tv)  # Snyder (7-13)
+        phi = (
+            chi
+            + self.d2 * np.sin(2.0 * chi)
+            + self.d4 * np.sin(4.0 * chi)
+            + self.d6 * np.sin(6.0 * chi)
+            + self.d8 * np.sin(8.0 * chi)
+        )  # Snyder (3-5)
+        lam = self.lon0 + theta / self.n  # Snyder (14-9)
+        return np.degrees(lam), np.degrees(phi)
+
+    def inverse_sql(self, x_sql: str, y_sql: str) -> tuple[str, str]:
+        """(lon_sql, lat_sql) DuckDB twins of ``inverse`` — identical
+        operation order, trig-ulp equivalence (laea.inverse_sql
+        pattern)."""
+        d = sql_double
+        sgn = 1.0 if self.n >= 0 else -1.0
+        xs = f"(({x_sql}) - {d(self.x0)})"
+        ys = f"({d(self.rho0)} - (({y_sql}) - {d(self.y0)}))"
+        rho = f"({d(sgn)} * sqrt({xs}*{xs} + {ys}*{ys}))"
+        theta = f"atan2({d(sgn)} * {xs}, {d(sgn)} * {ys})"
+        # x ** y in numpy is pow(); DuckDB's ^ operator is the same libm
+        tv = f"(({rho} / {d(self.a * self.F)}) ^ {d(1.0 / self.n)})"
+        chi = f"({d(math.pi / 2.0)} - 2.0 * atan({tv}))"
+        phi = (
+            f"({chi} + {d(self.d2)} * sin(2.0 * {chi}) + "
+            f"{d(self.d4)} * sin(4.0 * {chi})"
+            f" + {d(self.d6)} * sin(6.0 * {chi}) + "
+            f"{d(self.d8)} * sin(8.0 * {chi}))"
+        )
+        lam = f"({d(self.lon0)} + {theta} / {d(self.n)})"
+        return f"degrees({lam})", f"degrees({phi})"
 
 
-_M1 = _m(PHI_1)
-_M2 = _m(PHI_2)
-_T0 = float(_t(np.array(LAT_0)))
-_T1 = float(_t(np.array(PHI_1)))
-_T2 = float(_t(np.array(PHI_2)))
-_N = (math.log(_M1) - math.log(_M2)) / (math.log(_T1) - math.log(_T2))
-_F = _M1 / (_N * _T1 ** _N)  # Snyder (15-10)
-_RHO0 = A_GRS80 * _F * _T0 ** _N  # Snyder (15-7a)
+# canonical EPSG:2154 instance + module-level API
+_EPSG_2154 = LambertConformal(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0)
 
-# conformal → geodetic series coefficients (Snyder 3-5)
-_E4 = E2 * E2
-_E6 = _E4 * E2
-_E8 = _E6 * E2
-_D2 = E2 / 2.0 + 5.0 * _E4 / 24.0 + _E6 / 12.0 + 13.0 * _E8 / 360.0
-_D4 = 7.0 * _E4 / 48.0 + 29.0 * _E6 / 240.0 + 811.0 * _E8 / 11520.0
-_D6 = 7.0 * _E6 / 120.0 + 81.0 * _E8 / 1120.0
-_D8 = 4279.0 * _E8 / 161280.0
+PHI_1, PHI_2 = _EPSG_2154.phi1, _EPSG_2154.phi2
+LAT_0, LON_0 = _EPSG_2154.lat0, _EPSG_2154.lon0
+X_0, Y_0 = _EPSG_2154.x0, _EPSG_2154.y0
+_N, _F, _RHO0 = _EPSG_2154.n, _EPSG_2154.F, _EPSG_2154.rho0
 
-
-def forward(lon_deg, lat_deg):
-    """(lon, lat) degrees → EPSG:2154 (x, y) meters. Vectorized."""
-    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    # wrap Δλ to (-π, π] so the cone seam sits opposite lon_0
-    dl = np.remainder(lam - LON_0 + math.pi, 2.0 * math.pi) - math.pi
-    theta = _N * dl  # Snyder (14-4)
-    rho = A_GRS80 * _F * _t(phi) ** _N  # Snyder (15-7)
-    x = rho * np.sin(theta) + X_0
-    y = _RHO0 - rho * np.cos(theta) + Y_0
-    return x, y
-
-
-def inverse(x, y):
-    """EPSG:2154 (x, y) meters → (lon, lat) degrees. Closed form +
-    published conformal series; vectorized."""
-    xs = np.asarray(x, dtype=np.float64) - X_0
-    ys = _RHO0 - (np.asarray(y, dtype=np.float64) - Y_0)
-    rho = np.sqrt(xs * xs + ys * ys)
-    theta = np.arctan2(xs, ys)  # n > 0 for 2154
-    tv = (rho / (A_GRS80 * _F)) ** (1.0 / _N)  # Snyder (15-11)
-    chi = math.pi / 2.0 - 2.0 * np.arctan(tv)  # Snyder (7-13)
-    phi = (
-        chi
-        + _D2 * np.sin(2.0 * chi)
-        + _D4 * np.sin(4.0 * chi)
-        + _D6 * np.sin(6.0 * chi)
-        + _D8 * np.sin(8.0 * chi)
-    )  # Snyder (3-5)
-    lam = LON_0 + theta / _N  # Snyder (14-9)
-    return np.degrees(lam), np.degrees(phi)
-
-
-def inverse_sql(x_sql: str, y_sql: str) -> tuple[str, str]:
-    """(lon_sql, lat_sql) DuckDB twins of ``inverse`` — identical
-    operation order, trig-ulp equivalence (laea.inverse_sql pattern)."""
-
-    def d(v: float) -> str:
-        # ::DOUBLE — DuckDB types long bare decimal literals as DECIMAL
-        # and overflows its 38-digit scale in chained multiplications
-        return f"{v!r}::DOUBLE"
-
-    xs = f"(({x_sql}) - {d(X_0)})"
-    ys = f"({d(_RHO0)} - (({y_sql}) - {d(Y_0)}))"
-    rho = f"sqrt({xs}*{xs} + {ys}*{ys})"
-    theta = f"atan2({xs}, {ys})"
-    # x ** y in numpy is pow(); DuckDB's ^ operator is the same libm pow
-    tv = f"(({rho} / {d(A_GRS80 * _F)}) ^ {d(1.0 / _N)})"
-    chi = f"({d(math.pi / 2.0)} - 2.0 * atan({tv}))"
-    phi = (
-        f"({chi} + {d(_D2)} * sin(2.0 * {chi}) + {d(_D4)} * sin(4.0 * {chi})"
-        f" + {d(_D6)} * sin(6.0 * {chi}) + {d(_D8)} * sin(8.0 * {chi}))"
-    )
-    lam = f"({d(LON_0)} + {theta} / {d(_N)})"
-    return f"degrees({lam})", f"degrees({phi})"
+forward = _EPSG_2154.forward
+inverse = _EPSG_2154.inverse
+inverse_sql = _EPSG_2154.inverse_sql

@@ -66,6 +66,10 @@ class TiffMeta:
     # "ESRI:54009" (geotransform in projection meters; the pixel table
     # inverse-projects centers to lon/lat)
     crs: str = "EPSG:4326"
+    # user-defined projections (ProjectedCSTypeGeoKey 32767): crs="USER"
+    # and the ProjCoordTransGeoKey + parameter doubles land here, feeding
+    # functions.crs.projection_from_params in the decode kernel
+    proj: dict | None = None
 
     @property
     def tiles_across(self) -> int:
@@ -209,17 +213,30 @@ def _read_tiff_meta_at(
         # GeoKeyDirectory (SHORT array): header [ver, rev, minor, nkeys]
         # then 4-short entries [KeyID, TagLocation, Count, Value]
         crs = "EPSG:4326"
+        proj = None
         gk = tags.get(34735)
         if gk:
             keys = {}
+            dkeys = {}
+            doubles = tags.get(34736) or []  # GeoDoubleParams
             nkeys = int(gk[3]) if len(gk) >= 4 else 0
             for ki in range(nkeys):
                 base = 4 + 4 * ki
-                if base + 4 <= len(gk) and int(gk[base + 1]) == 0:
-                    keys[int(gk[base])] = int(gk[base + 3])
+                if base + 4 <= len(gk):
+                    loc = int(gk[base + 1])
+                    if loc == 0:
+                        keys[int(gk[base])] = int(gk[base + 3])
+                    elif loc == 34736:
+                        idx = int(gk[base + 3])
+                        if 0 <= idx < len(doubles):
+                            dkeys[int(gk[base])] = float(doubles[idx])
             if keys.get(1024) == 1:  # projected
                 code = keys.get(3072, 0)
-                crs = "ESRI:54009" if code == 54009 else f"EPSG:{code}"
+                if code == 32767:  # user-defined projection
+                    crs = "USER"
+                    proj = _proj_params_from_geokeys(keys, dkeys)
+                else:
+                    crs = "ESRI:54009" if code == 54009 else f"EPSG:{code}"
             elif keys.get(1024) == 2:  # geographic
                 crs = f"EPSG:{keys.get(2048, 4326)}"
         return TiffMeta(
@@ -237,7 +254,42 @@ def _read_tiff_meta_at(
             tile_width=tile_w,
             tile_length=tile_l,
             crs=crs,
+            proj=proj,
         ), int(next_off)
+
+
+def _proj_params_from_geokeys(keys: dict, dkeys: dict) -> dict:
+    """User-defined projected CRS (ProjectedCSTypeGeoKey 32767) →
+    parameter dict for functions.crs.projection_from_params. GeoTIFF
+    writers disagree on NatOrigin vs FalseOrigin vs Center keys for
+    conic parameters, so each slot accepts the documented aliases
+    (GeoTIFF spec §2.6.?/Annex B: 3078/3079 standard parallels,
+    3080/3084/3088 origin longitude, 3081/3085/3089 origin latitude,
+    3082/3086 false easting, 3083/3087 false northing)."""
+
+    def first(*ids, default=None):
+        for i in ids:
+            if i in dkeys:
+                return dkeys[i]
+        return default
+
+    p = {
+        "ct": int(keys.get(3075, 0)),  # ProjCoordTransGeoKey
+        "sp1": first(3078),
+        "sp2": first(3079),
+        "lon0": first(3084, 3080, 3088, default=0.0),
+        "lat0": first(3085, 3081, 3089, default=0.0),
+        "x0": first(3086, 3082, default=0.0),
+        "y0": first(3087, 3083, default=0.0),
+    }
+    # geographic base: 4326 → WGS84 ellipsoid; 4258 (ETRS89) / 4269
+    # (NAD83) → GRS80 (the default); anything else keeps GRS80 too —
+    # the two ellipsoids differ in the 11th digit of 1/f
+    if keys.get(2048) == 4326:
+        from ..functions.ellipsoid import E2_WGS84
+
+        p["e2"] = E2_WGS84
+    return p
 
 
 def decode_strip(meta: TiffMeta, strip_idx: int, buf: bytes) -> np.ndarray:
@@ -289,7 +341,11 @@ def tiff_pixel_table(
                 f"{len(ifds)} IFD(s) (level 0..{len(ifds) - 1})"
             )
         meta = ifds[level]
-    if meta.crs not in (
+    if meta.crs == "USER":
+        from ..functions.crs import projection_from_params
+
+        projection_from_params(meta.proj or {})  # raises if unsupported
+    elif meta.crs not in (
         "EPSG:4326", "ESRI:54009", "EPSG:3857", "EPSG:3035", "EPSG:5070",
         "EPSG:2154",
     ):
@@ -298,8 +354,9 @@ def tiff_pixel_table(
             "(geographic), ESRI:54009 (Mollweide, the GHSL grid), "
             "EPSG:3035 (LAEA Europe — CORINE/EU grids), "
             "EPSG:5070 (Conus Albers — NLCD/LANDFIRE grids), "
-            "EPSG:2154 (Lambert-93 — French national grids) and "
-            "EPSG:3857 (web mercator tile pyramids)"
+            "EPSG:2154 (Lambert-93 — French national grids), "
+            "EPSG:3857 (web mercator tile pyramids), and user-defined "
+            "GeoKey projections (LCC 2SP / LAEA / Albers, any parameters)"
         )
     bc = spark.sparkContext.broadcast(meta)
     schema = StructType(
@@ -339,7 +396,16 @@ def tiff_pixel_table(
                     lon = m.lon0 + (px + 0.5) * m.dx
                     lat = m.lat1 - (r[:, None] + 0.5) * m.dy
                     shape2 = arr.shape[:2]
-                    if m.crs == "ESRI:54009":
+                    if m.crs == "USER":
+                        # user-defined GeoKey projection: rebuild the
+                        # parameterized instance from the broadcast params
+                        from ..functions.crs import projection_from_params
+
+                        pj = projection_from_params(m.proj)
+                        xm = np.broadcast_to(lon, shape2)
+                        ym = np.broadcast_to(lat, shape2)
+                        lon, lat = pj.inverse(xm, ym)
+                    elif m.crs == "ESRI:54009":
                         # geotransform is Mollweide meters: inverse-project
                         # pixel centers to lon/lat (functions/mollweide)
                         from ..functions import mollweide as _moll
@@ -405,6 +471,54 @@ def tiff_pixel_table(
 
 
 # ------------------------------------------------------------------ writer
+def _crs_geokey_entries(crs) -> list[tuple[int, int, object]]:
+    """Tag entries encoding a CRS: 34735 GeoKeyDirectory shorts, plus
+    34736 GeoDoubleParams when ``crs`` is a user-defined parameter dict
+    ({"ct": 8|10|11, "sp1", "sp2", "lat0", "lon0", "x0", "y0"}) — the
+    writer-side twin of _proj_params_from_geokeys."""
+    if isinstance(crs, dict):
+        doubles: list[float] = []
+        dk_rows: list[tuple[int, int, int, int]] = []
+
+        def dk(keyid: int, val) -> None:
+            if val is not None:
+                dk_rows.append((keyid, 34736, 1, len(doubles)))
+                doubles.append(float(val))
+
+        keys = [
+            (1024, 0, 1, 1),  # projected model
+            (3072, 0, 1, 32767),  # user-defined ProjectedCSType
+            (3075, 0, 1, int(crs["ct"])),  # coord transformation code
+            (3076, 0, 1, 9001),  # linear units: meters
+        ]
+        dk(3078, crs.get("sp1"))
+        dk(3079, crs.get("sp2"))
+        dk(3084, crs.get("lon0"))
+        dk(3085, crs.get("lat0"))
+        dk(3086, crs.get("x0"))
+        dk(3087, crs.get("y0"))
+        keys += dk_rows
+        shorts = [1, 1, 0, len(keys)]
+        for row in keys:
+            shorts.extend(row)
+        out: list[tuple[int, int, object]] = [(34735, 3, shorts)]
+        if doubles:
+            out.append((34736, 12, doubles))
+        return out
+    if crs == "ESRI:54009":
+        keys = [(1024, 0, 1, 1), (3072, 0, 1, 54009)]
+    elif crs.upper() == "EPSG:4326":
+        keys = [(1024, 0, 1, 2), (2048, 0, 1, 4326)]
+    elif crs.upper().startswith("EPSG:"):  # projected EPSG code
+        keys = [(1024, 0, 1, 1), (3072, 0, 1, int(crs.split(":")[1]))]
+    else:
+        raise ValueError(f"unsupported crs {crs!r}")
+    shorts = [1, 1, 0, len(keys)]
+    for row in keys:
+        shorts.extend(row)
+    return [(34735, 3, shorts)]
+
+
 def write_tiff(
     path: str,
     array: np.ndarray,
@@ -471,19 +585,9 @@ def write_tiff(
     add(33550, 12, [dx, dy, 0.0])
     add(33922, 12, [0.0, 0.0, 0.0, lon0, lat1, 0.0])
     if crs is not None:
-        # GeoKeyDirectory: version header + (KeyID, loc, count, value) rows
-        if crs == "ESRI:54009":
-            keys = [(1024, 0, 1, 1), (3072, 0, 1, 54009)]
-        elif crs.upper() == "EPSG:4326":
-            keys = [(1024, 0, 1, 2), (2048, 0, 1, 4326)]
-        elif crs.upper().startswith("EPSG:"):  # projected EPSG code
-            keys = [(1024, 0, 1, 1), (3072, 0, 1, int(crs.split(":")[1]))]
-        else:
-            raise ValueError(f"unsupported crs {crs!r}")
-        shorts = [1, 1, 0, len(keys)]
-        for row in keys:
-            shorts.extend(row)
-        add(34735, 3, shorts)
+        # GeoKeyDirectory (+ GeoDoubleParams for user-defined dicts)
+        for gtag, gtyp, gvals in _crs_geokey_entries(crs):
+            add(gtag, gtyp, gvals)
     if nodata is not None:
         nd = (repr(float(nodata)) + "\x00").encode("ascii")
         add(42113, 2, nd)
@@ -663,18 +767,7 @@ def write_cog(
         entries.append((33550, 12, [lv["dx"], lv["dy"], 0.0]))
         entries.append((33922, 12, [0.0, 0.0, 0.0, lon0, lat1, 0.0]))
         if crs is not None:
-            if crs == "ESRI:54009":
-                keys = [(1024, 0, 1, 1), (3072, 0, 1, 54009)]
-            elif crs.upper() == "EPSG:4326":
-                keys = [(1024, 0, 1, 2), (2048, 0, 1, 4326)]
-            elif crs.upper().startswith("EPSG:"):
-                keys = [(1024, 0, 1, 1), (3072, 0, 1, int(crs.split(":")[1]))]
-            else:
-                raise ValueError(f"unsupported crs {crs!r}")
-            shorts = [1, 1, 0, len(keys)]
-            for row in keys:
-                shorts.extend(row)
-            entries.append((34735, 3, shorts))
+            entries.extend(_crs_geokey_entries(crs))
         if nodata is not None:
             nd = (repr(float(nodata)) + "\x00").encode("ascii")
             entries.append((42113, 2, nd))

@@ -525,3 +525,125 @@ def test_write_cog_fuzz_corruption(tmp_path):
             read_tiff_ifds(p3)
         except ValueError:
             pass
+
+
+def test_user_defined_geokey_projection(spark, tmp_path):
+    """A GeoTIFF with ProjectedCSTypeGeoKey=32767 and explicit
+    GeoDoubleParams (the way rasters with no EPSG code ship) round-trips
+    its parameters bit-exactly and decodes with pixel centers
+    inverse-projected through the rebuilt parameterized conic — the
+    reference's any-rasterio-CRS behavior (tif_processor.py)."""
+    import numpy as np
+
+    from giga_spatial_spark.functions.crs import projection_from_params
+    from giga_spatial_spark.functions.lcc import LambertConformal
+    from giga_spatial_spark.sources.geotiff import (
+        read_tiff_meta,
+        tiff_pixel_table,
+        write_tiff,
+    )
+
+    params = {"ct": 8, "sp1": 39.9333333333, "sp2": 40.9666666667,
+              "lat0": 39.3333333333, "lon0": -77.75,
+              "x0": 600000.0, "y0": 0.0}
+    pj = LambertConformal(params["sp1"], params["sp2"], params["lat0"],
+                          params["lon0"], params["x0"], params["y0"])
+    x0, y1 = pj.forward(np.array([-77.0]), np.array([40.3]))
+    vals = np.arange(12, dtype=np.float64).reshape(3, 4) + 1.0
+    path = str(tmp_path / "user.tif")
+    write_tiff(path, vals, lon0=float(x0[0]), lat1=float(y1[0]),
+               dx=500.0, dy=500.0, crs=params)
+    m = read_tiff_meta(path)
+    assert m.crs == "USER"
+    for k, v in params.items():
+        assert m.proj[k] == v, k  # GeoDoubleParams round-trip bit-exact
+    pdf = tiff_pixel_table(spark, path).toPandas().sort_values(["py", "px"])
+    assert len(pdf) == 12
+    want_lon, want_lat = pj.inverse(
+        np.array([float(x0[0]) + 250.0]), np.array([float(y1[0]) - 250.0])
+    )
+    top = pdf[(pdf.px == 0) & (pdf.py == 2)].iloc[0]
+    assert top.lon == want_lon[0] and top.lat == want_lat[0]
+    # rebuilding from the parsed keys gives the identical projection
+    pj2 = projection_from_params(m.proj)
+    fx, fy = pj2.forward(np.array([-77.3]), np.array([40.1]))
+    fx0, fy0 = pj.forward(np.array([-77.3]), np.array([40.1]))
+    assert fx[0] == fx0[0] and fy[0] == fy0[0]
+    # unsupported transformation code fails loudly at driver time
+    import pytest as _p
+
+    bad = dict(params)
+    bad["ct"] = 7  # Mercator — not a user-defined family here
+    p2 = str(tmp_path / "badct.tif")
+    write_tiff(p2, vals, lon0=0.0, lat1=1.0, dx=1.0, dy=1.0, crs=bad)
+    with _p.raises(ValueError, match="ProjCoordTransGeoKey"):
+        tiff_pixel_table(spark, p2)
+
+
+def test_parameterized_conics_southern_cones():
+    """The parameterized families handle n < 0 (southern cones) and
+    arbitrary ellipsoids: round trips, equal-area/conformal invariants,
+    and scale exactly 1 on the standard parallels."""
+    import math
+
+    import numpy as np
+
+    from giga_spatial_spark.functions.albers import AlbersConic
+    from giga_spatial_spark.functions.ellipsoid import E2_WGS84
+    from giga_spatial_spark.functions.lcc import LambertConformal
+
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(100, 160, 4000)
+    lat = rng.uniform(-55, -5, 4000)
+    # southern Albers (GDA-style) on WGS84
+    alb = AlbersConic(-18.0, -36.0, -25.0, 132.0, 0.0, 0.0, e2=E2_WGS84)
+    assert alb.n < 0
+    fx, fy = alb.forward(lon, lat)
+    lo, la = alb.inverse(fx, fy)
+    assert np.abs(lo - lon).max() < 1e-7 and np.abs(la - lat).max() < 1e-7
+    for phi_d in (-18.0, -36.0):
+        phi = math.radians(phi_d)
+        _, fy1 = alb.forward(np.array([132.0]), np.array([phi_d]))
+        rho = alb.rho0 - fy1[0]  # signed; k = |rho·n| / (a·m) must be 1
+        m = math.cos(phi) / math.sqrt(1 - alb.e2 * math.sin(phi) ** 2)
+        assert abs(abs(rho * alb.n) / (alb.a * m) - 1) < 1e-9
+    # southern LCC round-trips too
+    lcc_s = LambertConformal(-10.0, -40.0, -25.0, 135.0, 1e6, 2e6)
+    assert lcc_s.n < 0
+    fx, fy = lcc_s.forward(lon, lat)
+    lo, la = lcc_s.inverse(fx, fy)
+    assert np.abs(lo - lon).max() < 1e-9 and np.abs(la - lat).max() < 1e-9
+
+
+def test_register_crs_vector_side(spark):
+    """crs.register_crs makes a parameterized projection usable by name
+    in transform_points and reproject_rings (the arbitrary-CRS pyproj
+    cache role, zonal/base.py:448-461), including on executors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from giga_spatial_spark.functions.albers import AlbersConic
+    from giga_spatial_spark.functions.crs import (
+        register_crs,
+        reproject_rings,
+        transform_points,
+    )
+
+    pj = AlbersConic(-18.0, -36.0, -25.0, 132.0, 0.0, 0.0)
+    register_crs("gda_albers_role", pj)
+    lon = np.array([140.0, 150.0])
+    lat = np.array([-30.0, -20.0])
+    x, y = transform_points(lon, lat, "EPSG:4326", "gda_albers_role")
+    wx, wy = pj.forward(lon, lat)
+    assert np.array_equal(x, wx) and np.array_equal(y, wy)
+    lo, la = transform_points(x, y, "gda_albers_role", "EPSG:4326")
+    assert np.abs(lo - lon).max() < 1e-7 and np.abs(la - lat).max() < 1e-7
+    ring = [[[140.0, -30.0], [150.0, -30.0], [145.0, -20.0], [140.0, -30.0]]]
+    df = spark.createDataFrame(
+        [(1, ring)], "fid int, rings array<array<array<double>>>"
+    )
+    out = reproject_rings(df, "EPSG:4326", "gda_albers_role").collect()[0]
+    got = np.array(out.rings[0])
+    want = np.column_stack(pj.forward(
+        np.array(ring[0])[:, 0], np.array(ring[0])[:, 1]))
+    assert np.abs(got - want).max() < 1e-6
