@@ -1605,6 +1605,79 @@ def q_geotiff_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POL_W, POL_H, POL_DX = 160, 120, 100000.0
+
+
+def _polar_anchor() -> tuple[float, float]:
+    """Top-left EPSG:3413 (x0, y1) of the polar-stereographic fixture
+    grid: centered on the joint meter-space bbox of zones 0/4/5 — which
+    straddles the north pole, so the inverse's ρ→0 branch is exercised
+    by real pixels."""
+    import numpy as np
+
+    from giga_spatial_spark.functions.polar import EPSG_3413
+
+    xs, ys = [], []
+    for zid in (0, 4, 5):
+        arr = np.asarray(ADMIN_POLYS[zid], dtype=np.float64)
+        x, y = EPSG_3413.forward(arr[:, 0], arr[:, 1])
+        xs.append(x)
+        ys.append(y)
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    cx = (float(x.min()) + float(x.max())) / 2.0
+    cy = (float(y.min()) + float(y.max())) / 2.0
+    return (cx - POL_W / 2 * POL_DX, cy + POL_H / 2 * POL_DX)
+
+
+def q_geotiff_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:3413 (NSIDC Sea Ice Polar Stereographic North — the standard
+    grid of polar public rasters: sea-ice concentration, ArcticDEM)
+    raster ingest: a deterministic GeoTIFF whose geotransform is polar-
+    stereographic METERS (GeoKeyDirectory code 3413) is decoded
+    strip-parallel, pixel centers inverse-projected through the
+    from-scratch ellipsoidal polar stereographic (functions/polar —
+    Snyder 21-33..21-41 + conformal series; the fixture grid contains
+    the pole itself, exercising the ρ→0 branch), then the
+    q_geotiff_zonal flow. The oracle replays the grid,
+    polar.inverse_sql and the zone predicates in SQL."""
+    import getpass
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    x0, y1 = _polar_anchor()
+    params = (
+        f"polar_v1|w={POL_W}|h={POL_H}|x0={x0!r}|y1={y1!r}|dx={POL_DX!r}|"
+        "vals=(px*47+py*19+17)%929/10|nodata=(px*17+py*5)%41==0:-9999"
+    )
+    key = hashlib.sha256(params.encode()).hexdigest()[:16]
+    path = f"/tmp/spark_graft_geotiff_{getpass.getuser()}/polar_{key}.tif"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        px = np.arange(POL_W)[None, :]
+        row = np.arange(POL_H)[:, None]
+        vals = ((px * 47 + row * 19 + 17) % 929) / 10.0
+        vals = np.where((px * 17 + row * 5) % 41 == 0, -9999.0, vals)
+        write_tiff(
+            path + ".tmp", vals, lon0=x0, lat1=y1, dx=POL_DX, dy=POL_DX,
+            nodata=-9999.0, crs="EPSG:3413",
+        )
+        os.replace(path + ".tmp", path)
+    pixels = tiff_pixel_table(spark, path)
+    valid = pixels.where(F.col("value").isNotNull())
+    matches = pip_join_rtree(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    return matches.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("px_count"),
+        (F.sum(F.round(F.col("value") * 10).cast("bigint")) / 10.0).alias("v_sum"),
+        F.round(F.min("value"), 1).alias("v_min"),
+        F.round(F.max("value"), 1).alias("v_max"),
+    )
+
+
 CUSTOM_CRS_PARAMS = {
     "ct": 11,  # Albers equal-area conic, user-defined parameters
     "sp1": -30.0, "sp2": 5.0, "lat0": -10.0, "lon0": -80.0,
@@ -2726,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geotiff_lcc": q_geotiff_lcc,
         "q_cog_overview": q_cog_overview,
         "q_geotiff_custom_crs": q_geotiff_custom_crs,
+        "q_geotiff_polar": q_geotiff_polar,
         "q_raster_sample": q_raster_sample,
         "q_raster_multiband": q_raster_multiband,
         "q_raster_merge": q_raster_merge,
@@ -3237,6 +3311,32 @@ def oracle_sql() -> dict[str, str]:
         "FROM m GROUP BY zone_id"
     )
 
+    from giga_spatial_spark.functions.polar import EPSG_3413 as _P13
+
+    px0, py1 = _polar_anchor()
+    px_sql = f"({px0!r} + ((i % {POL_W}) + 0.5) * {POL_DX!r})"
+    py_sql = f"({py1!r} - ((i // {POL_W}) + 0.5) * {POL_DX!r})"
+    plon_sql, plat_sql = _P13.inverse_sql(px_sql, py_sql)
+    pol_val = (
+        f"CASE WHEN ((i % {POL_W}) * 17 + (i // {POL_W}) * 5) % 41 = 0 "
+        f"THEN NULL ELSE (((i % {POL_W}) * 47 + (i // {POL_W}) * 19 + 17) % 929) / 10.0 END"
+    )
+    pol_pip = " UNION ALL ".join(
+        f"SELECT {zid} AS zone_id, r.value FROM pvalid r WHERE "
+        + synth.convex_contains_sql(poly, "r.lon", "r.lat")
+        for zid, poly in sorted(ADMIN_POLYS.items())
+    )
+    polar_zonal = (
+        f"WITH praster AS (SELECT {pol_val} AS value, {plon_sql} AS lon, "
+        f"{plat_sql} AS lat FROM range({POL_W * POL_H}) t(i)), "
+        "pvalid AS MATERIALIZED (SELECT * FROM praster WHERE value IS NOT NULL), "
+        f"m AS ({pol_pip}) "
+        "SELECT zone_id, count(*) AS px_count, "
+        "sum(cast(round(value * 10, 0) as bigint)) / 10.0 AS v_sum, "
+        "round(min(value), 1) AS v_min, round(max(value), 1) AS v_max "
+        "FROM m GROUP BY zone_id"
+    )
+
     from giga_spatial_spark.functions.crs import projection_from_params as _pfp
 
     _cpj = _pfp(CUSTOM_CRS_PARAMS)
@@ -3382,6 +3482,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_lcc": lcc_zonal,
         "q_cog_overview": cog_overview,
         "q_geotiff_custom_crs": custom_crs_zonal,
+        "q_geotiff_polar": polar_zonal,
         "q_h3_parent": (
             f"WITH h3f AS ({H3S.h3_cell_sql(docs, H3_FINE_RES)}) "
             f"SELECT ((h3_cell & {_H3_RES_MASK}) | {H3_PARENT_RES << 52} | {_H3_FILL}) "

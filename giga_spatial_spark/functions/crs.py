@@ -45,9 +45,11 @@ def register_crs(name: str, projection) -> None:
 
 
 # GeoTIFF ProjCoordTransGeoKey codes → parameterized families
+_CT_TM = 1
 _CT_LCC_2SP = 8
 _CT_LAEA = 10
 _CT_ALBERS = 11
+_CT_POLAR_STEREO = 15
 
 
 def projection_from_params(p: dict):
@@ -61,6 +63,21 @@ def projection_from_params(p: dict):
         kw["a"] = float(p["a"])
     if "e2" in p:
         kw["e2"] = float(p["e2"])
+    elif "inv_f" in p:
+        f = 1.0 / float(p["inv_f"])
+        kw["e2"] = f * (2.0 - f)
+    if ct == _CT_TM:
+        from .utm import TransverseMercator
+
+        tm_kw = {}
+        if "a" in p:
+            tm_kw["a"] = float(p["a"])
+        if "inv_f" in p:
+            tm_kw["inv_f"] = float(p["inv_f"])
+        return TransverseMercator(
+            p["lat0"], p["lon0"], p.get("k0", 1.0),
+            p.get("x0", 0.0), p.get("y0", 0.0), **tm_kw,
+        )
     if ct == _CT_LCC_2SP:
         from .lcc import LambertConformal
 
@@ -81,10 +98,22 @@ def projection_from_params(p: dict):
         return LaeaAzimuthal(
             p["lat0"], p["lon0"], p.get("x0", 0.0), p.get("y0", 0.0), **kw,
         )
+    if ct == _CT_POLAR_STEREO:
+        from .polar import PolarStereographic
+
+        # lat_ts arrives in sp1 (ProjStdParallel1GeoKey) per GeoTIFF
+        # convention; fall back to lat0 for writers that use NatOriginLat
+        lat_ts = p.get("sp1")
+        if lat_ts is None:
+            lat_ts = p["lat0"]
+        return PolarStereographic(
+            lat_ts, p["lon0"], p.get("x0", 0.0), p.get("y0", 0.0), **kw,
+        )
     raise ValueError(
         f"unsupported ProjCoordTransGeoKey {ct} — user-defined GeoTIFF "
-        "projections are supported for LCC 2SP (8), LAEA (10) and "
-        "Albers (11); named EPSG codes cover the other families"
+        "projections are supported for TM (1), LCC 2SP (8), LAEA (10), "
+        "Albers (11) and polar stereographic (15); named EPSG codes "
+        "cover the other families"
     )
 
 
@@ -104,6 +133,10 @@ def _parse(crs: str) -> tuple[str, int]:
         return ("albers_conus", 0)
     if c in ("EPSG:2154", "2154"):
         return ("lcc_france", 0)
+    if c in ("EPSG:3413", "3413"):
+        return ("polar_north", 0)
+    if c in ("EPSG:3031", "3031"):
+        return ("polar_south", 0)
     if c.startswith("EPSG:326") and len(c) == 10:
         return ("utm_north", int(c[8:]))
     if c.startswith("EPSG:327") and len(c) == 10:
@@ -111,7 +144,8 @@ def _parse(crs: str) -> tuple[str, int]:
     raise ValueError(
         f"unsupported crs {crs!r} — supported: EPSG:4326, EPSG:3857, "
         "ESRI:54009, EPSG:3035 (LAEA Europe), EPSG:5070 (Conus Albers), "
-        "EPSG:2154 (Lambert-93), EPSG:326xx/327xx (UTM)"
+        "EPSG:2154 (Lambert-93), EPSG:3413/3031 (polar stereographic), "
+        "EPSG:326xx/327xx (UTM), and register_crs() custom projections"
     )
 
 
@@ -140,6 +174,11 @@ def _to_geographic(xs: np.ndarray, ys: np.ndarray, kind: str, zone: int):
         from . import lcc
 
         return lcc.inverse(xs, ys)
+    if kind in ("polar_north", "polar_south"):
+        from . import polar
+
+        pj = polar.EPSG_3413 if kind == "polar_north" else polar.EPSG_3031
+        return pj.inverse(xs, ys)
     from . import utm
 
     south = kind == "utm_south"
@@ -175,6 +214,11 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, kind: str, zone: int):
         from . import lcc
 
         return lcc.forward(lon, lat)
+    if kind in ("polar_north", "polar_south"):
+        from . import polar
+
+        pj = polar.EPSG_3413 if kind == "polar_north" else polar.EPSG_3031
+        return pj.forward(lon, lat)
     from . import utm
 
     e, n = utm.utm_forward(lon, lat, zone)

@@ -282,6 +282,16 @@ def _proj_params_from_geokeys(keys: dict, dkeys: dict) -> dict:
         "x0": first(3086, 3082, default=0.0),
         "y0": first(3087, 3083, default=0.0),
     }
+    k0 = first(3092)  # ProjScaleAtNatOriginGeoKey (TM)
+    if k0 is not None:
+        p["k0"] = k0
+    # user-defined ellipsoid (GeogSemiMajorAxis / GeogInvFlattening)
+    a = first(2057)
+    inv_f = first(2059)
+    if a is not None:
+        p["a"] = a
+    if inv_f is not None:
+        p["inv_f"] = inv_f
     # geographic base: 4326 → WGS84 ellipsoid; 4258 (ETRS89) / 4269
     # (NAD83) → GRS80 (the default); anything else keeps GRS80 too —
     # the two ellipsoids differ in the 11th digit of 1/f
@@ -347,7 +357,7 @@ def tiff_pixel_table(
         projection_from_params(meta.proj or {})  # raises if unsupported
     elif meta.crs not in (
         "EPSG:4326", "ESRI:54009", "EPSG:3857", "EPSG:3035", "EPSG:5070",
-        "EPSG:2154",
+        "EPSG:2154", "EPSG:3413", "EPSG:3031",
     ):
         raise ValueError(
             f"unsupported raster CRS {meta.crs!r} — supported: EPSG:4326 "
@@ -355,8 +365,10 @@ def tiff_pixel_table(
             "EPSG:3035 (LAEA Europe — CORINE/EU grids), "
             "EPSG:5070 (Conus Albers — NLCD/LANDFIRE grids), "
             "EPSG:2154 (Lambert-93 — French national grids), "
+            "EPSG:3413/3031 (NSIDC polar stereographic grids), "
             "EPSG:3857 (web mercator tile pyramids), and user-defined "
-            "GeoKey projections (LCC 2SP / LAEA / Albers, any parameters)"
+            "GeoKey projections (LCC 2SP / LAEA / Albers / polar "
+            "stereographic, any parameters)"
         )
     bc = spark.sparkContext.broadcast(meta)
     schema = StructType(
@@ -429,6 +441,18 @@ def tiff_pixel_table(
                         xm = np.broadcast_to(lon, shape2)
                         ym = np.broadcast_to(lat, shape2)
                         lon, lat = _albers.inverse(xm, ym)
+                    elif m.crs in ("EPSG:3413", "EPSG:3031"):
+                        # NSIDC polar stereographic meters
+                        from ..functions import polar as _polar
+
+                        pj = (
+                            _polar.EPSG_3413
+                            if m.crs == "EPSG:3413"
+                            else _polar.EPSG_3031
+                        )
+                        xm = np.broadcast_to(lon, shape2)
+                        ym = np.broadcast_to(lat, shape2)
+                        lon, lat = pj.inverse(xm, ym)
                     elif m.crs == "EPSG:2154":
                         # Lambert-93 meters: ellipsoidal conformal-conic
                         # inverse (functions/lcc, Snyder 15-11 + 3-5)
@@ -491,12 +515,15 @@ def _crs_geokey_entries(crs) -> list[tuple[int, int, object]]:
             (3075, 0, 1, int(crs["ct"])),  # coord transformation code
             (3076, 0, 1, 9001),  # linear units: meters
         ]
+        dk(2057, crs.get("a"))
+        dk(2059, crs.get("inv_f"))
         dk(3078, crs.get("sp1"))
         dk(3079, crs.get("sp2"))
         dk(3084, crs.get("lon0"))
         dk(3085, crs.get("lat0"))
         dk(3086, crs.get("x0"))
         dk(3087, crs.get("y0"))
+        dk(3092, crs.get("k0"))
         keys += dk_rows
         shorts = [1, 1, 0, len(keys)]
         for row in keys:

@@ -647,3 +647,98 @@ def test_register_crs_vector_side(spark):
     want = np.column_stack(pj.forward(
         np.array(ring[0])[:, 0], np.array(ring[0])[:, 1]))
     assert np.abs(got - want).max() < 1e-6
+
+
+def test_polar_stereographic_crs_legs(spark, tmp_path):
+    """EPSG:3413/3031 (NSIDC polar stereographic, functions/polar):
+    pole maps to the origin, scale exactly 1 at the standard parallel
+    (1e-7 numeric), conformality, round trips both aspects, and a
+    GeoKey-tagged GeoTIFF decodes through the inverse — incl. a pixel
+    grid containing the pole (ρ→0 branch)."""
+    import math
+
+    import numpy as np
+
+    from giga_spatial_spark.functions.crs import transform_points
+    from giga_spatial_spark.functions.polar import EPSG_3031, EPSG_3413
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_tiff
+
+    for pj, pole, lat_ts in ((EPSG_3413, 90.0, 70.0), (EPSG_3031, -90.0, -71.0)):
+        x, y = pj.forward(np.array([123.0]), np.array([pole]))
+        assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+        d = 1e-6
+        x0, y0 = pj.forward(np.array([10.0]), np.array([lat_ts]))
+        x1, y1 = pj.forward(np.array([10.0 + d]), np.array([lat_ts]))
+        phi = math.radians(lat_ts)
+        nn = pj.a / math.sqrt(1 - pj.e2 * math.sin(phi) ** 2)
+        kp = math.hypot(x1[0] - x0[0], y1[0] - y0[0]) / (
+            nn * math.cos(phi) * math.radians(d)
+        )
+        assert abs(kp - 1) < 1e-7
+    rng = np.random.RandomState(0)
+    lon = rng.uniform(-180, 180, 4000)
+    lat = rng.uniform(35, 89.5, 4000)
+    fx, fy = transform_points(lon, lat, "EPSG:4326", "EPSG:3413")
+    lo, la = transform_points(fx, fy, "EPSG:3413", "EPSG:4326")
+    assert np.abs((lo - lon + 180) % 360 - 180).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+    fx, fy = transform_points(lon, -lat, "EPSG:4326", "EPSG:3031")
+    lo, la = transform_points(fx, fy, "EPSG:3031", "EPSG:4326")
+    assert np.abs((lo - lon + 180) % 360 - 180).max() < 1e-9
+    assert np.abs(la + lat).max() < 1e-9
+    # GeoTIFF round trip with the pole inside the grid
+    vals = np.arange(16, dtype=np.float64).reshape(4, 4) + 1.0
+    path = str(tmp_path / "polar.tif")
+    write_tiff(path, vals, lon0=-200000.0, lat1=200000.0,
+               dx=100000.0, dy=100000.0, crs="EPSG:3413")
+    pdf = tiff_pixel_table(spark, path).toPandas()
+    assert len(pdf) == 16
+    want_lon, want_lat = EPSG_3413.inverse(
+        np.array([-150000.0]), np.array([150000.0])
+    )
+    top = pdf[(pdf.px == 0) & (pdf.py == 3)].iloc[0]
+    assert top.lon == want_lon[0] and top.lat == want_lat[0]
+    assert pdf.lat.max() > 89.0  # a pixel center lands near the pole
+
+
+def test_transverse_mercator_osgb_anchor(spark, tmp_path):
+    """Parameterized TransverseMercator reproduces the PUBLISHED OSGB
+    worked example (OS 'A guide to coordinate systems in Great Britain':
+    52°39'27.2531\"N 1°43'4.5177\"E → E 651409.903 N 313177.270, Airy
+    1830) to half a millimeter — an external anchor across ellipsoid,
+    lat0 arc offset, scale and false origin — and a user-defined
+    GeoKey TM raster (ct=1 + ellipsoid doubles) decodes through it."""
+    import numpy as np
+
+    from giga_spatial_spark.functions.crs import projection_from_params
+    from giga_spatial_spark.functions.utm import OSGB36
+    from giga_spatial_spark.sources.geotiff import (
+        read_tiff_meta,
+        tiff_pixel_table,
+        write_tiff,
+    )
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    x, y = OSGB36.forward(np.array([lon]), np.array([lat]))
+    assert abs(x[0] - 651409.903) < 5e-4
+    assert abs(y[0] - 313177.270) < 5e-4
+    lo, la = OSGB36.inverse(x, y)
+    assert abs(lo[0] - lon) < 1e-11 and abs(la[0] - lat) < 1e-11
+    params = {"ct": 1, "lat0": 49.0, "lon0": -2.0, "k0": 0.9996012717,
+              "x0": 400000.0, "y0": -100000.0,
+              "a": 6377563.396, "inv_f": 299.3249646}
+    vals = np.arange(12, dtype=np.float64).reshape(3, 4) + 1.0
+    path = str(tmp_path / "osgb_user.tif")
+    write_tiff(path, vals, lon0=float(x[0]), lat1=float(y[0]),
+               dx=1000.0, dy=1000.0, crs=params)
+    m = read_tiff_meta(path)
+    assert m.crs == "USER" and m.proj["k0"] == params["k0"]
+    assert m.proj["a"] == params["a"] and m.proj["inv_f"] == params["inv_f"]
+    pj = projection_from_params(m.proj)
+    pdf = tiff_pixel_table(spark, path).toPandas()
+    want_lon, want_lat = pj.inverse(
+        np.array([float(x[0]) + 500.0]), np.array([float(y[0]) - 500.0])
+    )
+    top = pdf[(pdf.px == 0) & (pdf.py == 2)].iloc[0]
+    assert top.lon == want_lon[0] and top.lat == want_lat[0]
