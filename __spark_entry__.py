@@ -112,6 +112,68 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMP_N, SIMP_TOL = 48, 0.35
+
+
+def _simplify_ring(zid: int) -> "np.ndarray":
+    """Deterministic dense star ring for zone ``zid``: 48 vertices around
+    the zone centroid with zone-dependent harmonic radii — enough
+    vertices that Douglas–Peucker does real work (the 4-7-vertex fixture
+    polygons barely simplify)."""
+    import math
+
+    import numpy as np
+
+    cx, cy = polygon_centroid(ADMIN_POLYS[zid])
+    k = np.arange(SIMP_N, dtype=np.float64)
+    th = 2.0 * math.pi * k / SIMP_N
+    r = 6.0 * (
+        1.0
+        + 0.3 * np.sin(5.0 * th + zid * 0.3)
+        + 0.15 * np.sin(9.0 * th + 1.0 + 0.7 * zid)
+    )
+    return np.column_stack([cx + r * np.cos(th), cy + 0.7 * r * np.sin(th)])
+
+
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology-preserving Douglas–Peucker simplification (reference
+    simplify_geometries, processing/geo.py:480-520 — shapely.simplify
+    with preserve_topology=True). Dense 48-vertex star rings per zone
+    are simplified by the from-scratch iterative-stack DP
+    (geo.simplify_polyline inside simplify_ring_preserve_topology); the
+    oracle replays the ENTIRE recursion in a DuckDB recursive CTE —
+    interval splitting, the exact |cross|/len point-line distance
+    doubles (the kernel uses explicit sqrt(x²+y²) precisely so SQL can
+    match it bit-for-bit), first-argmax tie rule, the closed-ring
+    zero-length top segment — so kept-vertex MEMBERSHIP itself is under
+    the hash, not just counts. Dim-side compute (the q_utm_area
+    pattern); the tolerance is chosen so the repair loop never fires,
+    asserted here so a drift would fail loudly rather than mismatch."""
+    import numpy as np
+
+    from giga_spatial_spark.functions.geo import (
+        ring_is_simple,
+        simplify_polyline,
+        simplify_ring_preserve_topology,
+    )
+
+    rows = []
+    for zid in sorted(ADMIN_POLYS):
+        ring = _simplify_ring(zid)
+        closed = np.vstack([ring, ring[:1]])
+        one_pass = simplify_polyline(closed, SIMP_TOL)[:-1]
+        assert len(one_pass) >= 3 and ring_is_simple(one_pass), zid
+        out = simplify_ring_preserve_topology(ring, SIMP_TOL)
+        assert np.array_equal(out, one_pass), zid
+        checksum = int(
+            np.round(out[:, 0] * 1e6).sum() + np.round(out[:, 1] * 1e6).sum()
+        )
+        rows.append((zid, len(out), checksum))
+    return spark.createDataFrame(
+        rows, "zone_id bigint, n_kept bigint, checksum bigint"
+    )
+
+
 def q_custom_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregation CALLABLE per zone (reference sample_by_polygons
     stat=callable, tif_processor.py:1029-1046): an arbitrary Python
@@ -2762,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zonal_count": q_zonal_count,
         "q_zonal_stats": q_zonal_stats,
         "q_custom_agg": q_custom_agg,
+        "q_simplify": q_simplify,
         "q_knn_nearest": q_knn_nearest,
         "q_knn_grid": q_knn_grid,
         "q_hex_ring": q_hex_ring,
@@ -2956,6 +3019,64 @@ def oracle_sql() -> dict[str, str]:
         "FROM pip GROUP BY zone_id) "
         "SELECT z.zone_id, coalesce(a.n_count, 0) AS n_count, a.n_sum, a.n_max, a.n_median "
         "FROM z LEFT JOIN a USING (zone_id)"
+    )
+
+    # Douglas-Peucker replay: the full interval recursion as a recursive
+    # CTE; distances are the kernel's exact doubles (explicit sqrt form),
+    # argmax ties resolve to the first index (the numpy argmax rule)
+    simp_cents = ", ".join(
+        f"({zid}, {cx!r}, {cy!r})"
+        for zid, (cx, cy) in (
+            (z, polygon_centroid(p)) for z, p in sorted(ADMIN_POLYS.items())
+        )
+    )
+    _sth = f"(2.0 * pi() * (i % {SIMP_N}) / {SIMP_N}.0)"
+    _sr = (
+        f"(6.0 * (1.0 + 0.3 * sin(5.0 * {_sth} + z * 0.3) "
+        f"+ 0.15 * sin(9.0 * {_sth} + 1.0 + 0.7 * z)))"
+    )
+
+    def _dp_d(mx: str, my: str) -> str:
+        segx, segy = "(b.x - a.x)", "(b.y - a.y)"
+        L = f"sqrt({segx}*{segx} + {segy}*{segy})"
+        dx, dy = f"({mx} - a.x)", f"({my} - a.y)"
+        return (
+            f"(CASE WHEN {L} = 0 THEN sqrt({dx}*{dx} + {dy}*{dy}) "
+            f"ELSE abs({segx}*{dy} - {segy}*{dx}) / {L} END)"
+        )
+
+    _dm, _dj = _dp_d("m.x", "m.y"), _dp_d("j.x", "j.y")
+    simplify_dp = (
+        "WITH RECURSIVE "
+        f"c(z, cx, cy) AS (VALUES {simp_cents}), "
+        f"v AS (SELECT z, i, cx + {_sr} * cos({_sth}) AS x, "
+        f"cy + 0.7 * {_sr} * sin({_sth}) AS y "
+        f"FROM c, range({SIMP_N + 1}) t(i)), "
+        "iv(z, s, e) AS ("
+        f"  SELECT z, 0, {SIMP_N} FROM c "
+        "  UNION ALL "
+        "  SELECT q.z, CASE WHEN t.side = 0 THEN q.s ELSE q.k END, "
+        "         CASE WHEN t.side = 0 THEN q.k ELSE q.e END "
+        "  FROM ("
+        "    SELECT iv.z, iv.s, iv.e, m.i AS k "
+        "    FROM iv "
+        "    JOIN v a ON a.z = iv.z AND a.i = iv.s "
+        "    JOIN v b ON b.z = iv.z AND b.i = iv.e "
+        "    JOIN v m ON m.z = iv.z AND m.i > iv.s AND m.i < iv.e "
+        f"    WHERE {_dm} > {SIMP_TOL!r} "
+        "      AND NOT EXISTS ("
+        "        SELECT 1 FROM v j "
+        "        WHERE j.z = iv.z AND j.i > iv.s AND j.i < iv.e "
+        f"          AND ({_dj} > {_dm} OR ({_dj} = {_dm} AND j.i < m.i)))"
+        "  ) q CROSS JOIN (VALUES (0), (1)) t(side)"
+        "), "
+        "kept AS (SELECT DISTINCT z, s AS i FROM iv "
+        f"         UNION SELECT DISTINCT z, e FROM iv WHERE e < {SIMP_N}) "
+        "SELECT k2.z AS zone_id, count(*) AS n_kept, "
+        "cast(sum(cast(round(v.x * 1e6, 0) as bigint) "
+        "+ cast(round(v.y * 1e6, 0) as bigint)) as bigint) AS checksum "
+        "FROM (SELECT DISTINCT z, i FROM kept) k2 JOIN v USING (z, i) "
+        "GROUP BY 1"
     )
 
     custom_agg = (
@@ -3697,6 +3818,7 @@ FROM m""",
         ),
         "q_zonal_stats": zonal_stats,
         "q_custom_agg": custom_agg,
+        "q_simplify": simplify_dp,
         "q_knn_nearest": knn,
         "q_knn_grid": knn,
         "q_hex_ring": hex_ring,

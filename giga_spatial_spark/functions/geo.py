@@ -112,11 +112,15 @@ def simplify_polyline(points: np.ndarray, tolerance: float) -> np.ndarray:
         if e <= s + 1:
             continue
         seg = points[e] - points[s]
-        seg_len = np.hypot(*seg)
+        # explicit sqrt(x²+y²) rather than np.hypot: hypot's extra
+        # guard-digit path has no SQL twin, and the DuckDB oracle must
+        # reproduce these doubles bit-for-bit (q_simplify)
+        seg_len = np.sqrt(seg[0] * seg[0] + seg[1] * seg[1])
+        diff = points[s + 1 : e] - points[s]
         if seg_len == 0:
-            d = np.hypot(*(points[s + 1 : e] - points[s]).T)
+            d = np.sqrt(diff[:, 0] * diff[:, 0] + diff[:, 1] * diff[:, 1])
         else:
-            d = np.abs(np.cross(seg, points[s + 1 : e] - points[s])) / seg_len
+            d = np.abs(np.cross(seg, diff)) / seg_len
         idx = int(np.argmax(d))
         if d[idx] > tolerance:
             k = s + 1 + idx
