@@ -155,6 +155,13 @@ def main() -> None:
         "q_quadkey_compact",
         "q_h3_compact",
         "q_utm_project",
+        "q_geotiff_albers",
+        "q_geotiff_lcc",
+        "q_geotiff_polar",
+        "q_geotiff_custom_crs",
+        "q_cog_overview",
+        "q_custom_agg",
+        "q_simplify",
     ]:
         queries[name] = timed(
             lambda n=name: Q[n](spark, SF_DIR).write.mode("overwrite").format("noop").save()
@@ -170,7 +177,9 @@ def main() -> None:
         "q_los", "q_pip_shp", "q_pip_fgb", "q_geotiff_laea", "q_iso3",
         "q_multimodal_meta", "q_h3_parent", "q_h3_events", "q_coord_repair",
         "q_utm_pixels", "q_quadkey_compact", "q_h3_compact",
-        "q_utm_project",
+        "q_utm_project", "q_geotiff_albers", "q_geotiff_lcc",
+        "q_geotiff_polar", "q_geotiff_custom_crs", "q_cog_overview",
+        "q_custom_agg", "q_simplify",
     }
     r3_comparable = round(
         sum(v for k, v in queries.items() if k not in r4_new | r5_new), 3
