@@ -174,6 +174,62 @@ def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _messy_url_expr():
+    """Deterministic messy URL for each doc_id — five superficial
+    variants per base id (scheme case, WWW case, explicit default port,
+    utm_ tracking params, parameter order + fragment) that must all
+    canonicalize to the same URL. Pure column arithmetic so the oracle
+    rebuilds identical strings in SQL."""
+    base = (F.col("doc_id") / 5).cast("bigint")
+    v = F.col("doc_id") % 5
+    site = F.concat(F.lit("site"), (base % 97).cast("string"), F.lit(".example.org"))
+    path = F.concat(F.lit("/docs/"), (base % 13).cast("string"), F.lit("/page"), base.cast("string"))
+    pa = F.concat(F.lit("a="), (base % 7).cast("string"))
+    pb = F.concat(F.lit("b="), (base % 11).cast("string"))
+    return (
+        F.when(v == 0, F.concat(F.lit("https://"), site, path, F.lit("?"), pa, F.lit("&"), pb))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), F.lit("WwW."), site, path, F.lit("?"), pa, F.lit("&"), pb))
+        .when(v == 2, F.concat(F.lit("https://"), site, F.lit(":443"), path, F.lit("?"), pa, F.lit("&"), pb))
+        .when(v == 3, F.concat(F.lit("https://"), site, path, F.lit("?utm_source=x&"), pa, F.lit("&"), pb, F.lit("&utm_campaign=y")))
+        .otherwise(F.concat(F.lit("https://"), site, path, F.lit("?"), pb, F.lit("&"), pa, F.lit("#section-2")))
+    )
+
+
+def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (training-data pipeline surface: the web
+    corpus's pre-content dedup key; input_hint keys rows by url). Five
+    messy variants per base id — scheme/host case, explicit :443,
+    utm_* tracking params, shuffled parameter order, fragments — are
+    built by pure column arithmetic, canonicalized by the native
+    expression pipeline (functions/url.canonical_url_expr: zero Python,
+    whole-stage codegen), and grouped: every base must collapse to ONE
+    canonical URL (www variants intentionally survive as distinct
+    hosts — canonicalization is not host folding). The oracle rebuilds
+    the same messy strings in SQL and canonicalizes with DuckDB's own
+    regex/list machinery (url.canonical_url_sql)."""
+    from giga_spatial_spark.functions.url import canonical_url_expr, url_host_expr
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") < 5000)
+    )
+    urls = docs.withColumn("url", _messy_url_expr())
+    canon = urls.select(
+        "doc_id",
+        canonical_url_expr(F.col("url")).alias("curl"),
+        url_host_expr(F.col("url")).alias("host"),
+    )
+    return (
+        canon.groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+        .where(F.col("n_variants") >= 2)
+    )
+
+
 def q_custom_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregation CALLABLE per zone (reference sample_by_polygons
     stat=callable, tif_processor.py:1029-1046): an arbitrary Python
@@ -2825,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zonal_stats": q_zonal_stats,
         "q_custom_agg": q_custom_agg,
         "q_simplify": q_simplify,
+        "q_canonical_url": q_canonical_url,
         "q_knn_nearest": q_knn_nearest,
         "q_knn_grid": q_knn_grid,
         "q_hex_ring": q_hex_ring,
@@ -3077,6 +3134,37 @@ def oracle_sql() -> dict[str, str]:
         "+ cast(round(v.y * 1e6, 0) as bigint)) as bigint) AS checksum "
         "FROM (SELECT DISTINCT z, i FROM kept) k2 JOIN v USING (z, i) "
         "GROUP BY 1"
+    )
+
+    from giga_spatial_spark.functions import url as _url
+
+    _ub = "cast(doc_id // 5 as bigint)"
+    _uv = "(doc_id % 5)"
+    _usite = f"('site' || ({_ub} % 97) || '.example.org')"
+    _upath = f"('/docs/' || ({_ub} % 13) || '/page' || {_ub})"
+    _upa = f"('a=' || ({_ub} % 7))"
+    _upb = f"('b=' || ({_ub} % 11))"
+    _umessy = (
+        f"(CASE {_uv} "
+        f"WHEN 0 THEN 'https://' || {_usite} || {_upath} || '?' || {_upa} || '&' || {_upb} "
+        f"WHEN 1 THEN 'HTTPS://' || 'WwW.' || {_usite} || {_upath} || '?' || {_upa} || '&' || {_upb} "
+        f"WHEN 2 THEN 'https://' || {_usite} || ':443' || {_upath} || '?' || {_upa} || '&' || {_upb} "
+        f"WHEN 3 THEN 'https://' || {_usite} || {_upath} || '?utm_source=x&' || {_upa} || '&' || {_upb} || '&utm_campaign=y' "
+        f"ELSE 'https://' || {_usite} || {_upath} || '?' || {_upb} || '&' || {_upa} || '#section-2' END)"
+    )
+    _uhost = (
+        "regexp_replace(lower(regexp_extract(regexp_extract("
+        "regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), "
+        "'^([^/?#]*)', 1), '^([^:]*)', 1)), '\\.$', '')"
+    )
+    canonical_url = (
+        f"WITH u AS (SELECT doc_id, {_umessy} AS url FROM documents "
+        "WHERE doc_id < 5000), "
+        f"c AS (SELECT doc_id, {_url.canonical_url_sql('url')} AS curl, "
+        f"{_uhost} AS host FROM u) "
+        "SELECT curl, count(*) AS n_variants, "
+        "count(DISTINCT host) AS n_hosts "
+        "FROM c GROUP BY curl HAVING count(*) >= 2"
     )
 
     custom_agg = (
@@ -3819,6 +3907,7 @@ FROM m""",
         "q_zonal_stats": zonal_stats,
         "q_custom_agg": custom_agg,
         "q_simplify": simplify_dp,
+        "q_canonical_url": canonical_url,
         "q_knn_nearest": knn,
         "q_knn_grid": knn,
         "q_hex_ring": hex_ring,

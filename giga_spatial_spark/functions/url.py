@@ -1,0 +1,106 @@
+"""URL canonicalization — pure native column expressions, zero Python.
+
+A web-corpus engine's most common dedup key after content digests is the
+canonical URL (the input_hint table keys rows by ``url``; Common-Crawl
+pipelines collapse scheme/case/port/param-order/tracking variants before
+content dedup). The reference has no URL ops (its entities key on UUID3,
+entity_processor.py:1155) — this module is part of the training-data
+pipeline surface the build brief adds. Everything is built from
+regexp_extract / split / array ops so it stays inside whole-stage
+codegen and has a 1:1 DuckDB twin for the q_canonical_url oracle.
+
+Canonical form (documented choices, applied in this order):
+
+  1. fragment stripped (``#...``),
+  2. scheme and host lowercased; trailing dot of the host dropped,
+  3. default ports removed (``:80`` for http, ``:443`` for https;
+     other ports kept),
+  4. empty path becomes ``/``,
+  5. query parameters: empty fragments and ``utm_*`` tracking params
+     dropped, the rest sorted bytewise and re-joined with ``&``; an
+     emptied query drops its ``?``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def canonical_url_expr(col: Column) -> Column:
+    """Canonical URL as a native column expression (codegen-friendly)."""
+    u = F.regexp_replace(col, "#.*$", "")  # 1. fragment
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, "^([^/?]*)", 1)
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, "^([^:]*)", 1)), "\\.$", ""
+    )
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == "80"))
+        & ~((scheme == F.lit("https")) & (port == "443"))
+    )
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    qjoined = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qjoined != "", F.concat(F.lit("?"), qjoined)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_host_expr(col: Column) -> Column:
+    """Lowercased host (no port, no trailing dot) — the groupBy key for
+    per-site statistics."""
+    rest = F.regexp_replace(col, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, "^([^/?#]*)", 1)
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, "^([^:]*)", 1)), "\\.$", ""
+    )
+
+
+def canonical_url_sql(col: str) -> str:
+    """DuckDB twin of canonical_url_expr — identical step order; RE2 and
+    Java regex agree on every pattern used (no lookaround, no classes
+    that differ)."""
+    u = f"regexp_replace({col}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    hostport = f"regexp_extract({rest}, '^([^/?]*)', 1)"
+    pathq = f"regexp_replace({rest}, '^[^/?]*', '')"
+    host = (
+        f"regexp_replace(lower(regexp_extract({hostport}, '^([^:]*)', 1)), "
+        "'\\.$', '')"
+    )
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    keep_port = (
+        f"({port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80') "
+        f"AND NOT ({scheme} = 'https' AND {port} = '443'))"
+    )
+    path = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    path = f"(CASE WHEN {path} = '' THEN '/' ELSE {path} END)"
+    query = f"regexp_extract({pathq}, '\\?(.*)$', 1)"
+    qjoined = (
+        f"array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        "p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')"
+    )
+    return (
+        f"({scheme} || '://' || {host} || "
+        f"(CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) || {path} || "
+        f"(CASE WHEN {qjoined} <> '' THEN '?' || {qjoined} ELSE '' END))"
+    )

@@ -133,3 +133,52 @@ def test_entity_gold_flow(spark):
     assert quarantine.count() == 1          # lon 200 quarantined
     assert len(g) == 1                      # "site a" deduped by identical id
     assert g["kind"].iloc[0] in (None, "school")
+
+
+def test_canonical_url_expr_and_sql_twin(spark):
+    """URL canonicalization: scheme/host case, default-port strip,
+    empty-path slash, trailing host dot, utm_* removal, parameter
+    sorting, fragment strip — Spark native expression and the DuckDB
+    twin produce the identical canonical string for every tricky case."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from giga_spatial_spark.functions.url import (
+        canonical_url_expr,
+        canonical_url_sql,
+        url_host_expr,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/a/b?z=1&a=2#frag",
+         "https://www.example.com/a/b?a=2&z=1"),
+        ("http://example.org:80", "http://example.org/"),
+        ("http://example.org:8080/x", "http://example.org:8080/x"),
+        ("https://host.example.", "https://host.example/"),
+        ("https://h.io/p?utm_source=t&b=2&utm_campaign=c&a=1",
+         "https://h.io/p?a=1&b=2"),
+        ("https://h.io/p?utm_source=only", "https://h.io/p"),
+        ("https://h.io/p?&&a=1&", "https://h.io/p?a=1"),
+        ("ftp://Files.example.net:21/pub", "ftp://files.example.net:21/pub"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = (
+        df.select("url", canonical_url_expr(F.col("url")).alias("c"))
+        .toPandas().set_index("url")["c"]
+    )
+    for u, want in cases:
+        assert got[u] == want, (u, got[u])
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"url": [u for u, _ in cases]}))
+    sql = con.execute(
+        f"SELECT url, {canonical_url_sql('url')} AS c FROM t"
+    ).df().set_index("url")["c"]
+    for u, want in cases:
+        assert sql[u] == want, ("sql", u, sql[u])
+    # host extraction handles ports, fragments and bare hosts
+    hosts = df.select(url_host_expr(F.col("url")).alias("h")).toPandas()["h"]
+    assert set(hosts) == {
+        "www.example.com", "example.org", "host.example", "h.io",
+        "files.example.net",
+    }
