@@ -23,7 +23,9 @@ Layout:
                  normalize, ann
   functions/   — text (html→text, tokenize, lang-id, quality), hashing
                  (minhash/simhash), vectors (cosine / dot)
-  sources/     — webpages generator, format-dispatch readers
+  sources/     — webpages generator, format-dispatch readers, GeoTIFF
+                 codec + COG sink (8 CRS families incl. user-defined
+                 GeoKey parameters)
   plans/       — lineage checkpoint / resume manifests
   streaming/   — structured-streaming pipelines over the events table
 """

@@ -859,3 +859,53 @@ def write_cog(
             for t in lv["tiles"]:
                 f.write(t)
     return path
+
+
+COG_PIXEL_LIMIT = 200_000_000  # ~1.6 GB of float64 samples on the driver
+
+
+def pixel_table_to_cog(
+    df,
+    path: str,
+    width: int,
+    height: int,
+    lon0: float,
+    lat1: float,
+    dx: float,
+    dy: float,
+    nodata: float = -9999.0,
+    value_col: str = "value",
+    crs=None,
+    max_pixels: int = COG_PIXEL_LIMIT,
+    **cog_kw,
+) -> str:
+    """Bridge a (px, py, value) pixel-table DataFrame to the COG sink —
+    the reference's to_cog writes rasters it holds as arrays
+    (tif_processor.py:2079); the engine's raster currency is the pixel
+    table, so this collects the table into the dense grid and hands it
+    to write_cog. A raster is bounded by its GRID, not the corpus, but
+    the collect is still size-guarded (the ann.GEMM_CORPUS_LIMIT
+    pattern): callers with a larger canvas should tile it into multiple
+    COGs rather than assemble one giant mosaic on the driver.
+
+    ``py`` follows the pixel-table convention (counted from the SOUTH
+    edge, operators/raster.py); missing pixels become nodata."""
+    n_px = width * height
+    if n_px > max_pixels:
+        raise ValueError(
+            f"pixel_table_to_cog: {width}x{height} = {n_px:,} pixels "
+            f"exceeds the driver-assembly guard ({max_pixels:,}); write "
+            "the canvas as multiple COG tiles (one pixel_table_to_cog "
+            "per sub-grid) instead of one driver-side mosaic"
+        )
+    pdf = df.select("px", "py", value_col).toPandas()
+    grid = np.full((height, width), float(nodata), dtype=np.float64)
+    rows = (height - 1 - pdf["py"].to_numpy(dtype=np.int64))
+    cols = pdf["px"].to_numpy(dtype=np.int64)
+    vals = pdf[value_col].to_numpy(dtype=np.float64)
+    keep = ~np.isnan(vals)
+    grid[rows[keep], cols[keep]] = vals[keep]
+    return write_cog(
+        path, grid, lon0=lon0, lat1=lat1, dx=dx, dy=dy, nodata=nodata,
+        crs=crs, **cog_kw,
+    )

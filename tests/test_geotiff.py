@@ -742,3 +742,39 @@ def test_transverse_mercator_osgb_anchor(spark, tmp_path):
     )
     top = pdf[(pdf.px == 0) & (pdf.py == 2)].iloc[0]
     assert top.lon == want_lon[0] and top.lat == want_lat[0]
+
+
+def test_pixel_table_to_cog_round_trip(spark, tmp_path):
+    """DataFrame pixel table → COG → pixel table is the identity (nodata
+    and missing pixels both become NULL), and the canvas guard raises
+    with the multi-tile guidance before any collect."""
+    import numpy as np
+    import pytest as _p
+
+    from giga_spatial_spark.operators.raster import RasterMeta, synthetic_raster
+    from giga_spatial_spark.sources.geotiff import (
+        pixel_table_to_cog,
+        read_tiff_ifds,
+        tiff_pixel_table,
+    )
+
+    meta = RasterMeta(width=90, height=40)
+    pixels = synthetic_raster(spark, meta)
+    path = str(tmp_path / "from_df.tif")
+    pixel_table_to_cog(
+        pixels, path, width=meta.width, height=meta.height,
+        lon0=meta.lon0, lat1=meta.lat1, dx=meta.dx, dy=meta.dy,
+        nodata=-9999.0, crs="EPSG:4326", min_overview_size=32,
+    )
+    assert len(read_tiff_ifds(path)) >= 2  # pyramid built
+    back = tiff_pixel_table(spark, path).toPandas().sort_values(["py", "px"])
+    want = synthetic_raster(spark, meta).toPandas().sort_values(["py", "px"])
+    gv = back["value"].to_numpy(dtype=float)
+    wv = want["value"].to_numpy(dtype=float)
+    assert np.array_equal(np.isnan(gv), np.isnan(wv))
+    assert np.array_equal(gv[~np.isnan(gv)], wv[~np.isnan(wv)])
+    with _p.raises(ValueError, match="multiple COG tiles"):
+        pixel_table_to_cog(
+            pixels, path, width=100_000, height=100_000,
+            lon0=0, lat1=0, dx=1, dy=1,
+        )
