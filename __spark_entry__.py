@@ -604,6 +604,27 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1 —
+    the standard LLM-corpus signals beyond q_token_stats' length/punct
+    family): per-doc top-word share, duplicate-word fraction and top-
+    bigram share in exact ppm, aggregated per language. All native
+    (split/transform/explode, one (doc, term)-keyed shuffle per
+    histogram); the oracle rebuilds both histograms with DuckDB's own
+    unnest/list machinery."""
+    from giga_spatial_spark.functions.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = repetition_stats(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n_words").alias("words_sum"),
+        F.sum("top_word_ppm").alias("top_word_ppm_sum"),
+        F.sum("dup_word_ppm").alias("dup_word_ppm_sum"),
+        F.sum("top_bigram_ppm").alias("top_bigram_ppm_sum"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-scoring language-ID heuristic: confusion counts of
     (actual lang, predicted lang)."""
@@ -2882,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_custom_agg": q_custom_agg,
         "q_simplify": q_simplify,
         "q_canonical_url": q_canonical_url,
+        "q_quality_repetition": q_quality_repetition,
         "q_knn_nearest": q_knn_nearest,
         "q_knn_grid": q_knn_grid,
         "q_hex_ring": q_hex_ring,
@@ -3908,6 +3930,31 @@ FROM m""",
         "q_custom_agg": custom_agg,
         "q_simplify": simplify_dp,
         "q_canonical_url": canonical_url,
+        "q_quality_repetition": (
+            "WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS w, "
+            "len(string_split(text, ' ')) AS n, "
+            "len(list_distinct(string_split(text, ' '))) AS nd FROM documents), "
+            "wx AS (SELECT doc_id, unnest(w) AS word FROM b), "
+            "wt AS (SELECT doc_id, max(c) AS topw FROM "
+            "(SELECT doc_id, word, count(*) AS c FROM wx GROUP BY 1, 2) GROUP BY 1), "
+            "gi AS (SELECT doc_id, w, unnest(generate_series(1, n - 1)) AS i "
+            "FROM b WHERE n >= 2), "
+            "gx AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram FROM gi), "
+            "gt AS (SELECT doc_id, max(c) AS topg FROM "
+            "(SELECT doc_id, gram, count(*) AS c FROM gx GROUP BY 1, 2) GROUP BY 1), "
+            "per AS (SELECT b.lang, b.n, "
+            "cast(round(1e6 * wt.topw / b.n, 0) as bigint) AS twp, "
+            "cast(round(1e6 * (b.n - b.nd) / b.n, 0) as bigint) AS dwp, "
+            "CASE WHEN b.n >= 2 THEN cast(round(1e6 * gt.topg / (b.n - 1), 0) as bigint) "
+            "ELSE 0 END AS tbp "
+            "FROM b JOIN wt USING (doc_id) LEFT JOIN gt USING (doc_id)) "
+            "SELECT lang, count(*) AS doc_count, "
+            "cast(sum(n) as bigint) AS words_sum, "
+            "cast(sum(twp) as bigint) AS top_word_ppm_sum, "
+            "cast(sum(dwp) as bigint) AS dup_word_ppm_sum, "
+            "cast(sum(tbp) as bigint) AS top_bigram_ppm_sum "
+            "FROM per GROUP BY lang"
+        ),
         "q_knn_nearest": knn,
         "q_knn_grid": knn,
         "q_hex_ring": hex_ring,

@@ -162,6 +162,8 @@ def main() -> None:
         "q_cog_overview",
         "q_custom_agg",
         "q_simplify",
+        "q_canonical_url",
+        "q_quality_repetition",
     ]:
         queries[name] = timed(
             lambda n=name: Q[n](spark, SF_DIR).write.mode("overwrite").format("noop").save()
@@ -179,7 +181,8 @@ def main() -> None:
         "q_utm_pixels", "q_quadkey_compact", "q_h3_compact",
         "q_utm_project", "q_geotiff_albers", "q_geotiff_lcc",
         "q_geotiff_polar", "q_geotiff_custom_crs", "q_cog_overview",
-        "q_custom_agg", "q_simplify",
+        "q_custom_agg", "q_simplify", "q_canonical_url",
+        "q_quality_repetition",
     }
     r3_comparable = round(
         sum(v for k, v in queries.items() if k not in r4_new | r5_new), 3

@@ -254,3 +254,63 @@ def quality_sqls(text_col: str) -> dict[str, str]:
         "punct_ratio": f"round({punct} / greatest({length}, 1), 4)",
         "mean_token_len": f"round(({length} - {tokens} + 1) / greatest({tokens}, 1), 2)",
     }
+
+
+def repetition_stats(docs, text_col: str = "text", doc_id: str = "doc_id"):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters — the standard LLM-corpus quality
+    family beyond length/punct/stopword stats): fraction of tokens taken
+    by the single most frequent word, duplicate-word fraction, and the
+    most frequent word-bigram's share. All native (split / transform /
+    explode / groupBy — per-doc histograms are one shuffle keyed by
+    (doc, term), scale-safe); ratios returned in rounded parts-per-
+    million so cross-engine sums stay exact."""
+    from pyspark.sql import functions as F
+
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        doc_id,
+        words.alias("__w"),
+        F.size(words).alias("__n"),
+        F.size(F.array_distinct(words)).alias("__nd"),
+    )
+    wtop = (
+        base.select(doc_id, "__n", F.explode("__w").alias("w"))
+        .groupBy(doc_id, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(doc_id)
+        .agg(F.max("c").alias("__topw"))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.col("__n") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__w", i + 1), F.element_at("__w", i + 2)
+        ),
+    )
+    gtop = (
+        base.where(F.col("__n") >= 2)
+        .select(doc_id, F.explode(grams).alias("g"))
+        .groupBy(doc_id, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(doc_id)
+        .agg(F.max("c").alias("__topg"))
+    )
+    out = (
+        base.join(wtop, doc_id).join(gtop, doc_id, "left")
+        .select(
+            doc_id,
+            F.col("__n").alias("n_words"),
+            F.round(F.lit(1e6) * F.col("__topw") / F.col("__n"))
+            .cast("bigint").alias("top_word_ppm"),
+            F.round(
+                F.lit(1e6) * (F.col("__n") - F.col("__nd")) / F.col("__n")
+            ).cast("bigint").alias("dup_word_ppm"),
+            F.when(
+                F.col("__n") >= 2,
+                F.round(
+                    F.lit(1e6) * F.col("__topg") / (F.col("__n") - 1)
+                ).cast("bigint"),
+            ).otherwise(F.lit(0)).alias("top_bigram_ppm"),
+        )
+    )
+    return out
