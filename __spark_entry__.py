@@ -625,6 +625,56 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the standard corpus-prep privacy pass (mask
+    emails and IPv4 addresses before training-data release). Native
+    regexp_extract_all (counts) + regexp_replace (masks), zero Python;
+    both patterns are written in the Java∩RE2 common dialect (greedy,
+    alternation-free character classes) so Spark's regex engine and
+    DuckDB's RE2 find identical matches — the oracle plants the same
+    deterministic PII into the text in SQL, redacts with DuckDB's OWN
+    regexp_replace(…, 'g'), and the per-language min/max digests of the
+    redacted strings hash-match, proving byte-identical redaction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), b.cast("string"),
+        F.lit("@mail"), (b % 7).cast("string"),
+        F.lit(".example.com or admin at host "),
+        F.lit("10."), (b % 250).cast("string"),
+        F.lit("."), ((b * 7) % 250).cast("string"),
+        F.lit("."), (b % 9).cast("string"),
+        F.lit(" version 1.2 end"),
+    )
+    t = docs.select("doc_id", "lang", planted.alias("ptext"))
+    red = t.select(
+        "lang",
+        F.size(F.regexp_extract_all(F.col("ptext"), F.lit(PII_EMAIL_RE), 0))
+        .cast("bigint").alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("ptext"), F.lit(PII_IP_RE), 0))
+        .cast("bigint").alias("n_ip"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(F.col("ptext"), PII_EMAIL_RE, "[EMAIL]"),
+                PII_IP_RE,
+                "[IP]",
+            ).cast("binary")
+        ).alias("digest"),
+    )
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n_email").alias("emails_sum"),
+        F.sum("n_ip").alias("ips_sum"),
+        F.min("digest").alias("min_digest"),
+        F.max("digest").alias("max_digest"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-scoring language-ID heuristic: confusion counts of
     (actual lang, predicted lang)."""
@@ -2904,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simplify": q_simplify,
         "q_canonical_url": q_canonical_url,
         "q_quality_repetition": q_quality_repetition,
+        "q_pii_redact": q_pii_redact,
         "q_knn_nearest": q_knn_nearest,
         "q_knn_grid": q_knn_grid,
         "q_hex_ring": q_hex_ring,
@@ -3930,6 +3981,22 @@ FROM m""",
         "q_custom_agg": custom_agg,
         "q_simplify": simplify_dp,
         "q_canonical_url": canonical_url,
+        "q_pii_redact": (
+            "WITH p AS (SELECT doc_id, lang, text || ' contact user' || doc_id "
+            "|| '@mail' || (doc_id % 7) || '.example.com or admin at host ' "
+            "|| '10.' || (doc_id % 250) || '.' || ((doc_id * 7) % 250) || '.' "
+            "|| (doc_id % 9) || ' version 1.2 end' AS ptext FROM documents), "
+            "r AS (SELECT lang, "
+            f"cast(len(regexp_extract_all(ptext, '{PII_EMAIL_RE}')) as bigint) AS n_email, "
+            f"cast(len(regexp_extract_all(ptext, '{PII_IP_RE}')) as bigint) AS n_ip, "
+            f"md5(regexp_replace(regexp_replace(ptext, '{PII_EMAIL_RE}', "
+            f"'[EMAIL]', 'g'), '{PII_IP_RE}', '[IP]', 'g')) AS digest FROM p) "
+            "SELECT lang, count(*) AS doc_count, "
+            "cast(sum(n_email) as bigint) AS emails_sum, "
+            "cast(sum(n_ip) as bigint) AS ips_sum, "
+            "min(digest) AS min_digest, max(digest) AS max_digest "
+            "FROM r GROUP BY lang"
+        ),
         "q_quality_repetition": (
             "WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS w, "
             "len(string_split(text, ' ')) AS n, "
