@@ -675,6 +675,54 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 3  # contamination n-gram width (3: the synthetic vocab is small enough that real overlaps exist, so the flag path is exercised)
+DECON_MOD = 101  # doc_id % MOD == 0 → benchmark member
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents sharing any
+    word n-gram with a held-out benchmark set (the standard n-gram
+    overlap test applied before training-data release; the benchmark
+    here is the deterministic doc_id % 101 == 0 slice standing in for
+    an external eval set). Spark-first shape: the benchmark's distinct
+    grams are a BROADCAST dim (eval sets are small by nature), the
+    corpus side explodes its grams once and left-semi joins — one
+    shuffle-free broadcast probe per corpus gram, then a distinct on
+    flagged doc ids. The oracle rebuilds both gram sets with DuckDB
+    list machinery and intersects them."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - DECON_N),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + k) for k in range(1, DECON_N + 1)]
+            ),
+        )
+    )
+    g = docs.where(F.size(words) >= DECON_N).select(
+        "doc_id", "lang", F.explode(grams).alias("gram")
+    )
+    bench = g.where(F.col("doc_id") % DECON_MOD == 0).select("gram").distinct()
+    corpus = g.where(F.col("doc_id") % DECON_MOD != 0)
+    flagged = (
+        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    total = (
+        docs.where(F.col("doc_id") % DECON_MOD != 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    hits = flagged.groupBy("lang").agg(F.count(F.lit(1)).alias("n_flagged"))
+    return total.join(hits, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce(F.col("n_flagged"), F.lit(0)).alias("n_flagged"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-scoring language-ID heuristic: confusion counts of
     (actual lang, predicted lang)."""
@@ -2955,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_canonical_url": q_canonical_url,
         "q_quality_repetition": q_quality_repetition,
         "q_pii_redact": q_pii_redact,
+        "q_decontaminate": q_decontaminate,
         "q_knn_nearest": q_knn_nearest,
         "q_knn_grid": q_knn_grid,
         "q_hex_ring": q_hex_ring,
@@ -3981,6 +4030,24 @@ FROM m""",
         "q_custom_agg": custom_agg,
         "q_simplify": simplify_dp,
         "q_canonical_url": canonical_url,
+        "q_decontaminate": (
+            "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws, "
+            "len(string_split(text, ' ')) AS n FROM documents), "
+            f"g AS (SELECT doc_id, lang, unnest(list_distinct(list_transform("
+            f"generate_series(1, n - {DECON_N - 1}), "
+            f"i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram "
+            f"FROM w WHERE n >= {DECON_N}), "
+            f"bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0), "
+            f"corpus AS (SELECT * FROM g WHERE doc_id % {DECON_MOD} <> 0), "
+            "flagged AS (SELECT DISTINCT doc_id, lang FROM corpus "
+            "WHERE gram IN (SELECT gram FROM bench)), "
+            f"total AS (SELECT lang, count(*) AS n_docs FROM documents "
+            f"WHERE doc_id % {DECON_MOD} <> 0 GROUP BY lang), "
+            "hits AS (SELECT lang, count(*) AS n_flagged FROM flagged GROUP BY lang) "
+            "SELECT total.lang, total.n_docs, "
+            "coalesce(hits.n_flagged, 0) AS n_flagged "
+            "FROM total LEFT JOIN hits USING (lang)"
+        ),
         "q_pii_redact": (
             "WITH p AS (SELECT doc_id, lang, text || ' contact user' || doc_id "
             "|| '@mail' || (doc_id % 7) || '.example.com or admin at host ' "
