@@ -274,3 +274,51 @@ def test_streaming_h3_rollup_equals_batch(spark):
         assert g[key + ["event_count"]].equals(b[key + ["event_count"]])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_url_dedup_equals_batch(spark):
+    """Composability: canonical-URL dedup as a STREAM — messy URL
+    variants (case / default port / utm params / fragments) arrive as a
+    file stream, are canonicalized by the native expression and deduped
+    on the canonical key with state-store backing; the survivor key set
+    equals the batch groupBy. The crawl-frontier shape: dedup BEFORE
+    fetch/extract, keyed by canonical URL."""
+    import pandas as pd
+
+    from giga_spatial_spark.functions.url import canonical_url_expr
+
+    tmp = tempfile.mkdtemp(prefix="stream_url_")
+    try:
+        src_dir = os.path.join(tmp, "urls_src")
+        os.makedirs(src_dir)
+        variants = []
+        for b in range(40):
+            variants += [
+                (4 * b + 0, f"https://site{b}.org/p?a={b}&b=1"),
+                (4 * b + 1, f"HTTPS://site{b}.ORG/p?a={b}&b=1"),
+                (4 * b + 2, f"https://site{b}.org:443/p?b=1&a={b}#frag"),
+                (4 * b + 3, f"https://site{b}.org/p?utm_source=x&a={b}&b=1"),
+            ]
+        pd.DataFrame(variants, columns=["rid", "url"]).to_parquet(
+            os.path.join(src_dir, "urls.parquet")
+        )
+        schema = "rid bigint, url string"
+        stream = spark.readStream.schema(schema).format("parquet").load(src_dir)
+        canon = stream.withColumn("curl", canonical_url_expr(F.col("url")))
+        out = canon.dropDuplicates(["curl"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("url_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select curl from url_dedup").toPandas()
+        assert len(got) == 40  # 160 variants -> 40 canonical survivors
+        assert sorted(got.curl) == sorted(
+            f"https://site{b}.org/p?a={b}&b=1" for b in range(40)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
