@@ -2961,6 +2961,31 @@ def q_tile_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MercatorViewGenerator.with_density (reference generators/zonal/
+    mercator.py + base view density): per-tile doc counts over zone 3's
+    zoom-6 polyfill normalized by each tile's EXACT spherical area
+    (R²·Δλ·Δsinφ — mercator tiles shrink with |lat|, so constant-area
+    assumptions bias densities). The oracle enumerates the global tile
+    grid in SQL, recomputes center-mode membership by ray-casting the
+    inverse-mercator centers, the counts, AND the area formula itself
+    (sinh via its exponential definition), then the density in the same
+    operation order — the view's area normalization is under the hash,
+    in rounded micro-units (trig-ulp envelope)."""
+    from giga_spatial_spark.views import MercatorViewGenerator
+
+    pts = _docs_pts(spark, sf_dir)
+    gen = MercatorViewGenerator(spark, ADMIN_POLYS[3], zoom=6).map_points(pts)
+    view = gen.with_density("point_count").to_dataframe()
+    return view.select(
+        "tile",
+        F.col("point_count").alias("doc_count"),
+        F.round(F.col("point_count_per_km2") * 1e6).cast("bigint").alias(
+            "density_u"
+        ),
+    )
+
+
 def q_s2_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2ViewGenerator zonal flow (reference generators/zonal/s2.py): the
     generator's polyfill kernel per admin zone (12 level-6 covers, center mode),
@@ -3004,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_repetition": q_quality_repetition,
         "q_pii_redact": q_pii_redact,
         "q_decontaminate": q_decontaminate,
+        "q_tile_density": q_tile_density,
         "q_knn_nearest": q_knn_nearest,
         "q_knn_grid": q_knn_grid,
         "q_hex_ring": q_hex_ring,
@@ -3759,6 +3785,42 @@ def oracle_sql() -> dict[str, str]:
         "FROM t JOIN m USING (tile) GROUP BY 1, 2"
     )
 
+    # MercatorViewGenerator.with_density oracle: global zoom-6 grid in
+    # SQL, center-mode membership by raycast, EXACT spherical tile area
+    # (sinh replayed via its exponential definition), density in the
+    # view's operation order
+    _tdn = 64.0  # 2^6
+    _tlon_min = f"((x / {_tdn}) * 360.0 - 180.0)"
+    _tlon_max = f"(((x + 1) / {_tdn}) * 360.0 - 180.0)"
+
+    def _tile_lat_sql(yexpr: str) -> str:
+        a = f"(pi() * (1 - 2 * ({yexpr}) / {_tdn}))"
+        return f"degrees(atan((exp({a}) - exp(-{a})) / 2.0))"
+
+    _tlat_max = _tile_lat_sql("y")
+    _tlat_min = _tile_lat_sql("y + 1")
+    _tarea = (
+        f"(6371000.0 * 6371000.0 * radians({_tlon_max} - {_tlon_min}) * "
+        f"(sin(radians({_tlat_max})) - sin(radians({_tlat_min}))))"
+    )
+    dlon6, dlat6 = cells.tile_center_sql(6, "x", "y")
+    tile_density = (
+        f"WITH g AS (SELECT i // 64 AS x, i % 64 AS y FROM range(4096) t(i)), "
+        f"ctr AS (SELECT x, y, {dlon6} AS clon, {dlat6} AS clat, "
+        f"{_tarea} AS area_m2 FROM g), "
+        "memb AS (SELECT x, y, (x * 4294967296 + y) AS tile, area_m2 "
+        "FROM ctr WHERE "
+        + synth.raycast_contains_sql(ADMIN_POLYS[3], "clon", "clat")
+        + "), "
+        f"d AS ({docs}), "
+        f"t AS (SELECT {cells.tile_id_sql('lon', 'lat', 6)} AS tile FROM d), "
+        "c AS (SELECT tile, count(*) AS doc_count FROM t GROUP BY tile) "
+        "SELECT m.tile, coalesce(c.doc_count, 0) AS doc_count, "
+        "cast(round((coalesce(c.doc_count, 0) / (m.area_m2 / 1000000.0)) "
+        "* 1000000.0, 0) as bigint) AS density_u "
+        "FROM memb m LEFT JOIN c USING (tile)"
+    )
+
     s2_assign_sql = cells_s2.cell_id_sql(docs, level=6)
     s2_centers_sql = cells_s2.cell_center_sql("SELECT s2_cell FROM agg", level=6)
     # h referenced once (pre-aggregated) and ctr MATERIALIZED: the unrolled
@@ -4030,6 +4092,7 @@ FROM m""",
         "q_custom_agg": custom_agg,
         "q_simplify": simplify_dp,
         "q_canonical_url": canonical_url,
+        "q_tile_density": tile_density,
         "q_decontaminate": (
             "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws, "
             "len(string_split(text, ' ')) AS n FROM documents), "
