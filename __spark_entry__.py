@@ -756,6 +756,29 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", "jaccard")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup dedup flow — the production composition the
+    individual boards verify piecewise: MinHash+LSH candidate pairs
+    (exact-Jaccard verified, threshold 0.5) → exported
+    connected-components operator → one canonical survivor per cluster
+    (min doc_id = the component label). Output is one row per
+    NON-TRIVIAL cluster: (survivor, n_members, max_member). The oracle
+    recomputes the exact-Jaccard pair set brute-force in DuckDB and
+    closes it with a recursive CTE — the composition, not just the
+    stages, is under the hash."""
+    from giga_spatial_spark.operators.graph import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5, bands=32)
+    labels = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return labels.groupBy(F.col("comp").alias("survivor_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs, hamming ≤ 3 via pigeonhole banded join
     (rows-only driver check; pytest verifies vs brute force)."""
@@ -3049,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_near_dup": q_minhash_near_dup,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_ann_top1": q_ann_top1,
         "q_ann_top1_gemm": q_ann_top1_gemm,
@@ -3847,6 +3871,18 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": q3,
         "q_extract_invariant": extract_invariant,
         "q_minhash_near_dup": HS.shingle_jaccard_pairs_sql(5, 0.5),
+        "q_dedup_clusters": (
+            f"WITH RECURSIVE p AS ({HS.shingle_jaccard_pairs_sql(5, 0.5)}), "
+            "e(src, dst) AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), "
+            "nodes(n) AS (SELECT DISTINCT src FROM e), "
+            "reach(a, b) AS ("
+            "SELECT n, n FROM nodes "
+            "UNION "
+            "SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b), "
+            "lab AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a) "
+            "SELECT comp AS survivor_id, count(*) AS n_members, "
+            "max(node) AS max_member FROM lab GROUP BY comp"
+        ),
         "q_ann_lsh": lsh_topk_sql_oracle(dim=64, k=1, n_planes=10, n_tables=8),
         "q_ann_ivf": ivf_topk_sql_oracle(k=1, n_centroids=32, nprobe=2),
         "q_embed_near_dup": embed_near_dup_sql_oracle(
