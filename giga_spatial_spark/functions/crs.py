@@ -58,6 +58,16 @@ def projection_from_params(p: dict):
     "x0", "y0"[, "a", "e2"]}. Supports the conic/azimuthal families the
     engine implements from scratch (LCC 2SP=8, LAEA=10, Albers=11)."""
     ct = int(p["ct"])
+
+    def need(*names):
+        missing = [n for n in names if p.get(n) is None]
+        if missing:
+            raise ValueError(
+                f"user-defined projection (ProjCoordTransGeoKey {ct}) is "
+                f"missing required GeoKey parameter(s): {missing} — the "
+                "GeoDoubleParams tag must carry them"
+            )
+
     kw = {}
     if "a" in p:
         kw["a"] = float(p["a"])
@@ -69,6 +79,7 @@ def projection_from_params(p: dict):
     if ct == _CT_TM:
         from .utm import TransverseMercator
 
+        need("lat0", "lon0")
         tm_kw = {}
         if "a" in p:
             tm_kw["a"] = float(p["a"])
@@ -81,6 +92,7 @@ def projection_from_params(p: dict):
     if ct == _CT_LCC_2SP:
         from .lcc import LambertConformal
 
+        need("sp1", "sp2", "lat0", "lon0")
         return LambertConformal(
             p["sp1"], p["sp2"], p["lat0"], p["lon0"],
             p.get("x0", 0.0), p.get("y0", 0.0), **kw,
@@ -88,6 +100,7 @@ def projection_from_params(p: dict):
     if ct == _CT_ALBERS:
         from .albers import AlbersConic
 
+        need("sp1", "sp2", "lat0", "lon0")
         return AlbersConic(
             p["sp1"], p["sp2"], p["lat0"], p["lon0"],
             p.get("x0", 0.0), p.get("y0", 0.0), **kw,
@@ -95,6 +108,7 @@ def projection_from_params(p: dict):
     if ct == _CT_LAEA:
         from .laea import LaeaAzimuthal
 
+        need("lat0", "lon0")
         return LaeaAzimuthal(
             p["lat0"], p["lon0"], p.get("x0", 0.0), p.get("y0", 0.0), **kw,
         )
@@ -105,6 +119,7 @@ def projection_from_params(p: dict):
         # convention; fall back to lat0 for writers that use NatOriginLat
         lat_ts = p.get("sp1")
         if lat_ts is None:
+            need("lat0")
             lat_ts = p["lat0"]
         return PolarStereographic(
             lat_ts, p["lon0"], p.get("x0", 0.0), p.get("y0", 0.0), **kw,
