@@ -495,6 +495,25 @@ def tiff_pixel_table(
 
 
 # ------------------------------------------------------------------ writer
+_WRITE_DTYPES = {
+    "float64": ("<f8", 64, 3), "float32": ("<f4", 32, 3),
+    "uint8": ("<u1", 8, 1), "uint16": ("<u2", 16, 1),
+    "uint32": ("<u4", 32, 1),
+}
+
+
+def _writer_dtype(dtype: str) -> tuple[str, int, int]:
+    """(numpy dtype, BitsPerSample, SampleFormat) for a writer dtype name
+    — the same families the reader decodes (uint 8/16/32, float32/64)."""
+    try:
+        return _WRITE_DTYPES[dtype]
+    except KeyError:
+        raise ValueError(
+            f"unsupported write dtype {dtype!r} — one of "
+            f"{sorted(_WRITE_DTYPES)}"
+        ) from None
+
+
 def _crs_geokey_entries(crs) -> list[tuple[int, int, object]]:
     """Tag entries encoding a CRS: 34735 GeoKeyDirectory shorts, plus
     34736 GeoDoubleParams when ``crs`` is a user-defined parameter dict
@@ -558,13 +577,16 @@ def write_tiff(
     compression: int = 8,
     tile_size: tuple[int, int] | None = None,
     crs: str | None = None,
+    dtype: str = "float64",
 ) -> str:
-    """Minimal GeoTIFF writer (float64 samples, strip layout or COG-style
-    tiles via tile_size=(width, length), optional DEFLATE; 2-d array →
-    single band, 3-d (h, w, bands) → chunky interleaved) — the
-    deterministic test/fixture producer; everything it emits,
-    read_tiff_meta/decode_strip round-trip bit-exactly."""
-    arr = np.ascontiguousarray(array, dtype="<f8")
+    """Minimal GeoTIFF writer (float64 default; float32 and uint8/16/32
+    samples via ``dtype`` — the same families the reader decodes; strip
+    layout or COG-style tiles via tile_size=(width, length), optional
+    DEFLATE; 2-d array → single band, 3-d (h, w, bands) → chunky
+    interleaved) — the deterministic test/fixture producer; everything
+    it emits, read_tiff_meta/decode_strip round-trip bit-exactly."""
+    np_dt, bits, sfmt = _writer_dtype(dtype)
+    arr = np.ascontiguousarray(array, dtype=np_dt)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     height, width, spp = arr.shape
@@ -573,7 +595,7 @@ def write_tiff(
         tw, tl = tile_size
         for r0 in range(0, height, tl):
             for c0 in range(0, width, tw):
-                tile = np.zeros((tl, tw, spp), dtype="<f8")
+                tile = np.zeros((tl, tw, spp), dtype=np_dt)
                 block = arr[r0 : r0 + tl, c0 : c0 + tw]
                 tile[: block.shape[0], : block.shape[1]] = block
                 raw = tile.tobytes()
@@ -596,7 +618,7 @@ def write_tiff(
     counts_tag = 325 if tile_size else 279
     add(256, 4, [width])
     add(257, 4, [height])
-    add(258, 3, [64] * spp)
+    add(258, 3, [bits] * spp)
     add(259, 3, [compression if compression == 8 else 1])
     add(262, 3, [1])
     add(offsets_tag, 4, None)  # strip/tile offsets — patched below
@@ -608,7 +630,7 @@ def write_tiff(
         add(278, 4, [rows_per_strip])
     add(counts_tag, 4, [len(s) for s in strips])
     add(284, 3, [1])  # chunky interleave
-    add(339, 3, [3] * spp)
+    add(339, 3, [sfmt] * spp)
     add(33550, 12, [dx, dy, 0.0])
     add(33922, 12, [0.0, 0.0, 0.0, lon0, lat1, 0.0])
     if crs is not None:
@@ -730,6 +752,7 @@ def write_cog(
     compression: int = 8,
     crs: str | None = None,
     min_overview_size: int = 256,
+    dtype: str = "float64",
 ) -> str:
     """Cloud-optimized GeoTIFF writer — the reference's to_cog sink
     (gigaspatial/handlers/tif_processor.py:2079, rio-cogeo role) from
@@ -739,10 +762,19 @@ def write_cog(
     full-resolution level last, so a range-reader renders a preview from
     a short prefix). Every overview IFD carries NewSubfileType=1 plus its
     own scaled geo tags, so read_tiff_ifds / tiff_pixel_table(level=k)
-    treat each level as a self-describing raster. float64 samples, 2-d
-    single band or 3-d (h, w, bands) chunky interleave, like write_tiff.
+    treat each level as a self-describing raster. float64 (default) or
+    float32 samples, 2-d single band or 3-d (h, w, bands) chunky
+    interleave, like write_tiff; integer dtypes are refused here because
+    'average' overviews need a rounding policy integers don't define.
     """
-    arr = np.ascontiguousarray(array, dtype="<f8")
+    np_dt, bits, sfmt = _writer_dtype(dtype)
+    if sfmt != 3:
+        raise ValueError(
+            "write_cog supports float32/float64 — integer overview "
+            "averaging would need a rounding policy; write_tiff handles "
+            "integer single-level rasters"
+        )
+    arr = np.ascontiguousarray(array, dtype=np_dt)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     tw, tl = tile_size
@@ -770,7 +802,7 @@ def write_cog(
                 tile = np.full(
                     (tl, tw, spp),
                     nodata if nodata is not None else 0.0,
-                    dtype="<f8",
+                    dtype=np_dt,
                 )
                 block = a[r0 : r0 + tl, c0 : c0 + tw]
                 tile[: block.shape[0], : block.shape[1]] = block
@@ -781,7 +813,7 @@ def write_cog(
             entries.append((254, 4, [1]))  # NewSubfileType: reduced-res
         entries.append((256, 4, [width]))
         entries.append((257, 4, [height]))
-        entries.append((258, 3, [64] * spp))
+        entries.append((258, 3, [bits] * spp))
         entries.append((259, 3, [compression if compression == 8 else 1]))
         entries.append((262, 3, [1]))
         entries.append((277, 3, [spp]))
@@ -790,7 +822,7 @@ def write_cog(
         entries.append((323, 4, [tl]))
         entries.append((324, 4, [0] * len(tiles)))  # patched after layout
         entries.append((325, 4, [len(t) for t in tiles]))
-        entries.append((339, 3, [3] * spp))
+        entries.append((339, 3, [sfmt] * spp))
         entries.append((33550, 12, [lv["dx"], lv["dy"], 0.0]))
         entries.append((33922, 12, [0.0, 0.0, 0.0, lon0, lat1, 0.0]))
         if crs is not None:

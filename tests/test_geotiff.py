@@ -778,3 +778,53 @@ def test_pixel_table_to_cog_round_trip(spark, tmp_path):
             pixels, path, width=100_000, height=100_000,
             lon0=0, lat1=0, dx=1, dy=1,
         )
+
+
+def test_writer_dtypes(tmp_path):
+    """write_tiff emits float32 and uint8/16/32 samples (the reader's
+    full dtype family), write_cog emits float32 pyramids and refuses
+    integer dtypes (average overviews need a rounding policy)."""
+    import numpy as np
+    import pytest as _p
+
+    from giga_spatial_spark.sources.geotiff import (
+        decode_strip,
+        read_tiff_ifds,
+        read_tiff_meta,
+        write_cog,
+        write_tiff,
+    )
+
+    def full_read(p):
+        m = read_tiff_meta(p)
+        data = open(p, "rb").read()
+        rows = [
+            decode_strip(
+                m, i,
+                data[m.strip_offsets[i]:m.strip_offsets[i] + m.strip_byte_counts[i]],
+            )
+            for i in range(m.n_strips)
+        ]
+        return m, np.vstack(rows)
+
+    for dtype, bits, sfmt, vals in [
+        ("float32", 32, 3, np.arange(120, dtype=np.float64).reshape(10, 12) * 0.5),
+        ("uint8", 8, 1, (np.arange(120).reshape(10, 12) % 250).astype(np.float64)),
+        ("uint16", 16, 1, (np.arange(120).reshape(10, 12) * 7 % 60000).astype(np.float64)),
+        ("uint32", 32, 1, (np.arange(120).reshape(10, 12) * 1000).astype(np.float64)),
+    ]:
+        p = str(tmp_path / f"t_{dtype}.tif")
+        write_tiff(p, vals, lon0=0, lat1=10, dx=1, dy=1, dtype=dtype)
+        m, got = full_read(p)
+        assert (m.bits, m.sample_format) == (bits, sfmt), dtype
+        assert np.array_equal(got, vals), dtype
+    p = str(tmp_path / "cog_f4.tif")
+    vals = np.round(np.random.RandomState(0).uniform(0, 99, (130, 150)), 1)
+    write_cog(p, vals, lon0=0, lat1=10, dx=0.1, dy=0.1, nodata=-9999.0,
+              min_overview_size=64, dtype="float32")
+    ifds = read_tiff_ifds(p)
+    assert [m.bits for m in ifds] == [32, 32, 32]
+    with _p.raises(ValueError, match="rounding policy"):
+        write_cog(p, vals, lon0=0, lat1=10, dx=1, dy=1, dtype="uint16")
+    with _p.raises(ValueError, match="unsupported write dtype"):
+        write_tiff(p, vals, lon0=0, lat1=10, dx=1, dy=1, dtype="int64")
