@@ -848,31 +848,70 @@ _BC_LUT = None
 _ROT_LUT = None
 
 
+def _luts_sane(bc: np.ndarray, rot: np.ndarray) -> bool:
+    """Integrity gate for cached slot tables: shape/dtype/range checks
+    plus one published doc-example probe through the full forward path
+    (latlng_to_cell of the H3 docs' (37.7752…, −122.4183…) at res 9 must
+    be 8928308280fffff). A stale or pre-seeded cache file fails the
+    probe and calibration reruns — a wrong-answer cache can't survive."""
+    global _BC_LUT, _ROT_LUT
+    if (
+        bc.shape != (20, 3, 3, 3)
+        or rot.shape != (20, 3, 3, 3)
+        or bc.dtype != np.int64
+        or rot.dtype != np.int64
+        or bc.min() < 0
+        or bc.max() > 121
+        or rot.min() < 0
+        or rot.max() > 5
+    ):
+        return False
+    _BC_LUT, _ROT_LUT = bc, rot
+    try:
+        h = latlng_to_cell(
+            np.array([37.7752702151959]), np.array([-122.4183072708370]), 9
+        )
+        ok = int(h[0]) == 0x8928308280FFFFF
+    except Exception:
+        ok = False
+    if not ok:
+        _BC_LUT = _ROT_LUT = None
+    return ok
+
+
 def _slot_tables():
-    """Slot tables, derived once per machine and cached (content-versioned
-    npz under /tmp) so Spark Python workers don't re-run calibration."""
+    """Slot tables, derived once per machine and cached so Spark Python
+    workers don't re-run calibration. The cache lives in a user-owned
+    directory (~/.cache/spark_graft), is trusted only when owned by us
+    and not group/other-writable, and must pass _luts_sane's known-value
+    probe before use — a predictable world-writable path would otherwise
+    let a pre-seeded file yield silently wrong cell ids."""
     global _BC_LUT, _ROT_LUT
     if _BC_LUT is None:
-        import getpass
         import os
-        import tempfile
 
-        cache = os.path.join(
-            tempfile.gettempdir(),
-            f"spark_graft_h3_luts_v1_{getpass.getuser()}.npz",
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "spark_graft"
         )
-        if os.path.exists(cache):
-            try:
+        cache = os.path.join(cache_dir, "h3_luts_v1.npz")
+        try:
+            st = os.stat(cache)
+            if st.st_uid == os.getuid() and not (st.st_mode & 0o022):
                 z = np.load(cache)
-                _BC_LUT, _ROT_LUT = z["bc"], z["rot"]
-                return _BC_LUT, _ROT_LUT
-            except Exception:
-                pass  # corrupt/partial cache: rederive
+                if _luts_sane(
+                    np.asarray(z["bc"], dtype=np.int64),
+                    np.asarray(z["rot"], dtype=np.int64),
+                ):
+                    return _BC_LUT, _ROT_LUT
+        except Exception:
+            pass  # missing/corrupt/untrusted cache: rederive
         _BC_LUT, _ROT_LUT = _build_slot_tables()
         try:
-            tmp = f"{cache}.tmp.{os.getpid()}"
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = f"{cache}.tmp.{os.getpid()}.npz"
             np.savez(tmp, bc=_BC_LUT, rot=_ROT_LUT)
-            os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", cache)
+            os.chmod(tmp, 0o600)
+            os.replace(tmp, cache)
         except OSError:
             pass  # cache is best-effort
     return _BC_LUT, _ROT_LUT

@@ -12,11 +12,15 @@ codegen and has a 1:1 DuckDB twin for the q_canonical_url oracle.
 Canonical form (documented choices, applied in this order):
 
   1. fragment stripped (``#...``),
-  2. scheme and host lowercased; trailing dot of the host dropped,
-  3. default ports removed (``:80`` for http, ``:443`` for https;
+  2. userinfo dropped (everything up to the last ``@`` of the
+     authority — credentials never participate in a dedup key),
+  3. scheme and host lowercased; trailing dot of the host dropped;
+     bracketed IPv6 literals (``[::1]``) kept whole with the port
+     parsed after the closing bracket,
+  4. default ports removed (``:80`` for http, ``:443`` for https;
      other ports kept),
-  4. empty path becomes ``/``,
-  5. query parameters: empty fragments and ``utm_*`` tracking params
+  5. empty path becomes ``/``,
+  6. query parameters: empty fragments and ``utm_*`` tracking params
      dropped, the rest sorted bytewise and re-joined with ``&``; an
      emptied query drops its ``?``.
 """
@@ -33,10 +37,19 @@ def canonical_url_expr(col: Column) -> Column:
     rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.regexp_extract(rest, "^([^/?]*)", 1)
     pathq = F.regexp_replace(rest, "^[^/?]*", "")
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(hostport, "^([^:]*)", 1)), "\\.$", ""
+    # 2. drop userinfo (host starts after the LAST '@' of the authority)
+    hp = F.regexp_replace(hostport, "^.*@", "")
+    is_v6 = hp.startswith("[")
+    host = F.when(
+        is_v6, F.lower(F.regexp_extract(hp, "^(\\[[^\\]]*\\])", 1))
+    ).otherwise(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(hp, "^([^:]*)", 1)), "\\.$", ""
+        )
     )
-    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    port = F.when(
+        is_v6, F.regexp_extract(hp, "\\]:([0-9]+)$", 1)
+    ).otherwise(F.regexp_extract(hp, ":([0-9]+)$", 1))
     keep_port = (
         (port != "")
         & ~((scheme == F.lit("http")) & (port == "80"))
@@ -65,12 +78,19 @@ def canonical_url_expr(col: Column) -> Column:
 
 
 def url_host_expr(col: Column) -> Column:
-    """Lowercased host (no port, no trailing dot) — the groupBy key for
-    per-site statistics."""
+    """Lowercased host (no userinfo, no port, no trailing dot) — the
+    groupBy key for per-site statistics. Bracketed IPv6 literals are
+    kept whole."""
     rest = F.regexp_replace(col, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.regexp_extract(rest, "^([^/?#]*)", 1)
-    return F.regexp_replace(
-        F.lower(F.regexp_extract(hostport, "^([^:]*)", 1)), "\\.$", ""
+    hp = F.regexp_replace(hostport, "^.*@", "")
+    return F.when(
+        hp.startswith("["),
+        F.lower(F.regexp_extract(hp, "^(\\[[^\\]]*\\])", 1)),
+    ).otherwise(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(hp, "^([^:]*)", 1)), "\\.$", ""
+        )
     )
 
 
@@ -83,11 +103,19 @@ def canonical_url_sql(col: str) -> str:
     rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
     hostport = f"regexp_extract({rest}, '^([^/?]*)', 1)"
     pathq = f"regexp_replace({rest}, '^[^/?]*', '')"
+    hp = f"regexp_replace({hostport}, '^.*@', '')"
+    is_v6 = f"starts_with({hp}, '[')"
     host = (
-        f"regexp_replace(lower(regexp_extract({hostport}, '^([^:]*)', 1)), "
-        "'\\.$', '')"
+        f"(CASE WHEN {is_v6} THEN "
+        f"lower(regexp_extract({hp}, '^(\\[[^\\]]*\\])', 1)) ELSE "
+        f"regexp_replace(lower(regexp_extract({hp}, '^([^:]*)', 1)), "
+        "'\\.$', '') END)"
     )
-    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    port = (
+        f"(CASE WHEN {is_v6} THEN "
+        f"regexp_extract({hp}, '\\]:([0-9]+)$', 1) ELSE "
+        f"regexp_extract({hp}, ':([0-9]+)$', 1) END)"
+    )
     keep_port = (
         f"({port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80') "
         f"AND NOT ({scheme} = 'https' AND {port} = '443'))"

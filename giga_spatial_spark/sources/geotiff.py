@@ -538,10 +538,21 @@ def _crs_geokey_entries(crs) -> list[tuple[int, int, object]]:
         dk(2059, crs.get("inv_f"))
         dk(3078, crs.get("sp1"))
         dk(3079, crs.get("sp2"))
-        dk(3084, crs.get("lon0"))
-        dk(3085, crs.get("lat0"))
-        dk(3086, crs.get("x0"))
-        dk(3087, crs.get("y0"))
+        if int(crs["ct"]) == 1:
+            # Transverse Mercator: GDAL-family writers/readers use the
+            # NatOrigin keys (3080-3083); FalseOrigin keys stay reserved
+            # for the conic families. Mirrors the alias preference order
+            # in _proj_params_from_geokeys, and keeps external readers
+            # able to recover TM parameters.
+            dk(3080, crs.get("lon0"))
+            dk(3081, crs.get("lat0"))
+            dk(3082, crs.get("x0"))
+            dk(3083, crs.get("y0"))
+        else:
+            dk(3084, crs.get("lon0"))
+            dk(3085, crs.get("lat0"))
+            dk(3086, crs.get("x0"))
+            dk(3087, crs.get("y0"))
         dk(3092, crs.get("k0"))
         keys += dk_rows
         shorts = [1, 1, 0, len(keys)]
@@ -931,9 +942,20 @@ def pixel_table_to_cog(
             "per sub-grid) instead of one driver-side mosaic"
         )
     pdf = df.select("px", "py", value_col).toPandas()
+    px = pdf["px"].to_numpy(dtype=np.int64)
+    py = pdf["py"].to_numpy(dtype=np.int64)
+    oob = (px < 0) | (px >= width) | (py < 0) | (py >= height)
+    if oob.any():
+        bad = pdf.loc[oob, ["px", "py"]].head(5).to_dict("records")
+        raise ValueError(
+            f"pixel_table_to_cog: {int(oob.sum())} pixel(s) outside the "
+            f"{width}x{height} canvas (need 0 <= px < {width}, "
+            f"0 <= py < {height}); first offenders: {bad} — negative "
+            "indices would silently wrap to the opposite raster edge"
+        )
     grid = np.full((height, width), float(nodata), dtype=np.float64)
-    rows = (height - 1 - pdf["py"].to_numpy(dtype=np.int64))
-    cols = pdf["px"].to_numpy(dtype=np.int64)
+    rows = height - 1 - py
+    cols = px
     vals = pdf[value_col].to_numpy(dtype=np.float64)
     keep = ~np.isnan(vals)
     grid[rows[keep], cols[keep]] = vals[keep]

@@ -151,6 +151,23 @@ def test_slot_calibration_complete():
     assert (rot_lut >= 0).all() and (rot_lut < 6).all()
 
 
+def test_slot_table_cache_integrity_probe():
+    """A tampered cached slot table (right shape/ranges, wrong content)
+    fails _luts_sane's known-value probe, so a pre-seeded or stale cache
+    file cannot yield wrong cell ids; the genuine tables pass and state
+    recovers for subsequent calls."""
+    bc_lut, rot_lut = h3._slot_tables()
+    assert h3._luts_sane(bc_lut.copy(), rot_lut.copy())
+    bad = bc_lut.copy()
+    bad[bad >= 0] = (bad[bad >= 0] + 1) % 122
+    assert not h3._luts_sane(bad, rot_lut.copy())
+    assert not h3._luts_sane(bc_lut[:10].copy(), rot_lut[:10].copy())
+    h = h3.latlng_to_cell(
+        np.array([37.7752702151959]), np.array([-122.4183072708370]), 9
+    )
+    assert int(h[0]) == 0x8928308280FFFFF
+
+
 def test_boundary_closed_and_pentagon_corners():
     c = int(h3.latlng_to_cell(37.77, -122.41, 6))
     b = h3.cell_to_boundary(c)

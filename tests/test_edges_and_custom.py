@@ -161,6 +161,13 @@ def test_canonical_url_expr_and_sql_twin(spark):
         ("https://h.io/p?utm_source=only", "https://h.io/p"),
         ("https://h.io/p?&&a=1&", "https://h.io/p?a=1"),
         ("ftp://Files.example.net:21/pub", "ftp://files.example.net:21/pub"),
+        # userinfo dropped (host starts after the LAST '@')
+        ("http://user:pw@example.com/", "http://example.com/"),
+        ("https://u%40x@Example.com:443/a", "https://example.com/a"),
+        # bracketed IPv6 literals kept whole, port parsed after ']'
+        ("http://[::1]:8080/x", "http://[::1]:8080/x"),
+        ("https://[2001:DB8::1]:443/y", "https://[2001:db8::1]/y"),
+        ("http://u@[::1]:80/z", "http://[::1]/z"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = (
@@ -180,5 +187,5 @@ def test_canonical_url_expr_and_sql_twin(spark):
     hosts = df.select(url_host_expr(F.col("url")).alias("h")).toPandas()["h"]
     assert set(hosts) == {
         "www.example.com", "example.org", "host.example", "h.io",
-        "files.example.net",
+        "files.example.net", "example.com", "[::1]", "[2001:db8::1]",
     }

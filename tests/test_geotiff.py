@@ -742,6 +742,25 @@ def test_transverse_mercator_osgb_anchor(spark, tmp_path):
     )
     top = pdf[(pdf.px == 0) & (pdf.py == 2)].iloc[0]
     assert top.lon == want_lon[0] and top.lat == want_lat[0]
+    # the writer emits NatOrigin GeoKeys (3080-3083) for TM — the slots
+    # GDAL-family readers consult — not the conic FalseOrigin keys
+    import struct
+
+    data = open(path, "rb").read()
+    (first_ifd,) = struct.unpack_from("<I", data, 4)
+    (n_tags,) = struct.unpack_from("<H", data, first_ifd)
+    key_ids: set = set()
+    for i in range(n_tags):
+        off = first_ifd + 2 + 12 * i
+        tag, typ, cnt, val = struct.unpack_from("<HHII", data, off)
+        if tag == 34735:
+            shorts_off = val if cnt * 2 > 4 else off + 8
+            shorts = struct.unpack_from(f"<{cnt}H", data, shorts_off)
+            key_ids = {
+                shorts[4 + 4 * k] for k in range((len(shorts) - 4) // 4)
+            }
+    assert {3080, 3081, 3082, 3083} <= key_ids
+    assert not ({3084, 3085, 3086, 3087} & key_ids)
 
 
 def test_pixel_table_to_cog_round_trip(spark, tmp_path):
@@ -777,6 +796,17 @@ def test_pixel_table_to_cog_round_trip(spark, tmp_path):
         pixel_table_to_cog(
             pixels, path, width=100_000, height=100_000,
             lon0=0, lat1=0, dx=1, dy=1,
+        )
+    # out-of-canvas pixels fail loudly instead of wrapping: py == height
+    # would silently write the south-edge row via negative indexing
+    bad = spark.createDataFrame(
+        [(0, meta.height, 1.0), (-1, 0, 2.0)], "px int, py int, value double"
+    )
+    with _p.raises(ValueError, match="outside the"):
+        pixel_table_to_cog(
+            bad, str(tmp_path / "oob.tif"), width=meta.width,
+            height=meta.height, lon0=meta.lon0, lat1=meta.lat1,
+            dx=meta.dx, dy=meta.dy,
         )
 
 
