@@ -2581,26 +2581,22 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_iso3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full ISO 3166-1 resolution (operators/normalize.iso3_expr over the
+    """Full ISO 3166-1 resolution (operators/normalize.with_iso3 over the
     complete transcribed registry, iso3166.py; reference resolves via
     pycountry — grid/h3.py:544, handlers/boundaries.py:496-504): every
     nation keyed to a country spelling (names, aliases, alpha-2, accents,
-    ISO3 passthrough, junk → NULL), resolved to alpha-3."""
-    from giga_spatial_spark.operators.normalize import iso3_expr
+    ISO3 passthrough, junk → NULL), resolved to alpha-3 via a broadcast
+    dim join (the create_map form costs ~3 s of constant literal codegen;
+    the 530-row BroadcastHashJoin is the scale path)."""
+    from giga_spatial_spark.operators.normalize import with_iso3
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     names = spark.createDataFrame(
         [(i, n) for i, n in enumerate(ISO3_TEST_NAMES)],
         "n_nationkey bigint, country string",
     )
-    return (
-        nation.select("n_nationkey")
-        .join(F.broadcast(names), "n_nationkey")
-        .select(
-            "n_nationkey",
-            iso3_expr(F.col("country")).alias("iso3"),
-        )
-    )
+    pts = nation.select("n_nationkey").join(F.broadcast(names), "n_nationkey")
+    return with_iso3(pts, "country").select("n_nationkey", "iso3")
 
 
 def q_pip_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -256,6 +256,41 @@ def test_iso3166_full_registry(spark):
     assert got == ["CIV", "NGA", "KIR", None]
 
 
+def test_with_iso3_matches_expr(spark):
+    """The broadcast-dim join path (with_iso3, the scale path) agrees with
+    the literal create_map expression on every registry key, every code
+    passthrough (any case), junk, and NULL sentinels."""
+    from pyspark.sql import functions as F
+
+    from giga_spatial_spark.operators.normalize import (
+        ISO3_REGISTRY, iso3_expr, with_iso3,
+    )
+
+    names = sorted(ISO3_REGISTRY)[::7]  # every 7th registry key
+    names += ["USA", "usa", "Alb", "XXX", "n/a", "  Kenya ", "nowhere", None]
+    df = spark.createDataFrame([(n,) for n in names], "country string")
+    key = lambda r: (r[0] or "", r[1] or "")  # noqa: E731
+    via_expr = sorted(
+        (
+            (r["country"], r["iso3"])
+            for r in df.select(
+                "country", iso3_expr(F.col("country")).alias("iso3")
+            ).collect()
+        ),
+        key=key,
+    )
+    via_join = sorted(
+        (
+            (r["country"], r["iso3"])
+            for r in with_iso3(df, "country").select("country", "iso3").collect()
+        ),
+        key=key,
+    )
+    assert via_join == via_expr
+    # join preserves row count (dim keys are unique — no fan-out)
+    assert with_iso3(df, "country").count() == len(names)
+
+
 def test_geom_stats_matches_numpy(spark):
     """q_geom_stats' native window/groupBy shoelace must agree with the
     driver-side numpy implementations (geo.polygon_area_m2,
