@@ -189,3 +189,41 @@ def test_canonical_url_expr_and_sql_twin(spark):
         "www.example.com", "example.org", "host.example", "h.io",
         "files.example.net", "example.com", "[::1]", "[2001:db8::1]",
     }
+
+
+def test_flag_contaminated_size_probe(spark):
+    """flag_contaminated broadcasts a bounded bench side (BroadcastHashJoin
+    LeftSemi — zero corpus shuffle) and degrades to a shuffle left-semi
+    when the probe exceeds the limit, with identical results — the guard
+    against a corpus-proportional broadcast OOMing the driver."""
+    from pyspark.sql import functions as F
+
+    from giga_spatial_spark.operators.decontaminate import (
+        flag_contaminated,
+        word_ngrams_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7} w{i % 5}") for i in range(40)],
+        "doc_id int, text string",
+    )
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams_expr(F.col("text"), 2)).alias("gram")
+    )
+    bench = grams.where(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    corpus = grams.where(F.col("doc_id") % 10 != 0)
+
+    small = flag_contaminated(corpus, bench)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small and "LeftSemi" in plan_small
+
+    # over-limit bench: the STATIC plan must not hint broadcast (AQE may
+    # still convert at runtime when the actual size turns out tiny —
+    # that's the desired behavior; a genuinely large side won't convert)
+    big = flag_contaminated(corpus, bench, broadcast_limit=0)
+    plan_big = big._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" not in plan_big
+    assert "LeftSemi" in plan_big
+
+    key = lambda r: (r["doc_id"], r["gram"])  # noqa: E731
+    assert sorted(small.collect(), key=key) == sorted(big.collect(), key=key)
