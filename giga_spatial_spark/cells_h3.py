@@ -1513,12 +1513,23 @@ def compact_cells_df(df, col: str = "h3_cell", res: int | None = None):
                 == F.when(is_pentagon_expr(F.col("_p")), 6).otherwise(7)
             )
             .select("_p")
+            .localCheckpoint(eager=True)
         )
+        # early exit: a level with zero complete sibling sets means every
+        # remaining level is a no-op (nothing left to collapse) — the
+        # emptiness probe is one cheap job over the checkpointed
+        # aggregate, and real covers rarely compact anywhere near res 0,
+        # so this typically saves most of the res levels
+        if full.isEmpty():
+            remainders.append(with_p.select(col))
+            cur = None
+            break
         remainders.append(
             with_p.join(full, "_p", "left_anti").select(col)
         )
         cur = full.select(F.col("_p").alias(col))
-    remainders.append(cur)
+    if cur is not None:
+        remainders.append(cur)
     return reduce(lambda a, b: a.unionByName(b), remainders)
 
 
@@ -1568,7 +1579,7 @@ def assign_cells_df(points, res: int, lon: str = "lon", lat: str = "lat",
     same shape as cells_s2.assign_cells_df — the face/gnomonic/aperture
     pipeline is trig- and branch-heavy, so there is no native-column twin;
     the batch kernel amortizes it and the slot tables load once per worker
-    from the /tmp cache)."""
+    from the ~/.cache/spark_graft cache)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
