@@ -2095,6 +2095,56 @@ def q_cog_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cog_overview_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-dtype COG pyramid (judge round-5 #4): a uint8 raster with
+    nodata=255 holes is written ONCE through write_cog (dtype='uint8' —
+    overviews use downsample2_mean_int's documented ROUND-HALF-UP
+    integer average, (2*sum + n) // (2*n), GDAL's integer 'average'
+    accumulation), then overview LEVEL 1 is decoded tile-parallel and
+    zonally aggregated. The pipeline is all-integer end to end, so the
+    oracle replays the pyramid arithmetic with BIGINT ops only — no
+    float rounding envelope at all."""
+    import getpass
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from giga_spatial_spark.operators.raster import RasterMeta
+    from giga_spatial_spark.sources.geotiff import tiff_pixel_table, write_cog
+
+    rmeta = RasterMeta()
+    params = (
+        f"cogint_v1|w={rmeta.width}|h={rmeta.height}|lon0={rmeta.lon0!r}|"
+        f"lat1={rmeta.lat1!r}|dx={rmeta.dx!r}|dy={rmeta.dy!r}|"
+        "vals=(px*37+row*17+3)%251|nodata=(px*7+row*5)%29==0:255|ov=64"
+    )
+    key = hashlib.sha256(params.encode()).hexdigest()[:16]
+    path = f"/tmp/spark_graft_geotiff_{getpass.getuser()}/cogint_{key}.tif"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        px = np.arange(rmeta.width)[None, :]
+        row = np.arange(rmeta.height)[:, None]  # row 0 = north edge
+        vals = ((px * 37 + row * 17 + 3) % 251).astype(np.uint8)
+        vals = np.where((px * 7 + row * 5) % 29 == 0, np.uint8(255), vals)
+        write_cog(
+            path + ".tmp", vals, lon0=rmeta.lon0, lat1=rmeta.lat1,
+            dx=rmeta.dx, dy=rmeta.dy, nodata=255, dtype="uint8",
+            min_overview_size=64,
+        )
+        os.replace(path + ".tmp", path)
+    pixels = tiff_pixel_table(spark, path, level=1)
+    valid = pixels.where(F.col("value").isNotNull())
+    matches = pip_join_rtree(valid, ADMIN_POLYS, lon="lon", lat="lat", zoom=PIP_ZOOM)
+    v = F.col("value").cast("bigint")
+    return matches.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("px_count"),
+        F.sum(v).alias("v_sum"),
+        F.min(v).alias("v_min"),
+        F.max(v).alias("v_max"),
+    )
+
+
 def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point sampling of the raster (reference tif_processor.py:958-1006):
     doc points → containing-pixel equi-join."""
@@ -3111,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geotiff_albers": q_geotiff_albers,
         "q_geotiff_lcc": q_geotiff_lcc,
         "q_cog_overview": q_cog_overview,
+        "q_cog_overview_int": q_cog_overview_int,
         "q_geotiff_custom_crs": q_geotiff_custom_crs,
         "q_geotiff_polar": q_geotiff_polar,
         "q_raster_sample": q_raster_sample,
@@ -3813,6 +3864,47 @@ def oracle_sql() -> dict[str, str]:
         "FROM m GROUP BY zone_id"
     )
 
+    # integer COG overview-1 oracle: same grid, BIGINT-only replay of the
+    # round-half-up integer average (2*sum + n) // (2*n)
+    def _cogif(px: str, row: str) -> str:
+        return (
+            f"(CASE WHEN (({px}) * 7 + ({row}) * 5) % 29 = 0 THEN NULL "
+            f"ELSE ((({px}) * 37 + ({row}) * 17 + 3) % 251) END)"
+        )
+
+    _ia = _cogif("2*c", "2*r")
+    _ib = _cogif("2*c+1", "2*r")
+    _ic = _cogif("2*c", "2*r+1")
+    _id = _cogif("2*c+1", "2*r+1")
+    _in_ = (
+        f"(({_ia} IS NOT NULL)::BIGINT + ({_ib} IS NOT NULL)::BIGINT + "
+        f"({_ic} IS NOT NULL)::BIGINT + ({_id} IS NOT NULL)::BIGINT)"
+    )
+    _is = (
+        f"((coalesce({_ia}, 0) + coalesce({_ib}, 0)) + "
+        f"(coalesce({_ic}, 0) + coalesce({_id}, 0)))"
+    )
+    cogint_pip = " UNION ALL ".join(
+        f"SELECT {zid} AS zone_id, r.value FROM ivalid r WHERE "
+        + synth.convex_contains_sql(poly, "r.lon", "r.lat")
+        for zid, poly in sorted(ADMIN_POLYS.items())
+    )
+    cog_overview_int = (
+        f"WITH og AS (SELECT i % {_ow} AS c, i // {_ow} AS r "
+        f"FROM range({_ow * _oh}) t(i)), "
+        f"iv AS (SELECT CASE WHEN {_in_} > 0 THEN "
+        f"(2 * {_is} + {_in_}) // (2 * {_in_}) ELSE NULL END AS value, "
+        f"({_rm.lon0!r} + (c + 0.5) * {2.0 * _rm.dx!r}) AS lon, "
+        f"({_rm.lat1!r} - (r + 0.5) * {2.0 * _rm.dy!r}) AS lat FROM og), "
+        "ivalid AS MATERIALIZED (SELECT * FROM iv WHERE value IS NOT NULL), "
+        f"m AS ({cogint_pip}) "
+        "SELECT zone_id, count(*) AS px_count, "
+        "cast(sum(value) as bigint) AS v_sum, "
+        "cast(min(value) as bigint) AS v_min, "
+        "cast(max(value) as bigint) AS v_max "
+        "FROM m GROUP BY zone_id"
+    )
+
     clon6, clat6 = cells.tile_center_sql(6, "tile_x", "tile_y")
     tile_member = " UNION ALL ".join(
         f"SELECT tile, {zid} AS zone_id FROM ctr WHERE "
@@ -3931,6 +4023,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_albers": albers_zonal,
         "q_geotiff_lcc": lcc_zonal,
         "q_cog_overview": cog_overview,
+        "q_cog_overview_int": cog_overview_int,
         "q_geotiff_custom_crs": custom_crs_zonal,
         "q_geotiff_polar": polar_zonal,
         "q_h3_parent": (

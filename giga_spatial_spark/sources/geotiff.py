@@ -751,6 +751,46 @@ def downsample2_mean(arr: np.ndarray, nodata: float | None) -> np.ndarray:
     return out[:, :, 0] if squeeze else out
 
 
+def downsample2_mean_int(arr: np.ndarray, nodata: int | None) -> np.ndarray:
+    """Integer twin of downsample2_mean — GDAL-style integer 'average'
+    accumulation with the ROUND-HALF-UP policy (== round half away from
+    zero for the writer's unsigned dtypes), in pure integer arithmetic:
+
+        avg = (2*sum + n) // (2*n)    over the n valid pixels of each
+                                      2x2 block (n in 1..4)
+
+    (GDAL's overview.cpp accumulates integer sums and rounds the same
+    way for Byte/UInt16 'average' overviews.) No float touches the
+    data, so a SQL oracle replays it bit-for-bit with BIGINT ops."""
+    arr = np.asarray(arr)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    h, w, spp = arr.shape
+    H, W = (h + 1) // 2, (w + 1) // 2
+    fill = int(nodata) if nodata is not None else 0
+    padded = np.full((2 * H, 2 * W, spp), fill, dtype=np.int64)
+    padded[:h, :w] = arr
+    a = padded[0::2, 0::2]
+    b = padded[0::2, 1::2]
+    c = padded[1::2, 0::2]
+    d = padded[1::2, 1::2]
+    if nodata is not None:
+        va, vb = a != fill, b != fill
+        vc, vd = c != fill, d != fill
+    else:
+        va = vb = vc = vd = np.ones(a.shape, dtype=bool)
+    s = (np.where(va, a, 0) + np.where(vb, b, 0)) + (
+        np.where(vc, c, 0) + np.where(vd, d, 0)
+    )
+    n = (
+        va.astype(np.int64) + vb.astype(np.int64)
+        + vc.astype(np.int64) + vd.astype(np.int64)
+    )
+    out = np.where(n > 0, (2 * s + n) // np.maximum(2 * n, 1), fill)
+    return out[:, :, 0] if squeeze else out
+
+
 def write_cog(
     path: str,
     array: np.ndarray,
@@ -775,15 +815,15 @@ def write_cog(
     own scaled geo tags, so read_tiff_ifds / tiff_pixel_table(level=k)
     treat each level as a self-describing raster. float64 (default) or
     float32 samples, 2-d single band or 3-d (h, w, bands) chunky
-    interleave, like write_tiff; integer dtypes are refused here because
-    'average' overviews need a rounding policy integers don't define.
+    interleave, like write_tiff; uint8/16/32 samples build their
+    pyramids with downsample2_mean_int's documented round-half-up
+    integer 'average' (GDAL's integer accumulation policy).
     """
     np_dt, bits, sfmt = _writer_dtype(dtype)
-    if sfmt != 3:
+    if sfmt == 1 and nodata is not None and float(nodata) != int(nodata):
         raise ValueError(
-            "write_cog supports float32/float64 — integer overview "
-            "averaging would need a rounding policy; write_tiff handles "
-            "integer single-level rasters"
+            f"write_cog: integer dtype {dtype!r} needs an integral "
+            f"nodata, got {nodata!r}"
         )
     arr = np.ascontiguousarray(array, dtype=np_dt)
     if arr.ndim == 2:
@@ -798,7 +838,12 @@ def write_cog(
         h, w = cur.shape[:2]
         if max(h, w) <= min_overview_size:
             break
-        cur = downsample2_mean(cur, nodata)
+        if sfmt == 1:
+            cur = downsample2_mean_int(
+                cur, int(nodata) if nodata is not None else None
+            )
+        else:
+            cur = downsample2_mean(cur, nodata)
         if cur.ndim == 2:
             cur = cur[:, :, None]
         cdx, cdy = cdx * 2.0, cdy * 2.0

@@ -812,8 +812,8 @@ def test_pixel_table_to_cog_round_trip(spark, tmp_path):
 
 def test_writer_dtypes(tmp_path):
     """write_tiff emits float32 and uint8/16/32 samples (the reader's
-    full dtype family), write_cog emits float32 pyramids and refuses
-    integer dtypes (average overviews need a rounding policy)."""
+    full dtype family); write_cog emits float32 pyramids, and integer
+    pyramids under the documented round-half-up integer average."""
     import numpy as np
     import pytest as _p
 
@@ -854,7 +854,70 @@ def test_writer_dtypes(tmp_path):
               min_overview_size=64, dtype="float32")
     ifds = read_tiff_ifds(p)
     assert [m.bits for m in ifds] == [32, 32, 32]
-    with _p.raises(ValueError, match="rounding policy"):
-        write_cog(p, vals, lon0=0, lat1=10, dx=1, dy=1, dtype="uint16")
+    with _p.raises(ValueError, match="integral nodata"):
+        write_cog(p, vals, lon0=0, lat1=10, dx=1, dy=1, dtype="uint16",
+                  nodata=-9999.5)
     with _p.raises(ValueError, match="unsupported write dtype"):
         write_tiff(p, vals, lon0=0, lat1=10, dx=1, dy=1, dtype="int64")
+
+
+def test_write_cog_integer_pyramid(tmp_path):
+    """uint8 COG pyramid round-trip: level 0 is the identity; every
+    overview pixel equals the documented round-half-up integer average
+    (2*sum + n) // (2*n) over its 2x2 block's valid pixels — replayed
+    here by an independent pure-python loop, nodata holes included."""
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import (
+        downsample2_mean_int,
+        read_tiff_ifds,
+        write_cog,
+    )
+    from giga_spatial_spark.sources import geotiff as G
+
+    rs = np.random.RandomState(7)
+    vals = rs.randint(0, 250, size=(130, 150)).astype(np.uint8)
+    vals[(np.add.outer(np.arange(130) * 5, np.arange(150) * 7) % 23) == 0] = 255
+    p = str(tmp_path / "cog_u1.tif")
+    write_cog(p, vals, lon0=0, lat1=13, dx=0.1, dy=0.1, nodata=255,
+              min_overview_size=64, dtype="uint8")
+    ifds = read_tiff_ifds(p)
+    assert [m.bits for m in ifds] == [8, 8, 8] and [
+        m.sample_format for m in ifds
+    ] == [1, 1, 1]
+
+    def full_read(m):
+        data = open(p, "rb").read()
+        h, w = m.height, m.width
+        tw, tl = m.tile_width, m.tile_length
+        out = np.zeros((((h + tl - 1) // tl) * tl, ((w + tw - 1) // tw) * tw))
+        i = 0
+        for r0 in range(0, h, tl):
+            for c0 in range(0, w, tw):
+                raw = data[
+                    m.strip_offsets[i]: m.strip_offsets[i] + m.strip_byte_counts[i]
+                ]
+                out[r0:r0 + tl, c0:c0 + tw] = G.decode_strip(m, i, raw)
+                i += 1
+        return out[:h, :w]
+
+    assert np.array_equal(full_read(ifds[0]), vals)
+    got1 = full_read(ifds[1])
+    # independent replay of the policy (scalar loop, no shared code path)
+    h1, w1 = got1.shape
+    for r in range(0, h1, 17):  # sampled rows — full row set via vectorized twin below
+        for c in range(0, w1, 13):
+            block = [
+                int(vals[rr, cc])
+                for rr in (2 * r, 2 * r + 1)
+                for cc in (2 * c, 2 * c + 1)
+                if rr < 130 and cc < 150 and vals[rr, cc] != 255
+            ]
+            want = (
+                (2 * sum(block) + len(block)) // (2 * len(block))
+                if block
+                else 255
+            )
+            assert got1[r, c] == want, (r, c)
+    # and the vectorized twin agrees everywhere
+    assert np.array_equal(got1, downsample2_mean_int(vals, 255))
