@@ -2654,6 +2654,46 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode on executors (functions/multimodal.decode_png
+    — from-scratch public-spec codec: stdlib zlib inflate + all five
+    scanline filters, CRC-verified; the former brief-prescribed stub now
+    covers only JPEG/GIF): per doc a fully compressed RGB PNG is built
+    (make_png_real — per-row filters cycle 0..4, so every filter path
+    runs under the hash), decoded, and reduced to integer pixel stats in
+    the same Arrow pass. The oracle replays the documented pixel formula
+    v(x,y,c) = (3x + 7y + 11c + doc_id) % 256 with BIGINT ops — the
+    encode→deflate→inflate→unfilter chain must be the exact identity for
+    every image or the hash breaks."""
+    import numpy as np
+    import pandas as pd
+
+    from giga_spatial_spark.functions import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].to_numpy():
+                i = int(i)
+                w, h = 8 + i % 9, 8 + (i * 3) % 11
+                img = MM.decode_png(MM.make_png_real(w, h, seed=i))
+                v = img.astype(np.int64)
+                rows.append(
+                    (i, v.size, int(v.sum()), int(v.min()), int(v.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "px_sum", "px_min", "px_max"]
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="doc_id bigint, n_px bigint, px_sum bigint, "
+        "px_min bigint, px_max bigint",
+    )
+
+
 def q_iso3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ISO 3166-1 resolution (operators/normalize.with_iso3 over the
     complete transcribed registry, iso3166.py; reference resolves via
@@ -3207,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_h3_compact": q_h3_compact,
         "q_iso3": q_iso3,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_image_decode": q_image_decode,
         "q_coverage": q_coverage,
         "q1_pricing_summary": q1_pricing_summary,
     }
@@ -4023,6 +4064,18 @@ def oracle_sql() -> dict[str, str]:
         "q_geotiff_albers": albers_zonal,
         "q_geotiff_lcc": lcc_zonal,
         "q_cog_overview": cog_overview,
+        "q_image_decode": (
+            "WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, "
+            "8 + (doc_id * 3) % 11 AS h FROM documents), "
+            "px AS (SELECT d.doc_id, "
+            "(x.i * 3 + y.i * 7 + c.i * 11 + d.doc_id) % 256 AS v "
+            "FROM dims d, range(0, 16) x(i), range(0, 18) y(i), "
+            "range(0, 3) c(i) WHERE x.i < d.w AND y.i < d.h) "
+            "SELECT doc_id, cast(count(*) as bigint) AS n_px, "
+            "cast(sum(v) as bigint) AS px_sum, "
+            "cast(min(v) as bigint) AS px_min, "
+            "cast(max(v) as bigint) AS px_max FROM px GROUP BY doc_id"
+        ),
         "q_cog_overview_int": cog_overview_int,
         "q_geotiff_custom_crs": custom_crs_zonal,
         "q_geotiff_polar": polar_zonal,

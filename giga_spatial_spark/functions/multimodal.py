@@ -2,10 +2,12 @@
 
 Media payloads are opaque `binary` columns with typed metadata structs —
 the Spark-side schema, partitioning, UDF signatures and Arrow batch shapes
-are real and tested; the actual codec decode is STUBBED (this container has
-no image/audio libraries) behind ``DECODERS`` with a deterministic fake, as
-the build brief prescribes. Swapping in a real decoder (PIL/ffmpeg) changes
-only the function body, not the plan.
+are real and tested. PNG pixel decode is REAL (decode_png — from-scratch
+public-spec: stdlib zlib + the five scanline filters, CRC-verified);
+JPEG/GIF entropy decode and audio sample decode need codecs this container
+lacks and stay STUBBED behind ``DECODERS`` with a deterministic fake, as
+the build brief prescribes. Swapping in a real decoder (PIL/ffmpeg)
+changes only the function body, not the plan.
 """
 
 from __future__ import annotations
@@ -53,7 +55,175 @@ def _fake_decode_audio(payload: bytes) -> np.ndarray:
     return (raw % 32768).astype(np.float32) / 32768.0
 
 
-DECODERS = {"image": _fake_decode_image, "audio": _fake_decode_audio}
+# -------------------------------------------------- real PNG pixel codec
+# From-scratch, public-spec (RFC 2083 / W3C PNG): stdlib zlib + the five
+# scanline filters. 8-bit depth, color types 0 (gray) / 2 (RGB) /
+# 4 (gray+alpha) / 6 (RGBA), interlace 0. JPEG/GIF entropy decode needs
+# a codec this container lacks and stays brief-prescribed-stubbed.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filters=None) -> bytes:
+    """Real PNG encoder for fixtures/tests: (h, w) gray, (h, w, 2)
+    gray+alpha, (h, w, 3) RGB or (h, w, 4) RGBA uint8 → full
+    IHDR+IDAT+IEND with correct CRCs. ``filters`` picks the per-row
+    filter type (int, or list per row; default cycles 0..4 so every
+    filter path is exercised)."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if filters is None:
+        filters = [y % 5 for y in range(h)]
+    elif isinstance(filters, int):
+        filters = [filters] * h
+    lanes = arr.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur, ft = lanes[y], int(filters[y])
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            f = (cur - left) % 256
+        elif ft == 2:
+            f = (cur - prev) % 256
+        elif ft == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            f = (cur - (left + prev) // 2) % 256
+        elif ft == 4:
+            f = np.empty(w * ch, dtype=np.int32)
+            for i in range(w * ch):
+                a = int(cur[i - ch]) if i >= ch else 0
+                c = int(prev[i - ch]) if i >= ch else 0
+                f[i] = (int(cur[i]) - _paeth(a, int(prev[i]), c)) % 256
+        else:
+            raise ValueError(f"filter {ft}")
+        raw.append(ft)
+        raw.extend(f.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG pixel decode (stdlib zlib + the five public-spec filters)
+    → (h, w, channels) uint8. Chunk CRCs are verified; 16-bit depth,
+    palette and Adam7 interlace raise ValueError (loud-failure
+    convention), as does any structural violation."""
+    import zlib
+
+    b = bytes(payload)
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat, seen_end = 8, None, bytearray(), False
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        if len(data) != clen or pos + 12 + clen > len(b):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", b[pos + 8 + clen : pos + 12 + clen])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + clen
+    if ihdr is None or not seen_end or not idat:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG depth/color {depth}/{color}")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel stream length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: prefix sums per byte lane, mod 256
+            cur = np.cumsum(line.reshape(w, ch), axis=0, dtype=np.int64) % 256
+            cur = cur.reshape(stride).astype(np.int32)
+        elif ft == 2:
+            cur = (line + prev) % 256
+        elif ft == 3:
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (cur[i] + (a + int(prev[i])) // 2) % 256
+        elif ft == 4:
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                c = int(prev[i - ch]) if i >= ch else 0
+                cur[i] = (cur[i] + _paeth(a, int(prev[i]), c)) % 256
+        else:
+            raise ValueError(f"PNG filter {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Image decode dispatch: PNGs with a pixel stream decode FOR REAL
+    (decode_png — zlib + filters, no media lib needed); JPEG/GIF entropy
+    decoding needs codecs this container lacks, so those fall back to
+    the deterministic digest fake (brief-prescribed stub). Header-only
+    PNG stubs (make_png — no IDAT) also take the fake path."""
+    b = bytes(payload)
+    if b[:8] == PNG_SIG and b"IDAT" in b:
+        return decode_png(b)
+    return _fake_decode_image(b)
+
+
+DECODERS = {"image": decode_image, "audio": _fake_decode_audio}
 
 
 # ---------------------------------------------------- real header parsers
@@ -189,6 +359,18 @@ def image_meta(payload: pd.Series) -> pd.DataFrame:
 
 
 # ------------------------------------------------- deterministic builders
+def make_png_real(w: int, h: int, seed: int = 0) -> bytes:
+    """Fully decodable RGB PNG with SQL-replayable deterministic pixels
+    v(x, y, c) = (3x + 7y + 11c + seed) % 256 and per-row filters
+    cycling 0..4 (so a decode exercises every filter path). The
+    q_image_decode oracle replays the formula with BIGINT ops."""
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    arr = ((x * 3 + y * 7 + c * 11 + seed) % 256).astype(np.uint8)
+    return encode_png(arr)
+
+
 def make_png(w: int, h: int, seed: int = 0) -> bytes:
     """Structurally valid PNG prefix (signature + IHDR) + deterministic
     body bytes (the pixel stream is not decoded by this engine)."""

@@ -281,3 +281,47 @@ def test_media_header_parser_fuzz():
             parse_media_meta(bytes(mutated))  # must not raise
     assert parse_media_meta(b"")["format"] == "unknown"
     assert parse_media_meta(b"\x00" * 64)["format"] == "unknown"
+
+
+def test_png_codec_roundtrip():
+    """decode_png(encode_png(arr)) is the identity for every color type
+    (gray / gray+alpha / RGB / RGBA) and every filter type 0-4, odd
+    sizes included; CRC corruption and unsupported headers fail loudly."""
+    import numpy as np
+    import pytest as _p
+
+    from giga_spatial_spark.functions.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+        make_png,
+        make_png_real,
+    )
+
+    rs = np.random.RandomState(3)
+    for ch in (1, 2, 3, 4):
+        for w, h in ((1, 1), (7, 5), (16, 16), (33, 2)):
+            arr = rs.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+            back = decode_png(encode_png(arr))
+            assert back.shape == (h, w, ch)
+            assert np.array_equal(back, arr), (ch, w, h)
+    # single fixed filter per image, each of the five
+    arr = rs.randint(0, 256, size=(9, 11, 3)).astype(np.uint8)
+    for ft in range(5):
+        assert np.array_equal(decode_png(encode_png(arr, filters=ft)), arr), ft
+    # deterministic builder matches its documented formula
+    img = decode_png(make_png_real(12, 10, seed=42))
+    x = np.arange(12)[None, :, None]
+    y = np.arange(10)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    assert np.array_equal(img, (x * 3 + y * 7 + c * 11 + 42) % 256)
+    # corrupt CRC → loud failure
+    good = bytearray(encode_png(arr))
+    good[40] ^= 0xFF
+    with _p.raises(ValueError):
+        decode_png(bytes(good))
+    # header-only stub PNGs (no IDAT) fall back to the digest fake
+    assert decode_image(make_png(8, 8, 1)).shape == (8, 8, 3)
+    # real PNGs dispatch to the real decoder
+    assert np.array_equal(decode_image(make_png_real(4, 4, 7)),
+                          decode_png(make_png_real(4, 4, 7)))
