@@ -1354,69 +1354,178 @@ def grid_disk(h: int, k: int) -> np.ndarray:
     return np.array(sorted(seen), dtype=np.int64)
 
 
-def polyfill(poly: np.ndarray, res: int, mode: str = "center") -> np.ndarray:
+def segments_cross(
+    p1: np.ndarray, p2: np.ndarray, q1: np.ndarray, q2: np.ndarray
+) -> bool:
+    """Exact 2-d segment intersection (touching counts): standard
+    orientation sign tests with the collinear on-segment fallback."""
+
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):  # c collinear with a-b: is c within the box?
+        return (
+            min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+        )
+
+    d1, d2 = orient(q1, q2, p1), orient(q1, q2, p2)
+    d3, d4 = orient(p1, p2, q1), orient(p1, p2, q2)
+    if d1 != d2 and d3 != d4:
+        return True
+    if d1 == 0 and on_seg(q1, q2, p1):
+        return True
+    if d2 == 0 and on_seg(q1, q2, p2):
+        return True
+    if d3 == 0 and on_seg(p1, p2, q1):
+        return True
+    return d4 == 0 and on_seg(p1, p2, q2)
+
+
+def cell_overlaps_polygon(
+    bxy: np.ndarray, center_in: bool, poly: np.ndarray
+) -> bool:
+    """EXACT cell×polygon intersection predicate (reference overlap
+    semantics, h3shape_to_cells_experimental): the cell center or any
+    cell boundary vertex inside the polygon, any polygon vertex inside
+    the cell, or any polygon edge crossing any cell edge — the last
+    term catches thin slivers that cross a cell mid-edge without
+    containing any vertex of either ring. ``bxy``: cell boundary as
+    (lon, lat) rows; treated in the lon/lat plane like every other
+    containment in this engine (reference sjoin semantics)."""
+    from .geometry import point_in_polygon
+
+    if center_in or point_in_polygon(poly, bxy[:, 0], bxy[:, 1]).any():
+        return True
+    if point_in_polygon(bxy, poly[:, 0], poly[:, 1]).any():
+        return True
+    n, m = len(bxy), len(poly)
+    for i in range(n):
+        p1, p2 = bxy[i], bxy[(i + 1) % n]
+        for j in range(m):
+            if segments_cross(p1, p2, poly[j], poly[(j + 1) % m]):
+                return True
+    return False
+
+
+POLYFILL_CELL_LIMIT = 4_000_000  # BFS visit guard (~cover size, not bbox)
+
+
+def polyfill(
+    poly: np.ndarray,
+    res: int,
+    mode: str = "center",
+    max_cells: int = POLYFILL_CELL_LIMIT,
+) -> np.ndarray:
     """Cells covering `poly` (lon, lat vertices) under the reference's
     four contain modes (grid/h3.py:150-196 h3shape_to_cells_experimental):
     center (cell center inside — the default/oracle mode), full (cell
-    entirely inside: center + every boundary vertex), overlap (any
-    boundary/center point inside, or a polygon vertex inside the cell),
+    entirely inside: center + every boundary vertex), overlap (EXACT
+    cell×polygon intersection: vertex containment both ways + polygon-
+    edge × cell-edge segment crossing — cell_overlaps_polygon),
     bbox_overlap (cell lon/lat bbox intersects the polygon bbox).
-    Candidates: a point lattice at ~1/3 cell spacing over the bbox."""
-    from .geometry import point_in_polygon
 
+    Candidates come from a BFS flood fill over exact grid_neighbors
+    seeded at the polygon's vertex cells: only cells that intersect the
+    region (plus their one-cell dead-end fringe) are ever visited, so
+    driver memory is bounded by the COVER size, never the bbox area — a
+    country-scale polygon at res 11 no longer allocates a continental
+    lattice. Hex grids make the intersecting-cell set edge-connected
+    (three cells meet at every corner), so the flood finds all of it.
+    Visiting more than ``max_cells`` raises: use a coarser res, or build
+    the cover distributed (assign_cells_df over the point table +
+    compact_cells_df) instead of a driver-side fill."""
     poly = np.asarray(poly, dtype=np.float64)
     # antimeridian: a ring whose lon span exceeds 180° is (by the usual
     # GIS convention) a ±180-crossing ring; unwrap negative lons to
-    # 180..360 so the bbox, sampling lattice and ray cast all run in a
-    # continuous frame (cells are indexed on the wrapped coordinates)
+    # 180..360 so the bbox and ray cast run in a continuous frame (cells
+    # are indexed on the wrapped coordinates)
     wrap = (poly[:, 0].max() - poly[:, 0].min()) > 180.0
     if wrap:
         poly = poly.copy()
         poly[:, 0] = np.where(poly[:, 0] < 0.0, poly[:, 0] + 360.0, poly[:, 0])
     lon_min, lat_min = poly.min(axis=0)
     lon_max, lat_max = poly.max(axis=0)
-    # mean edge length at res in degrees (~ hex spacing / 3 sampling)
-    hex_deg = math.degrees(
-        RES0_U_GNOMONIC / (M_SQRT7 ** res)
-    )
-    step = max(hex_deg / 3.0, 1e-7)
-    lats = np.arange(lat_min - hex_deg, lat_max + hex_deg, step)
-    lons = np.arange(lon_min - hex_deg, lon_max + hex_deg, step)
-    glon, glat = np.meshgrid(lons, lats)
-    slon = glon.ravel()
-    if wrap:
-        slon = np.where(slon > 180.0, slon - 360.0, slon)
-    cand = np.unique(latlng_to_cell(glat.ravel(), slon, res))
-    clat, clng = cell_to_latlng(cand)
-    if wrap:
-        clng = np.where(clng < 0.0, clng + 360.0, clng)
-    center_in = point_in_polygon(poly, clng, clat)
-    if mode == "center":
-        return cand[center_in]
-    if mode == "bbox_overlap":
-        keep = []
-        for c in cand:
-            b = cell_to_boundary(int(c))
-            keep.append(
-                b[:, 1].min() <= lon_max and b[:, 1].max() >= lon_min
-                and b[:, 0].min() <= lat_max and b[:, 0].max() >= lat_min
-            )
-        return cand[np.array(keep, dtype=bool)]
-    if mode not in ("full", "overlap"):
+    if mode not in ("center", "full", "overlap", "bbox_overlap"):
         raise ValueError(f"unknown polyfill mode {mode!r}")
-    vert_cells = set(
-        latlng_to_cell(poly[:, 1], poly[:, 0], res).tolist()
-    )
+    if mode == "bbox_overlap":
+        # flood region: the polygon's bbox rectangle (the intersecting
+        # set of the BBOX predicate hugs the rectangle, not the polygon)
+        region = np.array(
+            [
+                [lon_min, lat_min], [lon_max, lat_min],
+                [lon_max, lat_max], [lon_min, lat_max],
+            ]
+        )
+    else:
+        region = poly
+
+    from .geometry import point_in_polygon
+
+    def center_inside(c: int) -> bool:
+        la, ln = cell_to_latlng(np.array([c], dtype=np.int64))
+        if wrap and ln[0] < 0.0:
+            ln = ln + 360.0
+        return bool(point_in_polygon(region, ln, la)[0])
+
+    def boundary_xy(c: int) -> np.ndarray:
+        b = cell_to_boundary(c)
+        xy = np.stack([b[:, 1], b[:, 0]], axis=1)
+        if wrap:
+            xy[:, 0] = np.where(xy[:, 0] < 0.0, xy[:, 0] + 360.0, xy[:, 0])
+        return xy
+
+    def expands(c: int) -> bool:
+        """Cell intersects the flood region → BFS continues through it."""
+        if mode == "bbox_overlap":
+            xy = boundary_xy(c)
+            return (
+                xy[:, 0].min() <= lon_max and xy[:, 0].max() >= lon_min
+                and xy[:, 1].min() <= lat_max and xy[:, 1].max() >= lat_min
+            )
+        return cell_overlaps_polygon(boundary_xy(c), center_inside(c), region)
+
+    seeds = np.unique(latlng_to_cell(poly[:, 1], poly[:, 0], res))
+    seen: set = set()
+    frontier: list = []
+    for s in seeds.tolist():
+        if s not in seen:
+            seen.add(s)
+            if expands(s):
+                frontier.append(s)
+    hits: set = set(frontier)
+    while frontier:
+        if len(seen) > max_cells:
+            raise ValueError(
+                f"polyfill: BFS visited more than {max_cells:,} cells at "
+                f"res {res} — use a coarser resolution, raise max_cells, "
+                "or build the cover distributed (assign_cells_df + "
+                "compact_cells_df) instead of a driver-side fill"
+            )
+        nxt: list = []
+        for c in frontier:
+            for nb in grid_neighbors(c):
+                nb = int(nb)
+                if nb in seen:
+                    continue
+                seen.add(nb)
+                if expands(nb):
+                    hits.add(nb)
+                    nxt.append(nb)
+        frontier = nxt
+    cand = np.array(sorted(hits), dtype=np.int64)
+    if mode in ("overlap", "bbox_overlap"):
+        return cand  # the flood predicate IS the keep predicate
     keep = []
-    for i, c in enumerate(cand):
-        b = cell_to_boundary(int(c))
-        verts_in = point_in_polygon(poly, b[:, 1], b[:, 0])
-        if mode == "full":
-            keep.append(bool(center_in[i]) and bool(verts_in.all()))
-        else:  # overlap
+    for c in cand.tolist():
+        cin = center_inside(c)
+        if mode == "center":
+            keep.append(cin)
+        else:  # full: center + every boundary vertex inside
+            xy = boundary_xy(c)
             keep.append(
-                bool(center_in[i]) or bool(verts_in.any())
-                or int(c) in vert_cells
+                cin and bool(point_in_polygon(region, xy[:, 0], xy[:, 1]).all())
             )
     return cand[np.array(keep, dtype=bool)]
 

@@ -352,3 +352,71 @@ def test_distributed_compact_uncompact_parity(spark):
     assert len(kids) == 6 and sorted(kids) == sorted(
         h3.cell_to_children(pent2, 3).tolist()
     )
+
+
+def test_polyfill_overlap_exact_slivers():
+    """Thin slivers crossing mid-cell at several orientations: the
+    segment-intersection term of cell_overlaps_polygon is load-bearing
+    (the sliver contains no cell vertex or center, and no sliver vertex
+    is in the cell), and the BFS result equals a brute-force disk sweep
+    of the exact predicate."""
+    from giga_spatial_spark.geometry import point_in_polygon
+
+    c0 = int(h3.latlng_to_cell(46.2, 8.7, 6))
+    clat, clng = (float(v[0]) for v in h3.cell_to_latlng(np.array([c0])))
+    b = h3.cell_to_boundary(c0)
+    r = float(np.hypot(b[:, 1] - clng, b[:, 0] - clat).max())  # circumradius°
+    seg_only_hits = 0
+    for theta in (0.0, 0.5, 1.3, 2.1):
+        ux, uy = np.cos(theta), np.sin(theta)
+        # offset perpendicular so the sliver misses the cell center
+        ox, oy = clng - 0.35 * r * uy, clat + 0.35 * r * ux
+        L, wdt = 4.0 * r, r / 80.0
+        sliver = np.array(
+            [
+                [ox - L * ux - wdt * uy, oy - L * uy + wdt * ux],
+                [ox + L * ux - wdt * uy, oy + L * uy + wdt * ux],
+                [ox + L * ux + wdt * uy, oy + L * uy - wdt * ux],
+                [ox - L * ux + wdt * uy, oy - L * uy - wdt * ux],
+            ]
+        )
+        got = set(h3.polyfill(sliver, 6, mode="overlap").tolist())
+        assert c0 in got, theta
+        # brute force: exact predicate over a generous disk around c0
+        disk = set(h3.grid_disk(c0, 6).tolist())
+        brute = set()
+        for c in disk:
+            bb = h3.cell_to_boundary(int(c))
+            xy = np.stack([bb[:, 1], bb[:, 0]], axis=1)
+            la, ln = h3.cell_to_latlng(np.array([c], dtype=np.int64))
+            cin = bool(point_in_polygon(sliver, ln, la)[0])
+            if h3.cell_overlaps_polygon(xy, cin, sliver):
+                brute.add(int(c))
+        # within the disk (the sliver extends past it) BFS == brute force
+        assert got & disk == brute
+        # was the old vertex-only predicate sufficient for c0?
+        xy0 = np.stack([b[:, 1], b[:, 0]], axis=1)
+        old_style = (
+            bool(point_in_polygon(sliver, np.array([clng]), np.array([clat]))[0])
+            or point_in_polygon(sliver, xy0[:, 0], xy0[:, 1]).any()
+            or point_in_polygon(xy0, sliver[:, 0], sliver[:, 1]).any()
+        )
+        if not old_style:
+            seg_only_hits += 1
+    assert seg_only_hits >= 2  # several orientations rely on seg-crossing
+
+
+def test_polyfill_bfs_bounded_and_guard():
+    """Driver cost is bounded by the COVER, not the bbox: a long thin
+    diagonal strip (huge bbox, small cover) fills fine at a res where
+    the old bbox lattice would allocate ~1e8 points; and max_cells
+    raises the documented guidance."""
+    import pytest as _p
+
+    strip = np.array(
+        [[0.0, 0.0], [30.0, 29.9], [30.0, 30.1], [0.05, 0.2]]
+    )
+    cells = h3.polyfill(strip, 4, mode="overlap")
+    assert 100 < len(cells) < 20000  # cover-sized, not bbox-sized
+    with _p.raises(ValueError, match="coarser resolution"):
+        h3.polyfill(strip, 6, max_cells=200, mode="overlap")
