@@ -1244,16 +1244,22 @@ def cell_to_boundary(h: int) -> np.ndarray:
         qx, qy = _ijk_to_hex2d(q[None, :])
         corners.append(
             (math.degrees(la[0]), math.degrees(ln[0]), f2,
-             float(qx[0]), float(qy[0]))
+             float(qx[0]), float(qy[0]), q2)
         )
     # distortion vertices: where a boundary segment crosses an icosahedron
     # edge (consecutive corners adjust onto different faces), the true H3
-    # boundary kinks. The kink is found IN THE HOME-FACE SUBSTRATE PLANE —
-    # the lattice segment is straight there, and its 2D intersection with
-    # the home face triangle edge projects (via the home gnomonic, exact
-    # on the edge) to the reference kink point. Class II segments run
-    # along the edges, so the intersection degenerates to a corner and is
-    # dropped by the endpoint tolerance.
+    # boundary kinks. The segment is straight in the FIRST corner's NATIVE
+    # face substrate plane: corner a is native there, corner b re-expresses
+    # through the derived exact fb→fa edge isometry (Class II lattices of
+    # adjacent faces align along the shared edge), and the 2D intersection
+    # with fa's triangle edge toward fb projects (via fa's gnomonic, exact
+    # on the edge) to the reference kink point. This matters for giant
+    # cells whose segments connect two NON-home faces (res-1 pentagons
+    # and their neighbors): the home-plane chord there cuts the kink and
+    # loses ~2e4 km² per pentagon. Non-adjacent face pairs fall back to
+    # the home-plane triangle sweep. Class II segments run along the
+    # edges, so the intersection degenerates and is dropped by the
+    # endpoint tolerance.
     topo = _topo()
     D3 = _scale_matrix(res_cii) * 3
     verts_home = topo.face_verts[face]
@@ -1263,34 +1269,86 @@ def cell_to_boundary(h: int) -> np.ndarray:
             np.array(topo.vert_slot[(face, v)], np.int64)[None, :] @ D3
         )
         tri.append((float(a2[0]), float(b2[0])))
+
+    def _seg_edge_hit(ax, ay, bx, by, e1x, e1y, e2x, e2y):
+        dx, dy = bx - ax, by - ay
+        ex, ey = e2x - e1x, e2y - e1y
+        den = dx * ey - dy * ex
+        if abs(den) < 1e-12:
+            return None
+        t = ((e1x - ax) * ey - (e1y - ay) * ex) / den
+        s = ((e1x - ax) * dy - (e1y - ay) * dx) / den
+        if 1e-9 < t < 1 - 1e-9 and -1e-9 <= s <= 1 + 1e-9:
+            return (t, ax + t * dx, ay + t * dy)
+        return None
+
     full = []
     m = len(corners)
     for idx in range(m):
         a = corners[idx]
         b = corners[(idx + 1) % m]
         full.append((a[0], a[1]))
-        if a[2] != b[2]:
-            ax, ay, bx, by = a[3], a[4], b[3], b[4]
+        if a[2] == b[2]:
+            continue
+        fa, fb = a[2], b[2]
+        qa2, qb2 = a[5], b[5]
+        kinks = []
+        # native-frame path: fa and fb adjacent → one kink on their
+        # shared icosahedron edge, computed in fa's substrate plane
+        shared = None
+        for va in range(3):
+            for vb in range(va + 1, 3):
+                pr = frozenset(
+                    (topo.face_verts[fa][va], topo.face_verts[fa][vb])
+                )
+                if topo.edge_neighbor.get((fa, pr)) == fb:
+                    shared = pr
+                    break
+            if shared is not None:
+                break
+        if shared is not None:
+            v1 = sorted(shared)[0]
+            t_rot = topo.edge_rot[(fb, shared)]  # fb native → fa frame
+            a_fb = (
+                np.array(topo.vert_slot[(fb, v1)], np.int64)[None, :] @ D3
+            )[0]
+            a_fa = (
+                np.array(topo.vert_slot[(fa, v1)], np.int64)[None, :] @ D3
+            )[0]
+            qb_in_fa = _ijk_normalize(
+                (_ijk_rot60((qb2 - a_fb)[None, :], t_rot)[0] + a_fa)[None, :]
+            )[0]
+            ax_, ay_ = (float(v[0]) for v in _ijk_to_hex2d(qa2[None, :]))
+            bx_, by_ = (float(v[0]) for v in _ijk_to_hex2d(qb_in_fa[None, :]))
+            vs = sorted(shared)
+            e1 = (np.array(topo.vert_slot[(fa, vs[0])], np.int64)[None, :] @ D3)[0]
+            e2 = (np.array(topo.vert_slot[(fa, vs[1])], np.int64)[None, :] @ D3)[0]
+            e1x, e1y = (float(v[0]) for v in _ijk_to_hex2d(e1[None, :]))
+            e2x, e2y = (float(v[0]) for v in _ijk_to_hex2d(e2[None, :]))
+            hit = _seg_edge_hit(ax_, ay_, bx_, by_, e1x, e1y, e2x, e2y)
+            if hit is not None:
+                _, ix, iy = hit
+                la_i, ln_i = _hex2d_to_geo(
+                    np.array([fa]), np.array([ix / 3.0]),
+                    np.array([iy / 3.0]), res_cii,
+                )
+                kinks.append((math.degrees(la_i[0]), math.degrees(ln_i[0])))
+        if not kinks:
+            # fallback: home-plane sweep over the home triangle edges
+            ax_, ay_, bx_, by_ = a[3], a[4], b[3], b[4]
             hits = []
             for e in range(3):
                 (e1x, e1y), (e2x, e2y) = tri[e], tri[(e + 1) % 3]
-                dx, dy = bx - ax, by - ay
-                ex, ey = e2x - e1x, e2y - e1y
-                den = dx * ey - dy * ex
-                if abs(den) < 1e-12:
-                    continue
-                t = ((e1x - ax) * ey - (e1y - ay) * ex) / den
-                s = ((e1x - ax) * dy - (e1y - ay) * dx) / den
-                if 1e-9 < t < 1 - 1e-9 and -1e-9 <= s <= 1 + 1e-9:
-                    hits.append((t, ax + t * dx, ay + t * dy))
+                hit = _seg_edge_hit(ax_, ay_, bx_, by_, e1x, e1y, e2x, e2y)
+                if hit is not None:
+                    hits.append(hit)
             for _, ix, iy in sorted(hits):
                 la_i, ln_i = _hex2d_to_geo(
                     np.array([face]), np.array([ix / 3.0]),
                     np.array([iy / 3.0]), res_cii,
                 )
-                full.append(
-                    (math.degrees(la_i[0]), math.degrees(ln_i[0]))
-                )
+                kinks.append((math.degrees(la_i[0]), math.degrees(ln_i[0])))
+        full.extend(kinks)
     corners = full
     if pent:
         uniq = []

@@ -84,9 +84,11 @@ def test_pentagon_descendants_round_trip():
 
 def test_published_area_stats():
     """Exact spherical partition (areas sum to the sphere) and the
-    published average-hexagon-area table: res 0 and res 2 match to µm²;
-    res 1 (Class III at planetary cell size) is within 5e-4 — the only
-    residual is second-order boundary-distortion detail."""
+    published average-hexagon-area table: res 0, 1 AND 2 match to the
+    table's full precision. Res 1 required the native-face kink fix
+    (round 6): segments between two non-home faces get their distortion
+    vertex in the first corner's face plane via the fb→fa lattice
+    isometry — the home-plane chord was cutting ~2e4 km² per pentagon."""
     res0 = _res0_cells()
     cells1 = np.concatenate([h3.cell_to_children(int(c), 1) for c in res0])
     sphere = 4 * math.pi * h3.EARTH_RADIUS_KM ** 2
@@ -95,7 +97,40 @@ def test_published_area_stats():
     assert abs(a0.sum() / sphere - 1) < 1e-9
     assert abs(a1.sum() / sphere - 1) < 1e-9
     assert abs(a0[~h3.is_pentagon(res0)].mean() - 4357449.416078381) < 1e-3
-    assert abs(a1[~h3.is_pentagon(cells1)].mean() / 609788.441794133 - 1) < 5e-4
+    assert abs(a1[~h3.is_pentagon(cells1)].mean() / 609788.441794133 - 1) < 1e-9
+
+
+def test_res1_boundary_probe_exact():
+    """Every res-1 boundary polyline agrees with the (independently
+    exact) assignment function: points nudged just inside/outside each
+    boundary segment classify to the cell / a neighbor respectively —
+    the probe that located the pre-fix pentagon kink deficit, now clean
+    on the 48 previously-failing giant cells."""
+    res0 = _res0_cells()
+    cells1 = np.concatenate([h3.cell_to_children(int(c), 1) for c in res0])
+    # the 12 pentagons + their 36 kink-side neighbors were the failures;
+    # probing every 5th cell plus all pentagons keeps runtime modest
+    sel = list(cells1[h3.is_pentagon(cells1)].tolist()) + list(
+        cells1[::5].tolist()
+    )
+    for c in sel:
+        b = h3.cell_to_boundary(int(c))
+        n = len(b)
+        clat, clng = h3.cell_to_latlng(np.array([c], dtype=np.int64))
+        cvec = h3._geo_to_vec(np.radians(clat), np.radians(clng))[0]
+        vec = h3._geo_to_vec(np.radians(b[:, 0]), np.radians(b[:, 1]))
+        for i in range(n):
+            a, d = vec[i], vec[(i + 1) % n]
+            for t in (0.1, 0.5, 0.9):
+                p = a * (1 - t) + d * t
+                p /= np.linalg.norm(p)
+                for sgn, exp_in in ((+1, True), (-1, False)):
+                    q = p + sgn * 2e-6 * (cvec - p)
+                    q /= np.linalg.norm(q)
+                    la = math.degrees(math.asin(max(-1, min(1, q[2]))))
+                    ln = math.degrees(math.atan2(q[1], q[0]))
+                    got = int(h3.latlng_to_cell(la, ln, 1))
+                    assert (got == c) == exp_in, (hex(c), i, t, sgn)
 
 
 def test_parent_child_coherence():
