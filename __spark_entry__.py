@@ -676,7 +676,8 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECON_N = 3  # contamination n-gram width (3: the synthetic vocab is small enough that real overlaps exist, so the flag path is exercised)
-DECON_MOD = 101  # doc_id % MOD == 0 → benchmark member
+DECON_MOD = 101
+PASSAGE_W = 15  # q_passage_dedup window width (docs are 10-99 words; 857 cross-doc dup 15-grams at sf0.01)  # doc_id % MOD == 0 → benchmark member
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,6 +738,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by md5(text): survivor id + duplicate count per digest."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return exact_dedup(docs)
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-PASSAGE detection (Lee et al. substring
+    dedup, operators/dedup.duplicated_passages): every overlapping
+    15-word window keyed by md5, windows shared by >= 2 distinct docs
+    flagged, per-doc total/duplicated window counts. Spark-first shape:
+    one explode + two hash aggregates + a left-semi join on the
+    uniformly-hashed window key — no suffix array, no self-join. The
+    oracle rebuilds the windows with DuckDB list comprehensions and the
+    same md5 keys (both engines hash the identical utf-8 gram bytes)."""
+    from giga_spatial_spark.operators.dedup import duplicated_passages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_passages(docs, n=PASSAGE_W)
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3373,6 +3389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": q_token_stats,
         "q_lang_id": q_lang_id,
         "q_dedup_exact": q_dedup_exact,
+        "q_passage_dedup": q_passage_dedup,
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_simhash_near_dup": q_simhash_near_dup,
@@ -4409,6 +4426,22 @@ FROM z""",
         "q_quadkey_compact": _quadkey_compact_sql(),
         "q_h3_compact": _h3_compact_sql(docs),
         "q_polyfill_overlap": _polyfill_overlap_sql(docs),
+        "q_passage_dedup": (
+            f"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            f"el AS (SELECT doc_id, len(ws) - {PASSAGE_W} + 1 AS n_windows, ws "
+            f"FROM w WHERE len(ws) >= {PASSAGE_W}), "
+            "g AS (SELECT doc_id, unnest([md5(array_to_string("
+            f"ws[i:i+{PASSAGE_W - 1}], ' ')) "
+            f"for i in range(1, len(ws) - {PASSAGE_W} + 2)]) AS k FROM el), "
+            "dup AS (SELECT k FROM g GROUP BY k "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "fl AS (SELECT doc_id, count(*) AS n_dup FROM g "
+            "JOIN dup USING (k) GROUP BY doc_id) "
+            "SELECT e.doc_id, cast(e.n_windows as bigint) AS n_windows, "
+            "cast(coalesce(fl.n_dup, 0) as bigint) AS n_dup_windows "
+            "FROM el e LEFT JOIN fl USING (doc_id)"
+        ),
         "q_nfkc": _nfkc_oracle_sql(),
         "q_geom_stats": _geom_stats_sql(),
         "q_utm_project": _utm_project_sql(),

@@ -428,3 +428,54 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def duplicated_passages(
+    docs: DataFrame,
+    n: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-PASSAGE detection — the substring-dedup
+    pass of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., suffix-array substring matching), re-expressed
+    Spark-first: every overlapping n-word window is keyed by md5, keys
+    seen in >= ``min_docs`` DISTINCT documents are flagged, and each
+    document reports its total and duplicated window counts (the
+    removal policy — cut flagged spans, drop docs over a fraction — is
+    the caller's). One explode + two hash aggregates + one left-semi
+    join, all on the uniformly-hashed window key; no self-join, no
+    suffix array, no driver state — at 100 TB the only costs are two
+    shuffles of (key, doc) pairs, and the flagged-key side shrinks to
+    genuinely repeated passages."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(words, i + k) for k in range(1, n + 1)]
+            ).cast("binary")
+        ),
+    )
+    eligible = docs.where(F.size(words) >= n)
+    g = eligible.select(id_col, F.explode(grams).alias("k"))
+    dup = (
+        g.groupBy("k")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    flagged = (
+        g.join(dup, "k", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    totals = eligible.select(
+        id_col, (F.size(words) - n + 1).cast("bigint").alias("n_windows")
+    )
+    return totals.join(flagged, id_col, "left").select(
+        id_col,
+        "n_windows",
+        F.coalesce(F.col("_nd"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+    )

@@ -565,3 +565,32 @@ def test_connected_components_huge_ids_distributed(spark):
         for r in connected_components(edges, small_graph_limit=0).collect()
     }
     assert got == {a: a, b: a, c: a, d: d, d + 1: d}
+
+
+def test_duplicated_passages_planted(spark):
+    """A planted 15-word passage shared by two docs is flagged with the
+    exact window counts; a unique doc reports zero; short docs are
+    excluded entirely."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from giga_spatial_spark.operators.dedup import duplicated_passages
+
+    passage = " ".join(f"p{i}" for i in range(15))
+    rows = [
+        (1, passage + " tail1 tail2"),               # 3 windows, 1 dup
+        (2, "head1 " + passage),                      # 2 windows, 1 dup
+        (3, " ".join(f"u{i}" for i in range(20))),    # 6 windows, 0 dup
+        (4, "too short"),                             # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in duplicated_passages(df, n=15).collect()
+    }
+    assert got == {1: (3, 1), 2: (2, 1), 3: (6, 0)}
+    # within-doc repetition alone does NOT flag (min_docs=2 distinct)
+    solo = spark.createDataFrame(
+        [(9, passage + " x " + passage)], "doc_id int, text string"
+    )
+    out = duplicated_passages(solo, n=15).collect()[0]
+    assert out["n_dup_windows"] == 0
