@@ -755,6 +755,29 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_passages(docs, n=PASSAGE_W)
 
 
+def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain deterministic downsampling (operators/sampling
+    .domain_downsample — the Common-Crawl-style cap on how much any one
+    site contributes): synthetic hosts h0..h36 (doc_id % 37, so counts
+    are skewed by residue), each capped at an EXPECTED 10 docs via the
+    exact integer cross-product hash_u32(id) * n_host < 10 * 2^32 — no
+    float thresholds, so both engines agree bit-exactly. Returns
+    per-host totals and survivors."""
+    from giga_spatial_spark.operators.sampling import domain_downsample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("h"), (F.col("doc_id") % 37)).alias("host")
+    )
+    kept = domain_downsample(docs, host_col="host", cap=10)
+    totals = docs.groupBy("host").agg(F.count(F.lit(1)).alias("n_docs"))
+    survivors = kept.groupBy("host").agg(F.count(F.lit(1)).alias("n_kept"))
+    return totals.join(survivors, "host", "left").select(
+        "host",
+        "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs verified by exact shingle Jaccard.
 
@@ -3390,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_dedup_exact": q_dedup_exact,
         "q_passage_dedup": q_passage_dedup,
+        "q_domain_sample": q_domain_sample,
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_simhash_near_dup": q_simhash_near_dup,
@@ -4426,6 +4450,17 @@ FROM z""",
         "q_quadkey_compact": _quadkey_compact_sql(),
         "q_h3_compact": _h3_compact_sql(docs),
         "q_polyfill_overlap": _polyfill_overlap_sql(docs),
+        "q_domain_sample": (
+            "WITH d AS (SELECT doc_id, 'h' || (doc_id % 37) AS host "
+            "FROM documents), "
+            "c AS (SELECT host, count(*) AS n FROM d GROUP BY host), "
+            "k AS (SELECT d.host, count(*) AS n_kept FROM d JOIN c USING (host) "
+            "WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 * c.n "
+            "< 10 * 4294967296 GROUP BY d.host) "
+            "SELECT c.host, cast(c.n as bigint) AS n_docs, "
+            "cast(coalesce(k.n_kept, 0) as bigint) AS n_kept "
+            "FROM c LEFT JOIN k USING (host)"
+        ),
         "q_passage_dedup": (
             f"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
             "FROM documents), "

@@ -594,3 +594,28 @@ def test_duplicated_passages_planted(spark):
     )
     out = duplicated_passages(solo, n=15).collect()[0]
     assert out["n_dup_windows"] == 0
+
+
+def test_domain_downsample_deterministic(spark):
+    """domain_downsample keeps everything for under-cap hosts, samples
+    over-cap hosts near the expected rate, and is exactly reproducible
+    (pure integer hash — rerun yields the identical id set)."""
+    from pyspark.sql import functions as F
+
+    from giga_spatial_spark.operators.sampling import domain_downsample
+
+    rows = [(i, "big" if i < 900 else f"s{i % 7}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    kept1 = sorted(r[0] for r in domain_downsample(df, cap=50).select("doc_id").collect())
+    kept2 = sorted(r[0] for r in domain_downsample(df, cap=50).select("doc_id").collect())
+    assert kept1 == kept2  # bit-reproducible
+    by_host = (
+        domain_downsample(df, cap=50).groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n = {r["host"]: r["n"] for r in by_host}
+    # small hosts (~15 docs each, under cap 50) keep everything
+    for h in (f"s{i}" for i in range(7)):
+        assert n.get(h, 0) == sum(1 for i in range(900, 1000) if f"s{i % 7}" == h)
+    # the 900-doc host lands near its 50-doc expectation (binomial ±5σ)
+    assert 15 <= n["big"] <= 90
