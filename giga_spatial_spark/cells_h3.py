@@ -1588,6 +1588,83 @@ def polyfill(
     return cand[np.array(keep, dtype=bool)]
 
 
+def polyfill_df(spark, poly: np.ndarray, res: int, mode: str = "center"):
+    """DISTRIBUTED polyfill — the scale path the driver polyfill's
+    max_cells guard points at (country-scale polygon × res 11+). The
+    ~1/3-cell candidate lattice over the bbox is generated as
+    ``spark.range`` (each executor materializes only its own slice —
+    the driver never holds a lattice), cells are assigned by the Arrow
+    H3 kernel, and the distinct cover is classified per cell inside
+    mapInPandas by the SAME exact predicates as the driver fill
+    (point-in-polygon / cell_overlaps_polygon). Lattice spacing
+    hex_deg/3 < cell inradius guarantees every candidate cell holds a
+    lattice point (the driver polyfill's own candidate argument).
+    Returns a DataFrame of ``h3_cell``. Modes: center / full /
+    overlap."""
+    import math as _math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .geometry import point_in_polygon
+
+    if mode not in ("center", "full", "overlap"):
+        raise ValueError(f"unknown polyfill_df mode {mode!r}")
+    poly = np.asarray(poly, dtype=np.float64)
+    wrap = (poly[:, 0].max() - poly[:, 0].min()) > 180.0
+    if wrap:
+        poly = poly.copy()
+        poly[:, 0] = np.where(poly[:, 0] < 0.0, poly[:, 0] + 360.0, poly[:, 0])
+    lon_min, lat_min = poly.min(axis=0)
+    lon_max, lat_max = poly.max(axis=0)
+    hex_deg = _math.degrees(RES0_U_GNOMONIC / (M_SQRT7 ** res))
+    step = max(hex_deg / 3.0, 1e-7)
+    margin = 1.5 * hex_deg
+    nx = int(_math.ceil((lon_max - lon_min + 2 * margin) / step)) + 1
+    ny = int(_math.ceil((lat_max - lat_min + 2 * margin) / step)) + 1
+    lon0, lat0 = lon_min - margin, lat_min - margin
+    parts = max(32, min(4096, (nx * ny) // 2_000_000 + 1))
+    ids = spark.range(0, nx * ny, 1, parts)
+    lon = F.lit(lon0) + (F.col("id") % nx) * F.lit(step)
+    lat = F.lit(lat0) + (F.col("id") / F.lit(float(nx))).cast("bigint") * F.lit(step)
+    if wrap:
+        lon = F.when(lon > 180.0, lon - 360.0).otherwise(lon)
+    pts = ids.select(lon.alias("lon"), lat.alias("lat"))
+    cover = assign_cells_df(pts, res).select("h3_cell").distinct()
+
+    _poly = poly  # captured by the classifier kernel
+
+    def classify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["h3_cell"].to_numpy(np.int64)
+            la, ln = cell_to_latlng(cells)
+            if wrap:
+                ln = np.where(ln < 0.0, ln + 360.0, ln)
+            cin = point_in_polygon(_poly, ln, la)
+            if mode == "center":
+                yield pdf[cin]
+                continue
+            keep = np.zeros(len(cells), dtype=bool)
+            for i, c in enumerate(cells.tolist()):
+                b = cell_to_boundary(int(c))
+                xy = np.stack([b[:, 1], b[:, 0]], axis=1)
+                if wrap:
+                    xy[:, 0] = np.where(
+                        xy[:, 0] < 0.0, xy[:, 0] + 360.0, xy[:, 0]
+                    )
+                if mode == "full":
+                    keep[i] = bool(cin[i]) and bool(
+                        point_in_polygon(_poly, xy[:, 0], xy[:, 1]).all()
+                    )
+                else:
+                    keep[i] = cell_overlaps_polygon(xy, bool(cin[i]), _poly)
+            yield pdf[keep]
+
+    return cover.mapInPandas(classify, schema="h3_cell bigint")
+
+
 def compact(cells: np.ndarray) -> np.ndarray:
     """Multi-res compaction (reference h3.compact_cells, grid/h3.py:
     395-412): replace every complete sibling set (7, or 6 under a

@@ -455,3 +455,21 @@ def test_polyfill_bfs_bounded_and_guard():
     assert 100 < len(cells) < 20000  # cover-sized, not bbox-sized
     with _p.raises(ValueError, match="coarser resolution"):
         h3.polyfill(strip, 6, max_cells=200, mode="overlap")
+
+
+def test_polyfill_df_matches_driver(spark):
+    """The distributed polyfill (spark.range lattice → Arrow H3 assign →
+    per-cell exact classify) returns exactly the driver BFS fill's cell
+    set for every mode, on the convex quad, the thin-notched comb and
+    the mid-cell sliver from the oracle suite."""
+    import __spark_entry__ as E
+
+    for pid, poly in E.POLYFILL_POLYS:
+        arr = np.asarray(poly, dtype=np.float64)
+        for mode in ("center", "overlap", "full"):
+            want = set(h3.polyfill(arr, E.PF_RES, mode=mode).tolist())
+            got = {
+                r["h3_cell"]
+                for r in h3.polyfill_df(spark, arr, E.PF_RES, mode=mode).collect()
+            }
+            assert got == want, (pid, mode)

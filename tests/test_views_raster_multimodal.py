@@ -325,3 +325,44 @@ def test_png_codec_roundtrip():
     # real PNGs dispatch to the real decoder
     assert np.array_equal(decode_image(make_png_real(4, 4, 7)),
                           decode_png(make_png_real(4, 4, 7)))
+
+
+def test_png_decoder_fuzz_never_crashes():
+    """Corruption fuzz over real PNG bytes: random byte flips, truncations
+    and length-field mutations either decode to the original (flip hit a
+    dont-care byte — impossible here since CRCs cover everything) or
+    raise ValueError/zlib.error — never a crash, hang, or silent wrong
+    pixels."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from giga_spatial_spark.functions.multimodal import decode_png, encode_png
+
+    rs = np.random.RandomState(99)
+    base_arr = rs.randint(0, 256, size=(11, 13, 3)).astype(np.uint8)
+    base = encode_png(base_arr)
+    crashes = silent_wrong = 0
+    for trial in range(400):
+        b = bytearray(base)
+        kind = trial % 3
+        if kind == 0:  # flip 1-3 bytes anywhere past the signature
+            for _ in range(rs.randint(1, 4)):
+                b[rs.randint(8, len(b))] ^= 1 << rs.randint(8)
+        elif kind == 1:  # truncate
+            b = b[: rs.randint(8, len(b))]
+        else:  # mutate a chunk length field
+            b[rs.randint(8, 16)] ^= 0xFF
+        try:
+            out = decode_png(bytes(b))
+            if not np.array_equal(out, base_arr):
+                silent_wrong += 1
+        except (ValueError, zlib.error, _struct.error):
+            pass
+        except Exception:
+            crashes += 1
+    assert crashes == 0
+    # every byte of IHDR/IDAT is CRC-covered: a flip can never decode
+    # to different pixels without an error
+    assert silent_wrong == 0
