@@ -778,6 +778,30 @@ def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-batch assembly,
+    operators/packing.pack_stream_offset): documents sharded by
+    doc_id % 8 and ordered by doc_id are packed into 512-token
+    context-window bins by their starting stream offset
+    (bin = cum_tokens_before // 512 — whole docs, bins may overflow by
+    < max_doc; the documented streaming-concatenation semantics).
+    Pure window functions + integer math — one shuffle, zero Python.
+    Per-bin doc and token counts; the DuckDB twin is the identical
+    window expression."""
+    from giga_spatial_spark.operators.packing import pack_stream_offset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_stream_offset(docs, budget=512)
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok_sum"),
+    )
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs verified by exact shingle Jaccard.
 
@@ -3414,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_passage_dedup": q_passage_dedup,
         "q_domain_sample": q_domain_sample,
+        "q_pack_sequences": q_pack_sequences,
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_simhash_near_dup": q_simhash_near_dup,
@@ -4450,6 +4475,19 @@ FROM z""",
         "q_quadkey_compact": _quadkey_compact_sql(),
         "q_h3_compact": _h3_compact_sql(docs),
         "q_polyfill_overlap": _polyfill_overlap_sql(docs),
+        "q_pack_sequences": (
+            "WITH d AS (SELECT doc_id, doc_id % 8 AS shard, "
+            "cast(len(string_split(text, ' ')) as bigint) AS n_tokens "
+            "FROM documents), "
+            "p AS (SELECT shard, n_tokens, coalesce(sum(n_tokens) OVER ("
+            "PARTITION BY shard ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "// 512 AS bin FROM d) "
+            "SELECT shard, cast(bin as bigint) AS bin, "
+            "cast(count(*) as bigint) AS n_docs, "
+            "cast(sum(n_tokens) as bigint) AS tok_sum "
+            "FROM p GROUP BY shard, bin"
+        ),
         "q_domain_sample": (
             "WITH d AS (SELECT doc_id, 'h' || (doc_id % 37) AS host "
             "FROM documents), "

@@ -619,3 +619,38 @@ def test_domain_downsample_deterministic(spark):
         assert n.get(h, 0) == sum(1 for i in range(900, 1000) if f"s{i % 7}" == h)
     # the 900-doc host lands near its 50-doc expectation (binomial ±5σ)
     assert 15 <= n["big"] <= 90
+
+
+def test_pack_greedy_vs_stream_offset(spark):
+    """pack_greedy: bins never exceed the budget (unless a single doc
+    does), order is respected, every doc binned exactly once; the
+    stream-offset variant agrees on totals and never splits a doc."""
+    from pyspark.sql import functions as F
+
+    from giga_spatial_spark.operators.packing import (
+        pack_greedy,
+        pack_stream_offset,
+    )
+
+    rows = [(i, i % 3, 40 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, shard int, n_tokens long")
+    g = pack_greedy(df, budget=256).toPandas()
+    assert len(g) == 200
+    fills = g.groupby(["shard", "bin"])["n_tokens"].sum()
+    assert (fills <= 256).all()  # no doc exceeds 256 here → hard cap
+    # greedy replay in plain python
+    for s, grp in g.sort_values("doc_id").groupby("shard"):
+        cur, fill, want = 0, 0, []
+        for t in grp["n_tokens"]:
+            if fill > 0 and fill + int(t) > 256:
+                cur, fill = cur + 1, 0
+            want.append(cur)
+            fill += int(t)
+        assert list(grp["bin"]) == want, s
+    so = pack_stream_offset(df, budget=256).toPandas()
+    assert len(so) == 200
+    assert so["n_tokens"].sum() == g["n_tokens"].sum()
+    # stream-offset bins are contiguous non-decreasing in doc order
+    for s, grp in so.sort_values("doc_id").groupby("shard"):
+        b = list(grp["bin"])
+        assert b == sorted(b) and b[0] == 0
