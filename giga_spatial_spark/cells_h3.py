@@ -1467,6 +1467,32 @@ def cell_overlaps_polygon(
     return False
 
 
+def cell_fully_inside_polygon(
+    bxy: np.ndarray, center_in: bool, poly: np.ndarray
+) -> bool:
+    """EXACT full-containment predicate: every cell vertex (and the
+    center) inside the polygon, no polygon vertex inside the cell, and
+    no polygon edge crossing any cell edge — the last two terms catch a
+    reflex notch dipping INTO the cell while all cell vertices remain
+    inside (the vertices-only test wrongly reports such cells as fully
+    contained)."""
+    from .geometry import point_in_polygon
+
+    if not center_in:
+        return False
+    if not point_in_polygon(poly, bxy[:, 0], bxy[:, 1]).all():
+        return False
+    if point_in_polygon(bxy, poly[:, 0], poly[:, 1]).any():
+        return False
+    n, m = len(bxy), len(poly)
+    for i in range(n):
+        p1, p2 = bxy[i], bxy[(i + 1) % n]
+        for j in range(m):
+            if segments_cross(p1, p2, poly[j], poly[(j + 1) % m]):
+                return False
+    return True
+
+
 POLYFILL_CELL_LIMIT = 4_000_000  # BFS visit guard (~cover size, not bbox)
 
 
@@ -1478,8 +1504,9 @@ def polyfill(
 ) -> np.ndarray:
     """Cells covering `poly` (lon, lat vertices) under the reference's
     four contain modes (grid/h3.py:150-196 h3shape_to_cells_experimental):
-    center (cell center inside — the default/oracle mode), full (cell
-    entirely inside: center + every boundary vertex), overlap (EXACT
+    center (cell center inside — the default/oracle mode), full (EXACT
+    containment: every vertex + center inside AND no polygon vertex or
+    edge intrudes into the cell — cell_fully_inside_polygon), overlap (EXACT
     cell×polygon intersection: vertex containment both ways + polygon-
     edge × cell-edge segment crossing — cell_overlaps_polygon),
     bbox_overlap (cell lon/lat bbox intersects the polygon bbox).
@@ -1580,10 +1607,9 @@ def polyfill(
         cin = center_inside(c)
         if mode == "center":
             keep.append(cin)
-        else:  # full: center + every boundary vertex inside
-            xy = boundary_xy(c)
+        else:  # full: EXACT containment (vertices + no notch intrusion)
             keep.append(
-                cin and bool(point_in_polygon(region, xy[:, 0], xy[:, 1]).all())
+                cell_fully_inside_polygon(boundary_xy(c), cin, region)
             )
     return cand[np.array(keep, dtype=bool)]
 
@@ -1655,8 +1681,8 @@ def polyfill_df(spark, poly: np.ndarray, res: int, mode: str = "center"):
                         xy[:, 0] < 0.0, xy[:, 0] + 360.0, xy[:, 0]
                     )
                 if mode == "full":
-                    keep[i] = bool(cin[i]) and bool(
-                        point_in_polygon(_poly, xy[:, 0], xy[:, 1]).all()
+                    keep[i] = cell_fully_inside_polygon(
+                        xy, bool(cin[i]), _poly
                     )
                 else:
                     keep[i] = cell_overlaps_polygon(xy, bool(cin[i]), _poly)

@@ -473,3 +473,52 @@ def test_polyfill_df_matches_driver(spark):
                 for r in h3.polyfill_df(spark, arr, E.PF_RES, mode=mode).collect()
             }
             assert got == want, (pid, mode)
+
+
+def test_polyfill_full_mode_exact_containment():
+    """'full' rejects cells a reflex notch dips into even when every
+    cell vertex is inside the polygon — referee: dense interior sampling
+    of each candidate cell (a fully-contained cell has ALL its interior
+    points inside the polygon)."""
+    from giga_spatial_spark.geometry import point_in_polygon
+
+    # comb with thin V notches (the oracle-suite shape)
+    comb = np.array(
+        [[20.0, 50.0], [23.0, 50.0], [23.0, 52.0], [22.4, 50.6],
+         [21.8, 52.0], [21.2, 50.6], [20.6, 52.0], [20.0, 52.0]]
+    )
+    for res in (5, 6):
+        full = set(h3.polyfill(comb, res, mode="full").tolist())
+        center = set(h3.polyfill(comb, res, mode="center").tolist())
+        assert full <= center
+        # referee every center-mode cell by dense sampling
+        for c in center:
+            b = h3.cell_to_boundary(int(c))
+            la, ln = h3.cell_to_latlng(np.array([c], dtype=np.int64))
+            # sample on shrunk rings toward the center (interior points)
+            ok = True
+            for f in (0.25, 0.6, 0.9, 0.99):
+                sx = ln[0] + f * (b[:, 1] - ln[0])
+                sy = la[0] + f * (b[:, 0] - la[0])
+                if not point_in_polygon(comb, sx, sy).all():
+                    ok = False
+                    break
+            if not ok:
+                assert c not in full, (res, hex(c))
+        # and the exact-full set must be non-trivial at res 6
+        if res == 6:
+            assert len(full) > 5
+    # the vertices-only approximation would over-accept: prove at least
+    # one center cell with ALL vertices inside is rejected by exact full
+    over_accepted = 0
+    for res in (5, 6):
+        center = h3.polyfill(comb, res, mode="center")
+        full = set(h3.polyfill(comb, res, mode="full").tolist())
+        for c in center.tolist():
+            b = h3.cell_to_boundary(int(c))
+            la, ln = h3.cell_to_latlng(np.array([c], dtype=np.int64))
+            cin = bool(point_in_polygon(comb, ln, la)[0])
+            verts_ok = point_in_polygon(comb, b[:, 1], b[:, 0]).all()
+            if cin and verts_ok and c not in full:
+                over_accepted += 1
+    assert over_accepted >= 1
