@@ -1,5 +1,7 @@
-"""Dump physical plans of the key queries to docs/PLANS.md — judge-facing
-evidence of pushdown / broadcast / codegen. Run: python tools/explain_all.py"""
+"""Dump physical plans of the key queries to docs/PLANS_RAW.md — judge-facing
+evidence of pushdown / broadcast / codegen. Run: python tools/explain_all.py
+(Writes PLANS_RAW.md, NOT docs/PLANS.md — that file carries the hand-written
+per-query plan narrative and must not be clobbered.)"""
 
 from __future__ import annotations
 
@@ -31,7 +33,7 @@ KEY = [
 def main() -> None:
     spark = get_spark("explain", cores=8)
     spark.sparkContext.setLogLevel("ERROR")
-    out = ["# PLANS — physical plans of the headline queries\n"]
+    out = ["# PLANS_RAW — machine-dumped physical plans (narrative: PLANS.md)\n"]
     out.append(
         "What to look for: `ReadSchema` column pruning at every parquet scan, "
         "`BroadcastHashJoin`/`BroadcastExchange` (never a sort-merge shuffle "
@@ -44,9 +46,9 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         out.append(f"\n## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
-    with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
+    with open(os.path.join(REPO, "docs", "PLANS_RAW.md"), "w") as f:
         f.write("\n".join(out))
-    print("wrote docs/PLANS.md")
+    print("wrote docs/PLANS_RAW.md")
 
 
 if __name__ == "__main__":
