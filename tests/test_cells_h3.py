@@ -522,3 +522,64 @@ def test_polyfill_full_mode_exact_containment():
             if cin and verts_ok and c not in full:
                 over_accepted += 1
     assert over_accepted >= 1
+
+
+def test_polyfill_property_sweep():
+    """Seeded sweep over random simple polygons (radial stars and rotated
+    rectangles, anywhere on the globe incl. face-edge straddles): mode
+    nesting full <= center <= overlap <= bbox_overlap, every center-mode
+    cell re-verified by ray cast, and BFS overlap == brute-force exact
+    predicate over a covering grid disk."""
+    import math as _m
+
+    from giga_spatial_spark.geometry import point_in_polygon
+
+    rng = np.random.RandomState(42)
+    res = 4
+    hex_deg = _m.degrees(h3.RES0_U_GNOMONIC / (h3.M_SQRT7 ** res))
+    for trial in range(12):
+        cx = float(rng.uniform(-150, 150))
+        cy = float(rng.uniform(-55, 55))
+        if trial % 2 == 0:  # radial star (simple by construction)
+            nv = rng.randint(5, 11)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            rad = rng.uniform(0.3, 1.4, nv)
+            poly = np.stack(
+                [cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1
+            )
+        else:  # rotated rectangle
+            th = float(rng.uniform(0, np.pi))
+            a, b = float(rng.uniform(0.4, 1.4)), float(rng.uniform(0.1, 0.8))
+            u = np.array([np.cos(th), np.sin(th)])
+            v = np.array([-np.sin(th), np.cos(th)])
+            c = np.array([cx, cy])
+            poly = np.stack(
+                [c + a * u + b * v, c - a * u + b * v,
+                 c - a * u - b * v, c + a * u - b * v]
+            )
+        full = set(h3.polyfill(poly, res, mode="full").tolist())
+        center = set(h3.polyfill(poly, res, mode="center").tolist())
+        overlap = set(h3.polyfill(poly, res, mode="overlap").tolist())
+        bbox = set(h3.polyfill(poly, res, mode="bbox_overlap").tolist())
+        assert full <= center <= overlap <= bbox, trial
+        if center:
+            la, ln = h3.cell_to_latlng(
+                np.fromiter(center, dtype=np.int64, count=len(center))
+            )
+            assert point_in_polygon(poly, ln, la).all(), trial
+        # brute force: exact predicate over a disk that covers the poly
+        c0 = int(h3.latlng_to_cell(cy, cx, res))
+        span = float(
+            np.hypot(poly[:, 0] - cx, poly[:, 1] - cy).max()
+        )
+        k = int(np.ceil(span / hex_deg)) + 3
+        disk = h3.grid_disk(c0, k)
+        brute = set()
+        for cc in disk.tolist():
+            bb = h3.cell_to_boundary(int(cc))
+            xy = np.stack([bb[:, 1], bb[:, 0]], axis=1)
+            la2, ln2 = h3.cell_to_latlng(np.array([cc], dtype=np.int64))
+            cin = bool(point_in_polygon(poly, ln2, la2)[0])
+            if h3.cell_overlaps_polygon(xy, cin, poly):
+                brute.add(int(cc))
+        assert overlap == brute, trial
