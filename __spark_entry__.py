@@ -4493,7 +4493,8 @@ FROM z""",
             "FROM documents), "
             "c AS (SELECT host, count(*) AS n FROM d GROUP BY host), "
             "k AS (SELECT d.host, count(*) AS n_kept FROM d JOIN c USING (host) "
-            "WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 * c.n "
+            "WHERE (((doc_id % 2147483648) + 2147483648) % 2147483648) "
+            "* 2654435761 % 4294967296 * c.n "
             "< 10 * 4294967296 GROUP BY d.host) "
             "SELECT c.host, cast(c.n as bigint) AS n_docs, "
             "cast(coalesce(k.n_kept, 0) as bigint) AS n_kept "

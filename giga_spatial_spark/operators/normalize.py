@@ -183,6 +183,11 @@ def with_iso3(df: DataFrame, name_col: str, out_col: str = "iso3") -> DataFrame:
     round-5 #6): a BroadcastHashJoin against the ~530-row dim replaces
     iso3_expr's literal-heavy create_map at negligible plan cost and
     identical results (NULL when unrecognized)."""
+    clash = {"__iso3_key", "__iso3_val"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_iso3: input already has reserved column(s) {sorted(clash)}"
+        )
     spark = df.sparkSession
     dim = spark.createDataFrame(
         iso3_lookup_rows(), "__iso3_key string, __iso3_val string"

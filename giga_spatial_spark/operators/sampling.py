@@ -19,8 +19,12 @@ _M32 = 4_294_967_296  # 2^32
 def hash_u32_expr(id_col: Column) -> Column:
     """Deterministic uniform 32-bit hash of an integer id — ANSI-mode
     safe (max intermediate 2^31 × Knuth < 2^63) and replayable in any
-    SQL engine: ((id % 2^31) * 2654435761) % 2^32."""
-    return ((id_col % F.lit(_M31)) * F.lit(_KNUTH)) % F.lit(_M32)
+    SQL engine: ((pmod(id, 2^31)) * 2654435761) % 2^32. Both inner and
+    outer reductions use NON-NEGATIVE modulo (Spark/DuckDB `%` keeps the
+    dividend's sign, which would make every negative id hash negative
+    and pass any `< rate` cut unconditionally)."""
+    inner = ((id_col % F.lit(_M31)) + F.lit(_M31)) % F.lit(_M31)
+    return (inner * F.lit(_KNUTH)) % F.lit(_M32)
 
 
 def domain_downsample(

@@ -654,3 +654,29 @@ def test_pack_greedy_vs_stream_offset(spark):
     for s, grp in so.sort_values("doc_id").groupby("shard"):
         b = list(grp["bin"])
         assert b == sorted(b) and b[0] == 0
+
+
+def test_hash_u32_nonnegative_for_negative_ids(spark):
+    """hash_u32_expr stays in [0, 2^32) for NEGATIVE ids too — Spark's
+    sign-of-dividend % would otherwise make every negative id hash
+    negative and survive any sampling cut unconditionally."""
+    from pyspark.sql import functions as F
+
+    from giga_spatial_spark.operators.sampling import (
+        domain_downsample,
+        hash_u32_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in (-1, -7, -2**40, 0, 1, 2**40)], "doc_id long"
+    )
+    vals = [
+        r[0] for r in df.select(hash_u32_expr(F.col("doc_id"))).collect()
+    ]
+    assert all(0 <= v < 2**32 for v in vals)
+    # negative ids sample at a real rate, not 100%
+    neg = spark.createDataFrame(
+        [(-i, "h") for i in range(1, 1001)], "doc_id long, host string"
+    )
+    kept = domain_downsample(neg, cap=10).count()
+    assert kept < 200  # expected ~10; unconditional keep would be 1000
