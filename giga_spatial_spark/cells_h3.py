@@ -1651,8 +1651,12 @@ def polyfill_df(spark, poly: np.ndarray, res: int, mode: str = "center"):
     lon0, lat0 = lon_min - margin, lat_min - margin
     parts = max(32, min(4096, (nx * ny) // 2_000_000 + 1))
     ids = spark.range(0, nx * ny, 1, parts)
-    lon = F.lit(lon0) + (F.col("id") % nx) * F.lit(step)
-    lat = F.lit(lat0) + (F.col("id") / F.lit(float(nx))).cast("bigint") * F.lit(step)
+    ix = F.col("id") % nx
+    # (id - ix) is exactly divisible by nx, so the double division is
+    # exact (a direct id/nx float divide can round UP at huge lattices)
+    iy = ((F.col("id") - ix) / F.lit(float(nx))).cast("bigint")
+    lon = F.lit(lon0) + ix * F.lit(step)
+    lat = F.lit(lat0) + iy * F.lit(step)
     if wrap:
         lon = F.when(lon > 180.0, lon - 360.0).otherwise(lon)
     pts = ids.select(lon.alias("lon"), lat.alias("lat"))

@@ -49,7 +49,10 @@ def flag_contaminated(
     join is a broadcast hash left-semi (the corpus never shuffles);
     over it, a shuffle left-semi. The probe makes the plan choice
     explicit and deterministic rather than trusting a stats estimate
-    of a derived distinct (judge round-5 #3)."""
+    of a derived distinct (judge round-5 #3). The persisted bench side
+    stays cached for the returned plan's reuse — long-lived sessions
+    issuing many decontamination passes should `bench_grams.unpersist()`
+    after consuming the result."""
     bench = bench_grams.persist()
     try:
         n_bench = bench.count()
