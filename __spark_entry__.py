@@ -696,14 +696,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and intersects them."""
     from giga_spatial_spark.operators.decontaminate import (
         flag_contaminated,
-        word_ngrams_expr,
+        word_ngrams_from_words,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.split(F.col("text"), " ")
-    grams = word_ngrams_expr(F.col("text"), DECON_N)
-    g = docs.where(F.size(words) >= DECON_N).select(
-        "doc_id", "lang", F.explode(grams).alias("gram")
+    d2 = docs.withColumn("_w", F.split(F.col("text"), " ")).where(
+        F.size(F.col("_w")) >= DECON_N
+    )
+    g = d2.select(
+        "doc_id",
+        "lang",
+        F.explode(word_ngrams_from_words(F.col("_w"), DECON_N)).alias("gram"),
     )
     bench = g.where(F.col("doc_id") % DECON_MOD == 0).select("gram").distinct()
     corpus = g.where(F.col("doc_id") % DECON_MOD != 0)
