@@ -1441,6 +1441,46 @@ def segments_cross(
     return d4 == 0 and on_seg(p1, p2, q2)
 
 
+def _any_segments_cross(P: np.ndarray, Q: np.ndarray) -> bool:
+    """Vectorized 'does ANY edge of ring P cross ANY edge of ring Q' —
+    the broadcast twin of segments_cross (identical elementwise float
+    ops, so identical answers): orientation-sign tests over the full
+    n×m edge grid plus the collinear on-segment fallbacks."""
+    p1 = P
+    p2 = np.roll(P, -1, axis=0)
+    q1 = Q
+    q2 = np.roll(Q, -1, axis=0)
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return np.sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+    # shapes: p-edges on axis 0 (n,1), q-edges on axis 1 (1,m)
+    px1, py1 = p1[:, 0][:, None], p1[:, 1][:, None]
+    px2, py2 = p2[:, 0][:, None], p2[:, 1][:, None]
+    qx1, qy1 = q1[:, 0][None, :], q1[:, 1][None, :]
+    qx2, qy2 = q2[:, 0][None, :], q2[:, 1][None, :]
+    d1 = orient(qx1, qy1, qx2, qy2, px1, py1)
+    d2 = orient(qx1, qy1, qx2, qy2, px2, py2)
+    d3 = orient(px1, py1, px2, py2, qx1, qy1)
+    d4 = orient(px1, py1, px2, py2, qx2, qy2)
+    if (((d1 != d2) & (d3 != d4))).any():
+        return True
+
+    def on_seg(sx1, sy1, sx2, sy2, cx, cy):
+        return (
+            (np.minimum(sx1, sx2) <= cx) & (cx <= np.maximum(sx1, sx2))
+            & (np.minimum(sy1, sy2) <= cy) & (cy <= np.maximum(sy1, sy2))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(qx1, qy1, qx2, qy2, px1, py1))
+        | ((d2 == 0) & on_seg(qx1, qy1, qx2, qy2, px2, py2))
+        | ((d3 == 0) & on_seg(px1, py1, px2, py2, qx1, qy1))
+        | ((d4 == 0) & on_seg(px1, py1, px2, py2, qx2, qy2))
+    )
+    return bool(touch.any())
+
+
 def cell_overlaps_polygon(
     bxy: np.ndarray, center_in: bool, poly: np.ndarray
 ) -> bool:
@@ -1451,20 +1491,18 @@ def cell_overlaps_polygon(
     term catches thin slivers that cross a cell mid-edge without
     containing any vertex of either ring. ``bxy``: cell boundary as
     (lon, lat) rows; treated in the lon/lat plane like every other
-    containment in this engine (reference sjoin semantics)."""
+    containment in this engine (reference sjoin semantics). The segment
+    sweep is numpy-broadcast over the full edge grid (same float ops as
+    the scalar segments_cross), so complex real-world polygons with
+    thousands of edges cost one vectorized pass per cell, not an
+    interpreted double loop."""
     from .geometry import point_in_polygon
 
     if center_in or point_in_polygon(poly, bxy[:, 0], bxy[:, 1]).any():
         return True
     if point_in_polygon(bxy, poly[:, 0], poly[:, 1]).any():
         return True
-    n, m = len(bxy), len(poly)
-    for i in range(n):
-        p1, p2 = bxy[i], bxy[(i + 1) % n]
-        for j in range(m):
-            if segments_cross(p1, p2, poly[j], poly[(j + 1) % m]):
-                return True
-    return False
+    return _any_segments_cross(np.asarray(bxy), np.asarray(poly))
 
 
 def cell_fully_inside_polygon(

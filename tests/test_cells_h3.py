@@ -583,3 +583,22 @@ def test_polyfill_property_sweep():
             if h3.cell_overlaps_polygon(xy, cin, poly):
                 brute.add(int(cc))
         assert overlap == brute, trial
+
+
+def test_vectorized_segment_sweep_matches_scalar():
+    """_any_segments_cross (broadcast) == pairwise segments_cross
+    (scalar) on 300 random edge-ring pairs incl. collinear touches."""
+    rng = np.random.RandomState(17)
+    for trial in range(300):
+        n, m = rng.randint(3, 7), rng.randint(3, 9)
+        P = rng.uniform(-2, 2, (n, 2))
+        Q = rng.uniform(-2, 2, (m, 2))
+        if trial % 5 == 0:  # force collinear/touching configurations
+            Q[0] = P[0]
+            Q[1 % m] = (P[0] + P[1]) / 2.0
+        want = any(
+            h3.segments_cross(P[i], P[(i + 1) % n], Q[j], Q[(j + 1) % m])
+            for i in range(n)
+            for j in range(m)
+        )
+        assert h3._any_segments_cross(P, Q) == want, trial
