@@ -1522,13 +1522,7 @@ def cell_fully_inside_polygon(
         return False
     if point_in_polygon(bxy, poly[:, 0], poly[:, 1]).any():
         return False
-    n, m = len(bxy), len(poly)
-    for i in range(n):
-        p1, p2 = bxy[i], bxy[(i + 1) % n]
-        for j in range(m):
-            if segments_cross(p1, p2, poly[j], poly[(j + 1) % m]):
-                return False
-    return True
+    return not _any_segments_cross(np.asarray(bxy), np.asarray(poly))
 
 
 POLYFILL_CELL_LIMIT = 4_000_000  # BFS visit guard (~cover size, not bbox)

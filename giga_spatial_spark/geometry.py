@@ -78,9 +78,26 @@ def point_in_polygon(poly: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarr
     """
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    inside = np.zeros(x.shape, dtype=bool)
     n = len(poly)
     px, py = poly[:, 0], poly[:, 1]
+    if n > 16 and x.size * n <= 20_000_000:
+        # many-edge ring, modest point count: one broadcast pass over
+        # the full point×edge grid (identical elementwise arithmetic to
+        # the loop below — crossing-count parity == xor accumulation);
+        # a 1200-edge country outline probed per cell would otherwise
+        # spin 1200 python iterations per call
+        X, Y = x.ravel()[None, :], y.ravel()[None, :]
+        x1, y1 = px[:, None], py[:, None]
+        x2 = np.roll(px, -1)[:, None]
+        y2 = np.roll(py, -1)[:, None]
+        crosses = ((y1 > Y) != (y2 > Y)) & (
+            X
+            < (x2 - x1) * (Y - y1)
+            / (y2 - y1 + np.where(y2 == y1, 1e-300, 0.0))
+            + x1
+        )
+        return (crosses.sum(axis=0) % 2 == 1).reshape(x.shape)
+    inside = np.zeros(x.shape, dtype=bool)
     for i in range(n):
         x1, y1 = px[i], py[i]
         x2, y2 = px[(i + 1) % n], py[(i + 1) % n]
