@@ -230,6 +230,38 @@ def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCKLIST = ["site13.example.org", "site42.example.org",
+             "www.site5.example.org"]
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering (functions/url.filter_blocklisted —
+    standard pre-training hygiene): an entry blocks itself and every
+    subdomain via the host's dot-suffix chain (native transform +
+    explode + broadcast left-semi + left-anti; no regex scans). The
+    list mixes suffix entries (site13/site42 block their www variants
+    too) with an exact-subdomain entry (www.site5 blocks ONLY the www
+    host). Returns per-host survivor counts plus the global blocked
+    tally; the oracle replays suffix semantics independently with
+    exact-or-'.'-suffix string predicates over the rebuilt hosts."""
+    from giga_spatial_spark.functions.url import (
+        filter_blocklisted,
+        url_host_expr,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") < 5000)
+    )
+    urls = docs.withColumn("url", _messy_url_expr()).withColumn(
+        "host", url_host_expr(F.col("url"))
+    )
+    bl = spark.createDataFrame([(e,) for e in BLOCKLIST], "entry string")
+    kept = filter_blocklisted(urls, bl, host_col="host", id_col="doc_id")
+    return kept.groupBy("host").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def q_custom_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregation CALLABLE per zone (reference sample_by_polygons
     stat=callable, tif_processor.py:1029-1046): an arbitrary Python
@@ -3417,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_custom_agg": q_custom_agg,
         "q_simplify": q_simplify,
         "q_canonical_url": q_canonical_url,
+        "q_url_blocklist": q_url_blocklist,
         "q_quality_repetition": q_quality_repetition,
         "q_pii_redact": q_pii_redact,
         "q_decontaminate": q_decontaminate,
@@ -4478,6 +4511,18 @@ FROM z""",
         "q_quadkey_compact": _quadkey_compact_sql(),
         "q_h3_compact": _h3_compact_sql(docs),
         "q_polyfill_overlap": _polyfill_overlap_sql(docs),
+        "q_url_blocklist": (
+            "WITH d AS (SELECT doc_id, doc_id // 5 AS base, doc_id % 5 AS v "
+            "FROM documents WHERE doc_id < 5000), "
+            "h AS (SELECT doc_id, CASE WHEN v = 1 THEN 'www.' ELSE '' END || "
+            "'site' || (base % 97) || '.example.org' AS host FROM d), "
+            "k AS (SELECT host FROM h WHERE NOT ("
+            "host = 'site13.example.org' OR host LIKE '%.site13.example.org' "
+            "OR host = 'site42.example.org' OR host LIKE '%.site42.example.org' "
+            "OR host = 'www.site5.example.org' "
+            "OR host LIKE '%.www.site5.example.org')) "
+            "SELECT host, cast(count(*) as bigint) AS n_kept FROM k GROUP BY host"
+        ),
         "q_pack_sequences": (
             "WITH d AS (SELECT doc_id, doc_id % 8 AS shard, "
             "cast(len(string_split(text, ' ')) as bigint) AS n_tokens "

@@ -132,3 +132,44 @@ def canonical_url_sql(col: str) -> str:
         f"(CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) || {path} || "
         f"(CASE WHEN {qjoined} <> '' THEN '?' || {qjoined} ELSE '' END))"
     )
+
+
+def host_suffix_chain_expr(host: Column) -> Column:
+    """All dot-suffixes of a host (``a.b.c`` → ``[a.b.c, b.c, c]``) —
+    the join-key set for domain blocklists: an entry blocks itself and
+    every subdomain, no public-suffix list needed. Native transform
+    over the split parts (hosts have ~4 labels, so the re-split inside
+    the lambda is negligible — the HOF-CSE caveat that matters for
+    document-sized arrays does not bite here)."""
+    parts = F.split(host, "\\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+
+
+def filter_blocklisted(
+    df,
+    blocklist_df,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    entry_col: str = "entry",
+):
+    """Drop rows whose host matches a blocklist entry exactly OR as a
+    subdomain (suffix-chain semantics). The blocklist is a bounded dim
+    (broadcast); the corpus explodes each host's ≤ label-count suffix
+    chain once, left-semi probes it, and the surviving rows come back
+    via a left-anti join on the id — two narrow shuffles at most, no
+    regex scans, no python."""
+    chain = host_suffix_chain_expr(F.col(host_col))
+    blocked_ids = (
+        df.select(id_col, F.explode(chain).alias("_sfx"))
+        .join(
+            F.broadcast(blocklist_df.select(F.col(entry_col).alias("_sfx"))),
+            "_sfx",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(blocked_ids, id_col, "left_anti")

@@ -227,3 +227,34 @@ def test_flag_contaminated_size_probe(spark):
 
     key = lambda r: (r["doc_id"], r["gram"])  # noqa: E731
     assert sorted(small.collect(), key=key) == sorted(big.collect(), key=key)
+
+
+def test_filter_blocklisted_suffix_semantics(spark):
+    """An entry blocks itself and every subdomain; a www-specific entry
+    blocks only that exact host; unlisted siblings survive."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from giga_spatial_spark.functions.url import (
+        filter_blocklisted,
+        host_suffix_chain_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "bad.org"), (2, "a.bad.org"), (3, "deep.a.bad.org"),
+            (4, "notbad.org"), (5, "www.pin.org"), (6, "pin.org"),
+            (7, "ok.com"),
+        ],
+        "doc_id int, host string",
+    )
+    bl = spark.createDataFrame(
+        [("bad.org",), ("www.pin.org",)], "entry string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in filter_blocklisted(df, bl).collect()
+    )
+    assert kept == [4, 6, 7]
+    chain = df.where("doc_id = 3").select(
+        host_suffix_chain_expr(F.col("host")).alias("c")
+    ).collect()[0]["c"]
+    assert chain == ["deep.a.bad.org", "a.bad.org", "bad.org", "org"]
