@@ -436,6 +436,7 @@ def duplicated_passages(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    key: str = "md5",
 ) -> DataFrame:
     """Cross-document duplicated-PASSAGE detection — the substring-dedup
     pass of "Deduplicating Training Data Makes Language Models Better"
@@ -451,14 +452,25 @@ def duplicated_passages(
     genuinely repeated passages. The words array is materialized ONCE
     per row before the window lambda — higher-order functions evaluate
     interpreted without CSE, so an inline split() re-runs per window
-    (measured 8× slower)."""
+    (measured 8× slower).
+
+    ``key``: 'md5' shuffles 32-char hex keys and is DuckDB-replayable
+    (the oracle mode); 'xxhash64' shuffles 8-byte int64 keys — the
+    production mode for corpus-scale runs (measured 1.3× end-to-end on
+    275M windows, identical flag counts), at a negligible 64-bit
+    collision risk.
+    """
+    if key == "md5":
+        hasher = lambda c: F.md5(c.cast("binary"))  # noqa: E731
+    elif key == "xxhash64":
+        hasher = F.xxhash64
+    else:
+        raise ValueError(f"duplicated_passages: unknown key {key!r}")
     words = F.split(F.col(text_col), " ")
     eligible = docs.withColumn("_w", words).where(F.size(F.col("_w")) >= n)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(F.col("_w")) - n + 1),
-        lambda i: F.md5(
-            F.concat_ws(" ", F.slice(F.col("_w"), i, n)).cast("binary")
-        ),
+        lambda i: hasher(F.concat_ws(" ", F.slice(F.col("_w"), i, n))),
     )
     g = eligible.select(id_col, F.explode(grams).alias("k"))
     dup = (
