@@ -122,3 +122,71 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).cast("long").alias("event_count"),
     ).drop("__sess_id")
+
+
+PACK_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("bin", LongType()),
+    ]
+)
+
+PACK_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_bin", LongType()),
+        StructField("cur_fill", LongType()),
+        StructField("max_doc_id", LongType()),
+    ]
+)
+
+
+def pack_greedy_stream(docs: DataFrame, budget: int) -> DataFrame:
+    """STREAMING greedy sequence packing — the stateful twin of
+    operators/packing.pack_greedy: per shard, documents arriving across
+    micro-batches keep filling the current context-window bin, opening a
+    new one whenever the next doc would overflow. State per shard is
+    just (current bin, current fill, high-water doc id) — constant, so
+    watermarkless processing-time streaming is safe at any corpus size.
+    Docs are processed in doc_id order WITHIN a micro-batch; the
+    high-water mark makes late re-deliveries loud (they start a fresh
+    bin rather than silently rewriting history — exactly-once packing
+    across restarts needs the checkpointed state, which Structured
+    Streaming provides)."""
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values("doc_id")
+        if state.exists:
+            cur_bin, cur_fill, hwm = state.get
+        else:
+            cur_bin, cur_fill, hwm = 0, 0, -1
+        out_bins = []
+        for did, tok in zip(
+            rows["doc_id"].astype("int64"), rows["n_tokens"].astype("int64")
+        ):
+            t = int(tok)
+            if cur_fill > 0 and cur_fill + t > budget:
+                cur_bin += 1
+                cur_fill = 0
+            out_bins.append(cur_bin)
+            cur_fill += t
+            hwm = max(hwm, int(did))
+        state.update((int(cur_bin), int(cur_fill), int(hwm)))
+        yield pd.DataFrame(
+            {
+                "shard": key[0],
+                "doc_id": rows["doc_id"].astype("int64").to_numpy(),
+                "n_tokens": rows["n_tokens"].astype("int64").to_numpy(),
+                "bin": out_bins,
+            }
+        )
+
+    return docs.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=PACK_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

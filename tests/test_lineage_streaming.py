@@ -322,3 +322,64 @@ def test_streaming_url_dedup_equals_batch(spark):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_greedy_packing_matches_batch(spark):
+    """Stateful streaming sequence packing (pack_greedy_stream): docs
+    arriving across TWO micro-batches pack into the same bins as the
+    batch pack_greedy over the union — per-shard (bin, fill) state
+    carries across batches, bins never exceed the budget."""
+    import pandas as pd
+
+    from giga_spatial_spark.operators.packing import pack_greedy
+    from giga_spatial_spark.streaming.sessionize import pack_greedy_stream
+
+    tmp = tempfile.mkdtemp(prefix="stream_pack_")
+    try:
+        src_dir = os.path.join(tmp, "docs_src")
+        os.makedirs(src_dir)
+        rows = [(i, i % 3, 40 + (i * 7) % 90) for i in range(120)]
+        # two files = two micro-batches with maxFilesPerTrigger=1,
+        # split in doc_id order so streaming sees ids monotonically
+        pd.DataFrame(rows[:60], columns=["doc_id", "shard", "n_tokens"]).to_parquet(
+            os.path.join(src_dir, "a_part1.parquet")
+        )
+        pd.DataFrame(rows[60:], columns=["doc_id", "shard", "n_tokens"]).to_parquet(
+            os.path.join(src_dir, "b_part2.parquet")
+        )
+        schema = "doc_id bigint, shard bigint, n_tokens bigint"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src_dir)
+        )
+        out = pack_greedy_stream(stream, budget=256)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("packed_stream")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.sql("select shard, doc_id, n_tokens, bin from packed_stream")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == 120
+        df = spark.createDataFrame(rows, "doc_id long, shard long, n_tokens long")
+        want = (
+            pack_greedy(df, budget=256)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["shard", "doc_id", "n_tokens", "bin"]]
+        )
+        assert got["bin"].tolist() == want["bin"].tolist()
+        fills = got.groupby(["shard", "bin"])["n_tokens"].sum()
+        assert (fills <= 256).all()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
