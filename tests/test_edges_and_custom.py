@@ -258,3 +258,51 @@ def test_filter_blocklisted_suffix_semantics(spark):
         host_suffix_chain_expr(F.col("host")).alias("c")
     ).collect()[0]["c"]
     assert chain == ["deep.a.bad.org", "a.bad.org", "bad.org", "org"]
+
+
+def test_canonical_url_cross_engine_fuzz(spark):
+    """RE2-vs-Java regex parity fuzz: 800 grammar-generated adversarial
+    URLs (userinfo incl. double-@, IPv6 literals, weird ports, utm
+    mixes, empty/degenerate parts, random mutations) canonicalize to
+    the identical string in Spark and DuckDB — the 'RE2 and Java agree
+    on every pattern used' claim, exercised rather than asserted."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from giga_spatial_spark.functions.url import (
+        canonical_url_expr,
+        canonical_url_sql,
+    )
+
+    rs = np.random.RandomState(11)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", "a+b-c."]
+    hosts = ["Example.COM", "a.b.c.d", "x.org.", "[::1]", "[2001:DB8::1]",
+             "127.0.0.1", "xn--bcher-kva.ch", ""]
+    users = ["", "u@", "user:p%40ss@", "a@b@"]
+    ports = ["", ":80", ":443", ":8080", ":0", ":99999"]
+    paths = ["", "/", "/a/b", "/a%20b/../c", "//double", "/;params"]
+    qs = ["", "?", "?a=1", "?b=2&a=1&a=0", "?utm_source=x", "?&&",
+          "?a=1&utm_x=2&z", "?%26=1"]
+    frags = ["", "#", "#frag", "#a?b=1"]
+    urls = []
+    for i in range(800):
+        u = (rs.choice(schemes) + "://" + rs.choice(users) + rs.choice(hosts)
+             + rs.choice(ports) + rs.choice(paths) + rs.choice(qs)
+             + rs.choice(frags))
+        if i % 7 == 0:
+            u = u.replace("/", "//", 1)
+        if i % 11 == 0:
+            u += chr(rs.randint(33, 127))
+        urls.append(u)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = df.select("url", canonical_url_expr(F.col("url")).alias("c")).toPandas()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"url": urls}))
+    sql = con.execute(f"SELECT url, {canonical_url_sql('url')} AS c FROM t").df()
+    merged = got.merge(sql, on="url", suffixes=("_s", "_d"))
+    merged["c_s"] = merged["c_s"].fillna("<NULL>")
+    merged["c_d"] = merged["c_d"].fillna("<NULL>")
+    bad = merged[merged.c_s != merged.c_d]
+    assert len(bad) == 0, bad.head(5).to_dict("records")
