@@ -3650,7 +3650,8 @@ def oracle_sql() -> dict[str, str]:
 
     zonal_stats = (
         f"WITH pip AS ({pip}), z(zone_id) AS (VALUES {zone_ids}), "
-        "a AS (SELECT zone_id, count(n_chars) AS n_count, sum(n_chars) AS n_sum, "
+        "a AS (SELECT zone_id, count(n_chars) AS n_count, "
+        "cast(sum(n_chars) as bigint) AS n_sum, "
         "max(n_chars) AS n_max, round(quantile_cont(n_chars, 0.5), 1) AS n_median "
         "FROM pip GROUP BY zone_id) "
         "SELECT z.zone_id, coalesce(a.n_count, 0) AS n_count, a.n_sum, a.n_max, a.n_median "

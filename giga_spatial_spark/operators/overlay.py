@@ -140,6 +140,14 @@ def _zone_signed_triangles(
     return out
 
 
+# Tangency guard: intersection areas below this are float-noise slivers
+# (a parcel corner like 54.99999999999999 meeting a zone edge at 55 —
+# observed 2e-14 deg² at sf0.1), not geometry. Both the kernels and the
+# DuckDB twins (synth.rectilinear_overlay_sql) apply the SAME threshold,
+# and the data's real overlaps are ≥ ~1e-2 deg² — seven orders of margin.
+AREA_EPS = 1e-9
+
+
 def fractional_overlay_general(
     parcels: DataFrame,
     zone_polys: dict[int, "np.ndarray | list"],
@@ -202,7 +210,7 @@ def fractional_overlay_general(
                         area += sign * polygon_intersection_area(
                             tz, poly, tri_b=tri_p
                         )
-                    if area > 0:
+                    if area > AREA_EPS:
                         frac = area / total
                         recs.append((pid, zid, frac, val * frac))
             if recs:
@@ -271,7 +279,7 @@ def fractional_overlay_boxes_general(
                     area += sign * box_triangle_areas(
                         tz, x1[ci], y1[ci], x2[ci], y2[ci]
                     )
-                pos = area > 0
+                pos = area > AREA_EPS
                 if pos.any():
                     sel = ci[pos]
                     frac = area[pos] / total[sel]

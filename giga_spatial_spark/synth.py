@@ -327,7 +327,7 @@ def rectilinear_overlay_sql() -> str:
         branches.append(
             f"SELECT {zid} AS zone_id, value * ({area}) / "
             "((pmaxx - pminx) * (pmaxy - pminy)) AS wv "
-            f"FROM p WHERE ({area}) > 0"
+            f"FROM p WHERE ({area}) > 1e-9"  # overlay.AREA_EPS tangency guard
         )
     un = " UNION ALL ".join(branches)
     return (
