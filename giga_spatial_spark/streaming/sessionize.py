@@ -149,11 +149,12 @@ def pack_greedy_stream(docs: DataFrame, budget: int) -> DataFrame:
     new one whenever the next doc would overflow. State per shard is
     just (current bin, current fill, high-water doc id) — constant, so
     watermarkless processing-time streaming is safe at any corpus size.
-    Docs are processed in doc_id order WITHIN a micro-batch; the
-    high-water mark makes late re-deliveries loud (they start a fresh
-    bin rather than silently rewriting history — exactly-once packing
-    across restarts needs the checkpointed state, which Structured
-    Streaming provides)."""
+    Docs are processed in doc_id order WITHIN a micro-batch; an
+    out-of-order doc arriving in a LATER micro-batch simply packs into
+    the current bin (bins already emitted are never rewritten — append
+    semantics), and the high-water doc id rides in the state for
+    observability of such arrivals. Exactly-once packing across
+    restarts comes from Structured Streaming's checkpointed state."""
 
     def update(key, pdfs, state: GroupState):
         rows = pd.concat(list(pdfs))
