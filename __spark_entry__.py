@@ -769,6 +769,19 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-3 terms by tf-idf (functions/text.tfidf_top_terms
+    — corpus characterization): tf within the language, idf = ln(N/df)
+    corpus-wide, scores rounded to 6 decimals BEFORE ranking so the
+    (score desc, term asc) order is engine-exact (house libm-parity
+    rule). The oracle replays tf/df/N with integer aggregates and the
+    identical ln expression + rounding in DuckDB."""
+    from giga_spatial_spark.functions.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=3)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by md5(text): survivor id + duplicate count per digest."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -3473,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_dedup_exact": q_dedup_exact,
         "q_passage_dedup": q_passage_dedup,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_domain_sample": q_domain_sample,
         "q_pack_sequences": q_pack_sequences,
         "q_minhash_near_dup": q_minhash_near_dup,
@@ -4512,6 +4526,22 @@ FROM z""",
         "q_quadkey_compact": _quadkey_compact_sql(),
         "q_h3_compact": _h3_compact_sql(docs),
         "q_polyfill_overlap": _polyfill_overlap_sql(docs),
+        "q_tfidf_top_terms": (
+            "WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT lang, term, cast(count(*) as bigint) AS tf FROM t "
+            "GROUP BY lang, term), "
+            "dfx AS (SELECT term, cast(count(DISTINCT doc_id) as bigint) AS df "
+            "FROM t GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT lang, tf.term, tf, df, "
+            "round(tf * ln(n::DOUBLE / df::DOUBLE), 6) AS score6 "
+            "FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+            "ORDER BY score6 DESC, term) AS rank FROM s) "
+            "SELECT lang, cast(rank as int) AS rank, term, tf, df, score6 "
+            "FROM r WHERE rank <= 3"
+        ),
         "q_url_blocklist": (
             "WITH d AS (SELECT doc_id, doc_id // 5 AS base, doc_id % 5 AS v "
             "FROM documents WHERE doc_id < 5000), "

@@ -314,3 +314,53 @@ def repetition_stats(docs, text_col: str = "text", doc_id: str = "doc_id"):
         )
     )
     return out
+
+
+def tfidf_top_terms(
+    docs, k: int = 3, group_col: str = "lang",
+    text_col: str = "text", doc_id: str = "doc_id",
+):
+    """Per-group top-k terms by tf-idf (corpus characterization — the
+    standard first look at what distinguishes a language/domain slice).
+
+    tf = term occurrences within the group; idf = ln(N / df) with df =
+    docs containing the term corpus-wide and N = corpus size. Scores
+    are rounded to 6 decimals BEFORE ranking so the ordering (score
+    desc, term asc) is deterministic across engines (the house
+    libm-parity rule: ln of identical integer ratios agrees to ~1e-15;
+    rounding collapses that to exact). Plan: one explode over the
+    materialized words array (HOF-CSE rule), two hash aggregates, a
+    broadcast of the 1-row corpus count, one window — no Python."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    terms = docs.withColumn("_w", words).select(
+        group_col, doc_id, F.explode("_w").alias("term")
+    )
+    tf = terms.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = terms.groupBy("term").agg(
+        F.count_distinct(F.col(doc_id)).alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score6",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("n").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score6").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, "rank", "term", "tf", "df", "score6")
+    )
