@@ -782,6 +782,81 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3)
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (the release step
+    after filtering/dedup): hash_u32(doc_id) buckets at 80/10/10 —
+    reproducible across engines, reruns and partitionings (pure integer
+    comparison on the Knuth multiplicative hash,
+    operators/sampling.hash_u32_expr). Per (lang, split) counts; the
+    oracle replays the exact bucket arithmetic."""
+    from giga_spatial_spark.operators.sampling import hash_u32_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = hash_u32_expr(F.col("doc_id"))
+    split = (
+        F.when(h < F.lit(int(0.8 * 4294967296)), F.lit("train"))
+        .when(h < F.lit(int(0.9 * 4294967296)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document (the CCNet-style perplexity
+    proxy: word-soup documents score high against the corpus unigram
+    distribution): per word w, logprob = ln(tf_w / T) with corpus totals
+    tf_w and T; per doc, surprisal = -Σ logprob / n_words, rounded to 6
+    decimals (house libm-parity rule) AFTER the division — the sum is
+    assembled from per-(doc, word) INTEGER counts times a per-word
+    rounded logprob, so no float fold-order leaks into the hash. Output:
+    per-lang mean-of-rounded-surprisal in integer micro-units plus
+    extremes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.withColumn("_w", F.split(F.col("text"), " ")).select(
+        "doc_id", "lang", F.explode("_w").alias("term")
+    )
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("T"))
+    # per-word logprob rounded once (1e-6): per-doc sums of (count ×
+    # rounded logprob) are exact multiples of 1e-6 — integer-safe
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            F.log(F.col("tf").cast("double") / F.col("T").cast("double")), 6
+        ).alias("lp6"),
+    )
+    per_pair = terms.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = (
+        per_pair.join(lp, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("c") * F.round(F.col("lp6") * 1e6).cast("bigint")).alias(
+                "lp_micro"
+            ),
+            F.sum("c").alias("n_words"),
+        )
+    )
+    surprisal_micro = F.round(
+        -F.col("lp_micro").cast("double") / F.col("n_words")
+    ).cast("bigint")
+    return (
+        per_doc.withColumn("s_micro", surprisal_micro)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("s_micro").alias("s_sum_micro"),
+            F.min("s_micro").alias("s_min_micro"),
+            F.max("s_micro").alias("s_max_micro"),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by md5(text): survivor id + duplicate count per digest."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -3487,6 +3562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_passage_dedup": q_passage_dedup,
         "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_corpus_split": q_corpus_split,
+        "q_unigram_surprisal": q_unigram_surprisal,
         "q_domain_sample": q_domain_sample,
         "q_pack_sequences": q_pack_sequences,
         "q_minhash_near_dup": q_minhash_near_dup,
@@ -4526,6 +4603,33 @@ FROM z""",
         "q_quadkey_compact": _quadkey_compact_sql(),
         "q_h3_compact": _h3_compact_sql(docs),
         "q_polyfill_overlap": _polyfill_overlap_sql(docs),
+        "q_corpus_split": (
+            "WITH d AS (SELECT lang, "
+            "(((doc_id % 2147483648) + 2147483648) % 2147483648) "
+            "* 2654435761 % 4294967296 AS h FROM documents) "
+            "SELECT lang, CASE WHEN h < 3435973836 THEN 'train' "
+            "WHEN h < 3865470566 THEN 'val' ELSE 'test' END AS split, "
+            "cast(count(*) as bigint) AS n_docs FROM d GROUP BY 1, 2"
+        ),
+        "q_unigram_surprisal": (
+            "WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "v AS (SELECT term, cast(count(*) as bigint) AS tf FROM t GROUP BY term), "
+            "tot AS (SELECT cast(sum(tf) as bigint) AS T FROM v), "
+            "lp AS (SELECT term, cast(round(round(ln(tf::DOUBLE / T::DOUBLE), 6) "
+            "* 1e6, 0) as bigint) AS lp_u FROM v CROSS JOIN tot), "
+            "pp AS (SELECT doc_id, lang, t.term, cast(count(*) as bigint) AS c "
+            "FROM t GROUP BY doc_id, lang, t.term), "
+            "pd AS (SELECT doc_id, lang, cast(sum(c * lp_u) as bigint) AS lp_micro, "
+            "cast(sum(c) as bigint) AS n_words FROM pp JOIN lp USING (term) "
+            "GROUP BY doc_id, lang), "
+            "s AS (SELECT lang, cast(round(-lp_micro::DOUBLE / n_words, 0) as bigint) "
+            "AS s_micro FROM pd) "
+            "SELECT lang, cast(count(*) as bigint) AS n_docs, "
+            "cast(sum(s_micro) as bigint) AS s_sum_micro, "
+            "min(s_micro) AS s_min_micro, max(s_micro) AS s_max_micro "
+            "FROM s GROUP BY lang"
+        ),
         "q_tfidf_top_terms": (
             "WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) "
             "AS term FROM documents), "

@@ -183,6 +183,8 @@ def main() -> None:
         "q_pack_sequences",
         "q_url_blocklist",
         "q_tfidf_top_terms",
+        "q_corpus_split",
+        "q_unigram_surprisal",
         # q_dedup_clusters stays oracle-only: it composes minhash + CC,
         # both already benched individually — 6s of suite wall for a
         # composition whose cost is exactly the sum of its parts
@@ -212,7 +214,8 @@ def main() -> None:
     }
     r6_new = {"q_cog_overview_int", "q_image_decode", "q_polyfill_overlap",
               "q_passage_dedup", "q_domain_sample", "q_pack_sequences",
-              "q_url_blocklist", "q_tfidf_top_terms"}
+              "q_url_blocklist", "q_tfidf_top_terms", "q_corpus_split",
+              "q_unigram_surprisal"}
     r3_comparable = round(
         sum(v for k, v in queries.items() if k not in r4_new | r5_new | r6_new), 3
     )
