@@ -197,3 +197,77 @@ def write_geoparquet(
     )
     out.write.mode(mode).parquet(path)
     return path
+
+
+def stamp_geoparquet_metadata(
+    spark,
+    path: str,
+    geometry_col: str = "geometry",
+    geometry_types: list[str] | None = None,
+) -> int:
+    """Stamp the GeoParquet spec's ``geo`` file metadata (version,
+    primary_column, per-column encoding) onto every part file of a
+    written dataset, so external readers (geopandas ≥0.11 / GDAL ≥3.5)
+    recognize it as GeoParquet rather than plain parquet with a binary
+    column. Spark's parquet writer cannot attach custom KV metadata, so
+    this is a post-pass: each part file is rewritten ON EXECUTORS
+    (spark.range over the file list — the driver never touches a row;
+    cost = one extra read+write of each part, the price of footer
+    ownership). Returns the number of parts stamped. write_geoparquet
+    leaves data un-stamped by default — tables consumed only by this
+    engine skip the extra IO; call this before handing files to
+    external tools."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq  # noqa: F401 — presence check on driver
+
+    parts = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    if not parts:
+        return 0
+    meta_json = json.dumps(
+        {
+            "version": "1.0.0",
+            "primary_column": geometry_col,
+            "columns": {
+                geometry_col: {
+                    "encoding": "WKB",
+                    "geometry_types": geometry_types or [],
+                }
+            },
+        }
+    )
+
+    def stamp(it):
+        import pyarrow.parquet as _pq
+
+        n = 0
+        for row in it:
+            p = parts[row.id]
+            t = _pq.read_table(p)
+            md = dict(t.schema.metadata or {})
+            md[b"geo"] = meta_json.encode()
+            tmp = p + ".geo.tmp"
+            _pq.write_table(t.replace_schema_metadata(md), tmp)
+            os.replace(tmp, p)
+            # Hadoop's LocalFileSystem keeps a .crc sidecar per part; the
+            # rewrite invalidates it and a stale one fails every later
+            # read with ChecksumException — drop it
+            crc = os.path.join(
+                os.path.dirname(p), "." + os.path.basename(p) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
+            n += 1
+        yield n
+
+    counts = (
+        spark.range(len(parts), numPartitions=min(len(parts), 64))
+        .rdd.mapPartitions(stamp)
+        .collect()
+    )
+    return sum(counts)

@@ -184,3 +184,50 @@ def test_parse_wkb_fuzz_failure_modes():
             wkb.parse_wkb(bytes(b))
         except caught:
             pass
+
+
+def test_geoparquet_metadata_stamp(spark, tmp_path):
+    """stamp_geoparquet_metadata writes the spec's 'geo' KV metadata on
+    every part file (pyarrow-visible), data round-trips unchanged, and
+    the dataset still reads through read_dataset."""
+    import json
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from giga_spatial_spark.sources.geo_writers import (
+        stamp_geoparquet_metadata,
+        write_geoparquet,
+    )
+    from giga_spatial_spark.sources.readers import read_geoparquet
+
+    from giga_spatial_spark import synth
+
+    rows = [
+        (zid, "Polygon", [poly.tolist()], {"name": f"z{zid}"})
+        for zid, poly in sorted(synth.make_admin_polygons(4).items())
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "feature_id int, geom_type string, "
+        "rings array<array<array<double>>>, properties map<string,string>",
+    ).repartition(3)
+    path = str(tmp_path / "gp")
+    write_geoparquet(df, path)
+    before = read_geoparquet(spark, path).toPandas()
+    n = stamp_geoparquet_metadata(spark, path, geometry_types=["Polygon"])
+    assert n >= 1
+    import os
+
+    for f in os.listdir(path):
+        if f.endswith(".parquet") and not f.startswith("_"):
+            md = pq.read_table(os.path.join(path, f)).schema.metadata
+            geo = json.loads(md[b"geo"])
+            assert geo["primary_column"] == "geometry"
+            assert geo["columns"]["geometry"]["encoding"] == "WKB"
+    after = read_geoparquet(spark, path).toPandas()
+    key = ["feature_id"]
+    assert before.sort_values(key).reset_index(drop=True)["feature_id"].equals(
+        after.sort_values(key).reset_index(drop=True)["feature_id"]
+    )
+    assert len(before) == len(after) == 4
