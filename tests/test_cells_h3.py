@@ -602,3 +602,42 @@ def test_vectorized_segment_sweep_matches_scalar():
             for j in range(m)
         )
         assert h3._any_segments_cross(P, Q) == want, trial
+
+
+def test_polyfill_over_pentagon_region():
+    """Polyfill across an icosahedron vertex: a box around a res-3
+    pentagon's center must include the pentagon cell in center mode,
+    keep mode nesting, and match the brute-force disk predicate —
+    pentagon boundaries (5 corners + distortion vertices) flow through
+    the same exact overlap machinery."""
+    from giga_spatial_spark.geometry import point_in_polygon
+
+    res = 3
+    pents0 = _res0_cells()[h3.is_pentagon(_res0_cells())]
+    # central res-3 descendant of a pentagon base cell is a pentagon
+    p3 = pents0[3]
+    for r in range(1, res + 1):
+        kids = h3.cell_to_children(int(p3), r)
+        p3 = kids[h3.is_pentagon(kids)][0]
+    la, ln = h3.cell_to_latlng(np.array([int(p3)], dtype=np.int64))
+    cy, cx = float(la[0]), float(ln[0])
+    poly = np.array(
+        [[cx - 2.2, cy - 1.9], [cx + 2.4, cy - 2.1],
+         [cx + 2.1, cy + 2.3], [cx - 2.0, cy + 2.0]]
+    )
+    center = set(h3.polyfill(poly, res, mode="center").tolist())
+    overlap = set(h3.polyfill(poly, res, mode="overlap").tolist())
+    full = set(h3.polyfill(poly, res, mode="full").tolist())
+    assert int(p3) in center and int(p3) in overlap
+    assert full <= center <= overlap
+    # brute force over a disk centered at the pentagon
+    brute = set()
+    for cc in h3.grid_disk(int(p3), 9).tolist():
+        bb = h3.cell_to_boundary(int(cc))
+        xy = np.stack([bb[:, 1], bb[:, 0]], axis=1)
+        la2, ln2 = h3.cell_to_latlng(np.array([cc], dtype=np.int64))
+        cin = bool(point_in_polygon(poly, ln2, la2)[0])
+        if h3.cell_overlaps_polygon(xy, cin, poly):
+            brute.add(int(cc))
+    disk = set(h3.grid_disk(int(p3), 9).tolist())
+    assert overlap & disk == brute
