@@ -641,3 +641,25 @@ def test_polyfill_over_pentagon_region():
             brute.add(int(cc))
     disk = set(h3.grid_disk(int(p3), 9).tolist())
     assert overlap & disk == brute
+
+
+def test_polyfill_antimeridian_overlap_and_df(spark):
+    """±180-crossing ring: overlap mode admits both-hemisphere cells and
+    nests over center; polyfill_df agrees with the driver BFS in both
+    modes across the wrap."""
+    poly = np.array([[176.0, -20.0], [-176.0, -20.0], [-176.0, -14.0],
+                     [176.0, -14.0]])
+    center = set(h3.polyfill(poly, 4, mode="center").tolist())
+    overlap = set(h3.polyfill(poly, 4, mode="overlap").tolist())
+    assert center <= overlap and len(overlap) > len(center)
+    la, ln = h3.cell_to_latlng(
+        np.fromiter(overlap, dtype=np.int64, count=len(overlap))
+    )
+    assert (ln > 0).any() and (ln < 0).any()  # both hemispheres
+    for mode in ("center", "overlap"):
+        got = {
+            r["h3_cell"]
+            for r in h3.polyfill_df(spark, poly, 4, mode=mode).collect()
+        }
+        want = set(h3.polyfill(poly, 4, mode=mode).tolist())
+        assert got == want, mode
