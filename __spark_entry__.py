@@ -45,8 +45,34 @@ TILE_ZOOM = 8
 PIP_ZOOM = 6
 
 
+def _spread(df: DataFrame, mult: int = 2) -> DataFrame:
+    """Scale-adaptive fan-out after a small scan (guide §2.5: "one huge
+    unsplittable file … repartition immediately after the read").
+
+    The driver's sf-dir parquet inputs are single files with ONE row group
+    (documents at sf1.0: 50k rows, 5.9 MB, 1 row group), so the scan yields
+    one task and every downstream explode / regex / Arrow kernel in that
+    same stage runs serial regardless of core count — measured as loadavg
+    ≈ 1 during q_range_count's 124 s at sf1 (BENCH_r06 query_loadavg).
+    Repartitioning to a multiple of defaultParallelism (derived from the
+    master, never a hard-coded constant) costs one tiny round-robin
+    exchange of the base rows and unlocks the full core count. At real
+    scale the scan already has ≥ target splits and this is a no-op, so the
+    setting is cluster-adaptive rather than tuned to local[32]."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * mult
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet spread to cluster parallelism (see _spread)."""
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _docs_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return synth.with_coords(docs, "doc_id")
 
 
@@ -390,9 +416,14 @@ def q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     each facility, counted per facility."""
     pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
     fac = synth.facilities_df(spark, sf_dir)
+    # zoom 6 (was 3): the candidate cover of a 3000 km ε-disk at zoom 3
+    # is 25 of 64 world tiles → nearly the full cross product reaches the
+    # haversine filter (measured 124 s serial at sf1, BENCH_r06). Finer
+    # tiles cut candidates ~10× while the exact ≤-ε filter keeps the
+    # result identical at any zoom (guide §2.3: shuffle fewer bytes).
     pairs = topk_neighbors(
         pts, fac, k=2**31 - 1, max_distance_m=3_000_000.0,
-        left_id="doc_id", zoom=3,
+        left_id="doc_id", zoom=6,
     )
     return pairs.groupBy("facility_id").agg(F.count(F.lit(1)).alias("doc_count"))
 
@@ -463,7 +494,7 @@ def q_distance_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
     edges = self_range_edges(
-        pts, max_distance_m=500_000.0, id_col="doc_id", zoom=5
+        pts, max_distance_m=500_000.0, id_col="doc_id", zoom=7
     )
     return edges.select("src", "dst", F.round("dist_m", 1).alias("dist_m"))
 
@@ -478,8 +509,11 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giga_spatial_spark.operators.range_join import self_range_edges
 
     pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    # zoom 7 (was 5): ε = 500 km spans ~0.4 of an 11.25° tile, so the
+    # 5×5-tile candidate ring over-covered ~8×; 2.8° tiles bring the
+    # candidate count near the true ε-pair count (exact filter unchanged)
     edges = self_range_edges(
-        pts, max_distance_m=500_000.0, id_col="doc_id", zoom=5
+        pts, max_distance_m=500_000.0, id_col="doc_id", zoom=7
     )
     labels = connected_components(
         edges.select("src", "dst"), nodes=pts, node_col="doc_id"
@@ -494,7 +528,7 @@ def q_proximity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SQL-expressible; greedy reference variant is pytest-verified)."""
     pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
     out = proximity_dedup_exists(
-        pts, max_distance_m=200_000.0, id_col="doc_id", zoom=5
+        pts, max_distance_m=200_000.0, id_col="doc_id", zoom=7
     )
     return out.select("doc_id")
 
@@ -593,7 +627,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from giga_spatial_spark.functions.hashing import rolling_fingerprint
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("fingerprint", LongType())]
     )
@@ -618,7 +652,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality signals per language — native expressions
     only (integer outputs for exact cross-engine sums)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     q = T.quality_exprs("text")
     # BPE-ish regex tokenization alongside whitespace tokens
     regex_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(T.TOKEN_RE), 0))
@@ -646,7 +680,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnest/list machinery."""
     from giga_spatial_spark.functions.text import repetition_stats
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     per = repetition_stats(docs).join(docs.select("doc_id", "lang"), "doc_id")
     return per.groupBy("lang").agg(
         F.count(F.lit(1)).alias("doc_count"),
@@ -671,7 +705,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic PII into the text in SQL, redacts with DuckDB's OWN
     regexp_replace(…, 'g'), and the per-language min/max digests of the
     redacted strings hash-match, proving byte-identical redaction."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     b = F.col("doc_id")
     planted = F.concat(
         F.col("text"),
@@ -731,7 +765,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_ngrams_from_words,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     d2 = docs.withColumn("_w", F.split(F.col("text"), " ")).where(
         F.size(F.col("_w")) >= DECON_N
     )
@@ -761,7 +795,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-scoring language-ID heuristic: confusion counts of
     (actual lang, predicted lang)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return (
         docs.withColumn("predicted", T.predicted_lang_expr("text"))
         .groupBy("lang", "predicted")
@@ -778,7 +812,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical ln expression + rounding in DuckDB."""
     from giga_spatial_spark.functions.text import tfidf_top_terms
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return tfidf_top_terms(docs, k=3)
 
 
@@ -815,7 +849,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded logprob, so no float fold-order leaks into the hash. Output:
     per-lang mean-of-rounded-surprisal in integer micro-units plus
     extremes."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     terms = docs.withColumn("_w", F.split(F.col("text"), " ")).select(
         "doc_id", "lang", F.explode("_w").alias("term")
     )
@@ -874,7 +908,7 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same md5 keys (both engines hash the identical utf-8 gram bytes)."""
     from giga_spatial_spark.operators.dedup import duplicated_passages
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return duplicated_passages(docs, n=PASSAGE_W)
 
 
@@ -936,7 +970,7 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is emitted unrounded: both engines divide the same exact
     integers, giving bit-identical doubles (rounding would reintroduce
     HALF_UP-vs-HALF_EVEN mismatch on exact 5-decimal boundaries)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     out = minhash_near_dup_pairs(docs, threshold=0.5, bands=32)
     return out.select("a", "b", "jaccard")
 
@@ -953,7 +987,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages, is under the hash."""
     from giga_spatial_spark.operators.graph import connected_components
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pairs = minhash_near_dup_pairs(docs, threshold=0.5, bands=32)
     labels = connected_components(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -967,14 +1001,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs, hamming ≤ 3 via pigeonhole banded join
     (rows-only driver check; pytest verifies vs brute force)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return simhash_near_dup_pairs(docs, max_hamming=3)
 
 
 def q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-1: every vector vs the vec_id%10==0 candidate
     subset — dot product as native F.aggregate/zip_with (no UDF)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     corpus = emb.where(F.col("vec_id") % 10 == 0)
     out = cosine_topk_bruteforce(emb, corpus, k=1)
     return out.select("qid", "cid", "cosine")
@@ -987,7 +1021,7 @@ def q_ann_top1_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     impossible on this data (min top1-top2 gap 3.2e-4, measured)."""
     from giga_spatial_spark.operators.ann import cosine_topk_gemm
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     corpus = emb.where(F.col("vec_id") % 10 == 0)
     out = cosine_topk_gemm(emb, corpus, k=1)
     return out.select("qid", "cid", "cosine")
@@ -999,14 +1033,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully native plan, oracle recomputes the identical index in SQL."""
     from giga_spatial_spark.operators.ann import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return ivf_topk(emb, k=1, n_centroids=32, nprobe=2)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-1 within the embeddings table
     (rows-only driver check; recall vs brute force asserted in pytest)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return lsh_topk(emb, dim=64, k=1, n_planes=10)
 
 
@@ -1015,7 +1049,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify; rows-only driver check, validity asserted in pytest)."""
     from giga_spatial_spark.operators.dedup import embedding_near_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     # synthetic embeddings are near-random (top-1 cosine ≈ 0.4-0.5), so the
     # demo threshold sits below that to produce a non-empty pair set.
     # n_planes pinned so the SQL oracle replays identical buckets (the
@@ -1029,7 +1063,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest true pair 0.9, 32×2 banding miss < 1e-23)."""
     from giga_spatial_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     out = ngram_jaccard_pairs(docs, threshold=0.4)
     return out.select("a", "b", "jaccard")
 
@@ -1070,8 +1104,8 @@ def q_h3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward SQL over the same derivation."""
     from giga_spatial_spark import cells_h3
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "ts"
+    ev = _spread(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
     )
     ev = synth.with_coords(ev, "event_id")
     tagged = cells_h3.assign_cells_df(ev, H3_EVENTS_RES)
@@ -2809,7 +2843,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL — generator∘parser must be the identity."""
     from giga_spatial_spark.functions import multimodal as MM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    )
 
     import pandas as pd
 
@@ -2856,7 +2892,11 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from giga_spatial_spark.functions import multimodal as MM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # spread the ids-only scan so the decode kernel gets every core (the
+    # single-row-group input otherwise serializes 50k decodes in one task)
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    )
 
     def kernel(batches):
         for pdf in batches:
