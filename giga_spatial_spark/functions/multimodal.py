@@ -211,14 +211,33 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+def _png_has_idat(b: bytes) -> bool:
+    """Walk the PNG chunk list (length/type framing) for a real IDAT
+    chunk. A substring search over the whole payload could match 'IDAT'
+    inside a header-only stub's deterministic body bytes and crash the
+    job in decode_png (round-6 advisory)."""
+    pos = 8
+    n = len(b)
+    while pos + 8 <= n:
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        if typ == b"IDAT":
+            return True
+        if typ == b"IEND":
+            return False
+        pos += 12 + ln  # length + type + data + crc
+    return False
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode dispatch: PNGs with a pixel stream decode FOR REAL
     (decode_png — zlib + filters, no media lib needed); JPEG/GIF entropy
     decoding needs codecs this container lacks, so those fall back to
     the deterministic digest fake (brief-prescribed stub). Header-only
-    PNG stubs (make_png — no IDAT) also take the fake path."""
+    PNG stubs (make_png — no IDAT chunk in the framing walk) also take
+    the fake path."""
     b = bytes(payload)
-    if b[:8] == PNG_SIG and b"IDAT" in b:
+    if b[:8] == PNG_SIG and _png_has_idat(b):
         return decode_png(b)
     return _fake_decode_image(b)
 

@@ -179,16 +179,50 @@ def lsh_topk(
     cand = (
         l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b").distinct()
     )
-    v = vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+    # norms projected ONCE per vector and attached with the payload join —
+    # the inline cosine_expr recomputed both 64-element norm folds per PAIR
+    # (≥ 2M pairs at sf1 vs 20k vectors: ~100× redundant interpreted HOF
+    # work, guide §4.1). dot/(na·nb) is the identical fold order and
+    # multiplication order as cosine_expr, so scores stay bit-exact.
+    v = vectors.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__vec"),
+        norm_expr(F.col(vec_col)).alias("__nrm"),
+    )
+    va = v.select(
+        F.col("__vid").alias("a"), F.col("__vec").alias("va"), F.col("__nrm").alias("na")
+    )
+    vb = v.select(
+        F.col("__vid").alias("b"), F.col("__vec").alias("vb"), F.col("__nrm").alias("nb")
+    )
     pairs = (
-        cand.join(v.withColumnRenamed("__vid", "a").withColumnRenamed("__vec", "va"), "a")
-        .join(v.withColumnRenamed("__vid", "b").withColumnRenamed("__vec", "vb"), "b")
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
+            "cosine", dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .select("a", "b", "cosine")
     )
     directed = pairs.select(
         F.col("a").alias("qid"), F.col("b").alias("cid"), "cosine"
     ).unionByName(pairs.select(F.col("b").alias("qid"), F.col("a").alias("cid"), "cosine"))
+    if k == 1:
+        # top-1 via map-side-partial min(struct(-cosine, cid)) — the
+        # lexicographic struct min IS (cosine desc, cid asc), so this is
+        # the row_number()==1 row without shuffling+sorting the full
+        # directed pair set (guide §2.3: aggregate before you shuffle);
+        # -(-x) is an exact double round-trip
+        best = directed.groupBy("qid").agg(
+            F.min(
+                F.struct((-F.col("cosine")).alias("nc"), F.col("cid").alias("cid"))
+            ).alias("s")
+        )
+        return best.select(
+            "qid",
+            F.col("s.cid").alias("cid"),
+            F.round(-F.col("s.nc"), 4).alias("cosine"),
+            F.lit(1).alias("rank"),
+        )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
         directed.withColumn("rank", F.row_number().over(w))

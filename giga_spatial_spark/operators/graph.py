@@ -93,20 +93,16 @@ def connected_components(
         .distinct()
     )
     if small_graph_limit and small_graph_limit > 0:
-        # two-stage dispatch: the size probe is a JVM-side count (limit
-        # truncates the scan, nothing ships to the driver), and the edge
-        # rows are collected ONLY once the graph is known to fit the
-        # union-find path — a planet-scale edge list never materializes
-        # limit+1 driver rows just to be discarded
-        probe = canon.limit(small_graph_limit + 1).count()
-        if probe <= small_graph_limit:
-            # Arrow transfer + vectorized label propagation: the previous
-            # row-based collect() + per-edge Python union-find loop cost
-            # seconds at ~2M edges (py4j row materialization dominates);
-            # toPandas ships one Arrow batch and the numpy kernel is
-            # O(E · rounds) vectorized (guide §5: driver work bounded,
-            # §6: Arrow for driver transfers)
-            sample = canon.toPandas()
+        # single-pass dispatch: fetch at most limit+1 edges via Arrow and
+        # decide from the row count. The former two-stage probe (count,
+        # then collect) re-evaluated the entire edge lineage twice — for
+        # an ε-range edge list that doubles the candidate join. The
+        # driver transfer stays bounded at limit+1 rows (~80 MB at the
+        # 5M ceiling) even on a planet-scale graph, and the numpy label
+        # propagation replaces the per-edge Python union-find loop
+        # (guide §5 driver bounds, §6 Arrow for driver transfers)
+        sample = canon.limit(small_graph_limit + 1).toPandas()
+        if len(sample) <= small_graph_limit:
             return _cc_label_prop(
                 edges.sparkSession, sample, e, nodes, node_col
             )

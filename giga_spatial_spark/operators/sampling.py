@@ -27,6 +27,16 @@ def hash_u32_expr(id_col: Column) -> Column:
     return (inner * F.lit(_KNUTH)) % F.lit(_M32)
 
 
+def domain_keep_expr(id_col: Column, n_host: Column, cap: int) -> Column:
+    """Exact integer keep predicate hash_u32(id) · n_host < cap · 2^32,
+    computed in decimal(38,0) so no host cardinality can overflow int64
+    (38 digits hold 2^32 · 2^63 with room to spare)."""
+    dec = "decimal(38,0)"
+    return hash_u32_expr(id_col).cast(dec) * n_host.cast(dec) < F.lit(
+        cap * _M32
+    ).cast(dec)
+
+
 def domain_downsample(
     docs: DataFrame,
     host_col: str = "host",
@@ -43,11 +53,15 @@ def domain_downsample(
     count side is host-cardinality-sized (no broadcast hint: AQE
     converts when it is actually small; at web scale with ~1e8 hosts
     the shuffle join on the same key the aggregate produced is the
-    right plan), then a codegen filter. Returns the surviving rows."""
+    right plan), then a codegen filter. Returns the surviving rows.
+
+    The cross-product is evaluated in decimal(38,0): the int64 form
+    hash (≤ 2^32−1) × n_host overflows — an ANSI-mode exception — once
+    a single host exceeds ~2.1e9 documents, plausible at the module's
+    stated web-scale posture (round-6 advisory). Same predicate, no
+    bound."""
     counts = docs.groupBy(host_col).agg(F.count(F.lit(1)).alias("_n_host"))
-    keep = hash_u32_expr(F.col(id_col)) * F.col("_n_host") < F.lit(
-        cap * _M32
-    )
+    keep = domain_keep_expr(F.col(id_col), F.col("_n_host"), cap)
     return (
         docs.join(counts, host_col)
         .where(keep)

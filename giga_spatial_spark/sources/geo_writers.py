@@ -243,17 +243,30 @@ def stamp_geoparquet_metadata(
     )
 
     def stamp(it):
+        import os as _os
         import pyarrow.parquet as _pq
 
         n = 0
         for row in it:
             p = parts[row.id]
+            if not _os.path.exists(p):
+                raise FileNotFoundError(
+                    f"stamp_geoparquet_metadata: {p} not visible on this "
+                    "executor — the post-pass rewrites driver-enumerated "
+                    "local paths and requires a filesystem shared between "
+                    "driver and executors (local mode / NFS); on a real "
+                    "cluster or object store run the stamping driver-side "
+                    "or over a shared mount"
+                )
             t = _pq.read_table(p)
             md = dict(t.schema.metadata or {})
             md[b"geo"] = meta_json.encode()
-            tmp = p + ".geo.tmp"
+            # attempt-unique tmp name: speculative/retried tasks would
+            # race on a shared fixed '<part>.geo.tmp' (one attempt
+            # os.replace-ing a twin mid-write — round-6 advisory)
+            tmp = f"{p}.geo.{_os.getpid()}.tmp"
             _pq.write_table(t.replace_schema_metadata(md), tmp)
-            os.replace(tmp, p)
+            _os.replace(tmp, p)
             # Hadoop's LocalFileSystem keeps a .crc sidecar per part; the
             # rewrite invalidates it and a stale one fails every later
             # read with ChecksumException — drop it

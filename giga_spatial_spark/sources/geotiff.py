@@ -779,7 +779,17 @@ def downsample2_mean_int(arr: np.ndarray, nodata: int | None) -> np.ndarray:
         va, vb = a != fill, b != fill
         vc, vd = c != fill, d != fill
     else:
-        va = vb = vc = vd = np.ones(a.shape, dtype=bool)
+        # nodata=None: validity = in-bounds coordinates, so the zero-fill
+        # padding on odd-dimension edges is never averaged into real
+        # pixels (round-6 advisory; mirrors the float path's NaN masking)
+        r_even = (np.arange(H) * 2)[:, None, None]
+        r_odd = r_even + 1
+        c_even = (np.arange(W) * 2)[None, :, None]
+        c_odd = c_even + 1
+        va = (r_even < h) & (c_even < w)
+        vb = (r_even < h) & (c_odd < w)
+        vc = (r_odd < h) & (c_even < w)
+        vd = (r_odd < h) & (c_odd < w)
     s = (np.where(va, a, 0) + np.where(vb, b, 0)) + (
         np.where(vc, c, 0) + np.where(vd, d, 0)
     )

@@ -921,3 +921,36 @@ def test_write_cog_integer_pyramid(tmp_path):
             assert got1[r, c] == want, (r, c)
     # and the vectorized twin agrees everywhere
     assert np.array_equal(got1, downsample2_mean_int(vals, 255))
+
+
+def test_downsample2_mean_int_no_nodata_odd_edges():
+    """nodata=None with odd dimensions: edge blocks must average only the
+    in-bounds pixels — zero padding previously leaked into the mean
+    (round-6 advisory: a 3x3 all-10 raster yielded 5 and 3 at the edges)."""
+    import numpy as np
+
+    from giga_spatial_spark.sources.geotiff import (
+        downsample2_mean,
+        downsample2_mean_int,
+    )
+
+    arr = np.full((3, 3), 10, dtype=np.int64)
+    got = downsample2_mean_int(arr, None)
+    assert np.array_equal(got, np.full((2, 2), 10)), got
+    # parity with the float twin on an asymmetric odd-edge case
+    rs = np.random.RandomState(3)
+    a2 = rs.randint(0, 200, size=(7, 9)).astype(np.int64)
+    gi = downsample2_mean_int(a2, None)
+    gf = downsample2_mean(a2.astype(np.float64), None)
+    # same valid-pixel sets: integer result == round-half-up of float mean
+    assert np.array_equal(gi, np.floor(gf + 0.5).astype(np.int64))
+    # scalar replay over every block
+    for r in range(4):
+        for c in range(5):
+            blk = [
+                int(a2[rr, cc])
+                for rr in (2 * r, 2 * r + 1)
+                for cc in (2 * c, 2 * c + 1)
+                if rr < 7 and cc < 9
+            ]
+            assert gi[r, c] == (2 * sum(blk) + len(blk)) // (2 * len(blk))
