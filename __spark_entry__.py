@@ -72,7 +72,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # no spread here: most consumers are cheap native plans where the
+    # extra exchange costs more than the serial scan stage (A/B-measured
+    # at sf1: q_tile_assign 0.40 s raw vs 2.12 s spread). The explosive /
+    # Python-kernel consumers call _spread on their projected frame.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return synth.with_coords(docs, "doc_id")
 
 
@@ -320,7 +324,7 @@ def q_custom_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest facility per document (reference poi.py:287-391), broadcast
     numpy kernel, haversine parity with geo.py:561-581."""
-    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    pts = _spread(_docs_pts(spark, sf_dir).select("doc_id", "lon", "lat"))
     fac = synth.facilities_df(spark, sf_dir)
     out = knn_broadcast(pts, fac, point_id="doc_id")
     return out.select(
@@ -337,7 +341,7 @@ def q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_knn_nearest's oracle because the answer is exact either way."""
     from giga_spatial_spark.operators.knn import knn_grid
 
-    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    pts = _spread(_docs_pts(spark, sf_dir).select("doc_id", "lon", "lat"))
     fac = synth.facilities_df(spark, sf_dir)
     out = knn_grid(pts, fac, point_id="doc_id")
     return out.select(
@@ -414,7 +418,7 @@ def q_hex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-range join (reference algorithms.py:24-204): docs within 3000 km of
     each facility, counted per facility."""
-    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    pts = _spread(_docs_pts(spark, sf_dir).select("doc_id", "lon", "lat"))
     fac = synth.facilities_df(spark, sf_dir)
     # zoom 6 (was 3): the candidate cover of a 3000 km ε-disk at zoom 3
     # is 25 of 64 world tiles → nearly the full cross product reaches the
@@ -492,7 +496,7 @@ def q_distance_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-pairs."""
     from giga_spatial_spark.operators.range_join import self_range_edges
 
-    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    pts = _spread(_docs_pts(spark, sf_dir).select("doc_id", "lon", "lat"))
     edges = self_range_edges(
         pts, max_distance_m=500_000.0, id_col="doc_id", zoom=7
     )
@@ -508,7 +512,7 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giga_spatial_spark.operators.graph import connected_components
     from giga_spatial_spark.operators.range_join import self_range_edges
 
-    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    pts = _spread(_docs_pts(spark, sf_dir).select("doc_id", "lon", "lat"))
     # zoom 7 (was 5): ε = 500 km spans ~0.4 of an 11.25° tile, so the
     # 5×5-tile candidate ring over-covered ~8×; 2.8° tiles bring the
     # candidate count near the true ε-pair count (exact filter unchanged)
@@ -526,7 +530,7 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_proximity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity dedup, single-pass 'no lower-id neighbor within ε' variant
     (SQL-expressible; greedy reference variant is pytest-verified)."""
-    pts = _docs_pts(spark, sf_dir).select("doc_id", "lon", "lat")
+    pts = _spread(_docs_pts(spark, sf_dir).select("doc_id", "lon", "lat"))
     out = proximity_dedup_exists(
         pts, max_distance_m=200_000.0, id_col="doc_id", zoom=7
     )
@@ -812,7 +816,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical ln expression + rounding in DuckDB."""
     from giga_spatial_spark.functions.text import tfidf_top_terms
 
-    docs = _docs(spark, sf_dir)
+    # plain read: the term explode is referenced by two aggregates, so a
+    # pre-spread exchange of the full text evaluates twice and costs
+    # more than the serial split (A/B at sf1: ~1.9 s raw vs ~3.5 s)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tfidf_top_terms(docs, k=3)
 
 
@@ -849,7 +856,10 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded logprob, so no float fold-order leaks into the hash. Output:
     per-lang mean-of-rounded-surprisal in integer micro-units plus
     extremes."""
-    docs = _docs(spark, sf_dir)
+    # plain read: the term explode is referenced by two aggregates, so a
+    # pre-spread exchange of the full text evaluates twice and costs
+    # more than the serial split (A/B at sf1: ~1.9 s raw vs ~3.5 s)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     terms = docs.withColumn("_w", F.split(F.col("text"), " ")).select(
         "doc_id", "lang", F.explode("_w").alias("term")
     )
@@ -1130,9 +1140,7 @@ def q_h3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward SQL over the same derivation."""
     from giga_spatial_spark import cells_h3
 
-    ev = _spread(
-        spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
     ev = synth.with_coords(ev, "event_id")
     tagged = cells_h3.assign_cells_df(ev, H3_EVENTS_RES)
     return (
@@ -2887,9 +2895,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL — generator∘parser must be the identity."""
     from giga_spatial_spark.functions import multimodal as MM
 
-    docs = _spread(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     import pandas as pd
 
