@@ -685,7 +685,9 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giga_spatial_spark.functions.text import repetition_stats
 
     docs = _docs(spark, sf_dir)
-    per = repetition_stats(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    # lang echoes through the kernel — no join back onto a second
+    # evaluation of the source scan
+    per = repetition_stats(docs, extra_cols=("lang",))
     return per.groupBy("lang").agg(
         F.count(F.lit(1)).alias("doc_count"),
         F.sum("n_words").alias("words_sum"),

@@ -256,64 +256,84 @@ def quality_sqls(text_col: str) -> dict[str, str]:
     }
 
 
-def repetition_stats(docs, text_col: str = "text", doc_id: str = "doc_id"):
+def repetition_stats(docs, text_col: str = "text", doc_id: str = "doc_id",
+                     extra_cols: tuple = ()):
     """Gopher-style repetition quality signals per document (Rae et al.
     2021 §A1.1 repetition filters — the standard LLM-corpus quality
     family beyond length/punct/stopword stats): fraction of tokens taken
     by the single most frequent word, duplicate-word fraction, and the
-    most frequent word-bigram's share. All native (split / transform /
-    explode / groupBy — per-doc histograms are one shuffle keyed by
-    (doc, term), scale-safe); ratios returned in rounded parts-per-
-    million so cross-engine sums stay exact."""
-    from pyspark.sql import functions as F
+    most frequent word-bigram's share, in rounded parts-per-million so
+    cross-engine sums stay exact.
 
-    words = F.split(F.col(text_col), " ")
-    base = docs.select(
-        doc_id,
-        words.alias("__w"),
-        F.size(words).alias("__n"),
-        F.size(F.array_distinct(words)).alias("__nd"),
+    One Arrow kernel pass (guide §4.2): the former native plan built the
+    word and bigram histograms as two explode→groupBy→groupBy chains and
+    re-joined them onto the base — three evaluations of the split and two
+    (doc, term) shuffles for statistics that are per-document local. A
+    per-doc Counter in the batch kernel computes all three signals in one
+    scan-only stage with zero shuffles. Arithmetic parity with the old
+    expressions (and with the DuckDB oracle) is exact: Python floats ARE
+    the same IEEE doubles with the same operation order, and the HALF_UP
+    rounding is replayed via Decimal(repr(x)) — repr emits the shortest
+    round-trip decimal, precisely what Spark's Round (Scala
+    BigDecimal(double)) parses before HALF_UP.
+
+    ``extra_cols``: columns echoed through the kernel unchanged (e.g. a
+    language key), saving the caller a join back onto the source."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
     )
-    wtop = (
-        base.select(doc_id, "__n", F.explode("__w").alias("w"))
-        .groupBy(doc_id, "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(doc_id)
-        .agg(F.max("c").alias("__topw"))
+
+    one = Decimal(1)
+
+    def rhu(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(one, rounding=ROUND_HALF_UP))
+
+    extra_fields = [
+        f for f in docs.schema.fields if f.name in extra_cols
+    ]
+
+    def kernel(batches):
+        for pdf in batches:
+            nws, tops, dups, bigs = [], [], [], []
+            for text in pdf[text_col]:
+                ws = text.split(" ")
+                n = len(ws)
+                c = Counter(ws)
+                topw = max(c.values())
+                nd = len(c)
+                nws.append(n)
+                tops.append(rhu(1e6 * topw / n))
+                dups.append(rhu(1e6 * (n - nd) / n))
+                if n >= 2:
+                    tg = max(Counter(zip(ws, ws[1:])).values())
+                    bigs.append(rhu(1e6 * tg / (n - 1)))
+                else:
+                    bigs.append(0)
+            out = {doc_id: pdf[doc_id]}
+            for cname in extra_cols:
+                out[cname] = pdf[cname]
+            out.update(
+                n_words=nws, top_word_ppm=tops, dup_word_ppm=dups,
+                top_bigram_ppm=bigs,
+            )
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [StructField(doc_id, LongType())]
+        + extra_fields
+        + [
+            StructField("n_words", IntegerType()),
+            StructField("top_word_ppm", LongType()),
+            StructField("dup_word_ppm", LongType()),
+            StructField("top_bigram_ppm", LongType()),
+        ]
     )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.col("__n") - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at("__w", i + 1), F.element_at("__w", i + 2)
-        ),
-    )
-    gtop = (
-        base.where(F.col("__n") >= 2)
-        .select(doc_id, F.explode(grams).alias("g"))
-        .groupBy(doc_id, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(doc_id)
-        .agg(F.max("c").alias("__topg"))
-    )
-    out = (
-        base.join(wtop, doc_id).join(gtop, doc_id, "left")
-        .select(
-            doc_id,
-            F.col("__n").alias("n_words"),
-            F.round(F.lit(1e6) * F.col("__topw") / F.col("__n"))
-            .cast("bigint").alias("top_word_ppm"),
-            F.round(
-                F.lit(1e6) * (F.col("__n") - F.col("__nd")) / F.col("__n")
-            ).cast("bigint").alias("dup_word_ppm"),
-            F.when(
-                F.col("__n") >= 2,
-                F.round(
-                    F.lit(1e6) * F.col("__topg") / (F.col("__n") - 1)
-                ).cast("bigint"),
-            ).otherwise(F.lit(0)).alias("top_bigram_ppm"),
-        )
-    )
-    return out
+    cols = [doc_id, *extra_cols, text_col]
+    return docs.select(*cols).mapInPandas(kernel, schema=schema)
 
 
 def tfidf_top_terms(

@@ -176,9 +176,14 @@ def lsh_topk(
         buckets = cap_hot_buckets(buckets, "bucket", max_bucket, "lsh_topk")
     l = buckets.select(F.col("vec_id").alias("a"), "bucket")
     r = buckets.select(F.col("vec_id").alias("b"), "bucket")
-    cand = (
-        l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b").distinct()
-    )
+    cand = l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b")
+    if k != 1:
+        # rank slots beyond 1 must not be occupied twice by a pair that
+        # collides in several tables — dedupe before ranking
+        cand = cand.distinct()
+    # k == 1 skips the distinct: the min(struct) aggregate below is
+    # duplicate-insensitive, so scoring a multi-table collision twice is
+    # cheaper than a full shuffle+hash-agg of the candidate set
     # norms projected ONCE per vector and attached with the payload join —
     # the inline cosine_expr recomputed both 64-element norm folds per PAIR
     # (≥ 2M pairs at sf1 vs 20k vectors: ~100× redundant interpreted HOF

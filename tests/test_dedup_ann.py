@@ -739,3 +739,52 @@ def test_minhash_edges_mode_linear_and_component_equivalent(spark):
         if mode == "pairs":
             want = got
     assert got == want
+
+
+def test_cc_label_prop_random_graphs_match_union_find(spark):
+    """Driver label propagation == reference union-find on random graphs
+    (chains, cliques, isolated nodes, shuffled ids)."""
+    import numpy as np
+    import pandas as pd
+
+    from giga_spatial_spark.operators.graph import _cc_label_prop
+
+    rs = np.random.RandomState(11)
+    for trial in range(6):
+        n = int(rs.randint(5, 400))
+        n_edges = int(rs.randint(0, 4 * n))
+        ids = rs.choice(np.arange(10 * n), size=n, replace=False).astype(np.int64)
+        if n_edges:
+            u = ids[rs.randint(0, n, n_edges)]
+            v = ids[rs.randint(0, n, n_edges)]
+            keep = u != v
+            u, v = u[keep], v[keep]
+        else:
+            u = v = np.empty(0, np.int64)
+        # long chain to stress propagation depth
+        chain = np.sort(ids)[: max(2, n // 2)]
+        u = np.concatenate([u, chain[:-1]])
+        v = np.concatenate([v, chain[1:]])
+        pdf = pd.DataFrame({"u": np.maximum(u, v), "v": np.minimum(u, v)})
+        e = spark.createDataFrame(
+            pd.DataFrame({"src": u, "dst": v}), "src long, dst long"
+        )
+        lab = _cc_label_prop(spark, pdf, e, None, "node")
+        got = {r["node"]: r["comp"] for r in lab.collect()}
+        # reference union-find
+        parent = {}
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+        for a, b in zip(u.tolist(), v.tolist()):
+            parent.setdefault(a, a), parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for x in set(u.tolist()) | set(v.tolist()):
+            comps.setdefault(find(x), []).append(x)
+        want = {x: min(members) for members in comps.values() for x in members}
+        assert got == want, trial
