@@ -45,7 +45,14 @@ TILE_ZOOM = 8
 PIP_ZOOM = 6
 
 
-def _spread(df: DataFrame, mult: int = 2) -> DataFrame:
+# below this input size the serial scan stage is cheaper than an extra
+# exchange (env-overridable for cluster tuning; local default measured)
+SPREAD_MIN_INPUT_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", 3_000_000)
+)
+
+
+def _spread(df: DataFrame, mult: int = 2, min_bytes: int | None = None) -> DataFrame:
     """Scale-adaptive fan-out after a small scan (guide §2.5: "one huge
     unsplittable file … repartition immediately after the read").
 
@@ -62,6 +69,21 @@ def _spread(df: DataFrame, mult: int = 2) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * mult
     if df.rdd.getNumPartitions() >= target:
+        return df
+    # size-aware: below a few MB the extra exchange costs more than the
+    # serial stage it parallelizes (measured at sf0.1: q_fingerprint
+    # 0.5 s raw vs 1.3 s spread) — derive the decision from input size
+    # (guide §2), not from a constant tuned to either scale
+    try:
+        import os as _os
+
+        total = sum(
+            _os.path.getsize(p.removeprefix("file:")) for p in df.inputFiles()
+        )
+    except Exception:
+        total = None
+    floor = SPREAD_MIN_INPUT_BYTES if min_bytes is None else min_bytes
+    if total is not None and total < floor:
         return df
     return df.repartition(target)
 
@@ -2945,9 +2967,12 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giga_spatial_spark.functions import multimodal as MM
 
     # spread the ids-only scan so the decode kernel gets every core (the
-    # single-row-group input otherwise serializes 50k decodes in one task)
+    # single-row-group input otherwise serializes 50k decodes in one task);
+    # min_bytes=0: the decode cost is per ROW, not per byte, so even a
+    # tiny id list is worth fanning out (5k decodes = 2.5 s serial)
     docs = _spread(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+        min_bytes=0,
     )
 
     def kernel(batches):
