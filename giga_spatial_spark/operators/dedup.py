@@ -449,10 +449,35 @@ def simhash_near_dup_pairs(
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming — EXACT, via
     the multi-block banded self-join (every qualifying pair shares at least
     one (combo, key) band row; see simhash_band_table) + native bit_count
-    verify. One shuffle on (combo, k); ids-only rows until the verify."""
+    verify. One shuffle on (combo, k); ids-only rows until the verify.
+
+    Identical fingerprints collapse to one representative BEFORE banding
+    (the minhash exact-collapse guard applied to the simhash domain): an
+    m-copy boilerplate cluster shares every band key, so the banded
+    self-join would emit m² rows per combo (measured 4.8M join rows at
+    sf1 for ~2k true pairs). Banding runs on distinct fingerprints; the
+    full pair list is reconstructed afterwards — cross-cluster pairs
+    inherit the representative hamming (members are bit-identical),
+    within-cluster pairs carry hamming 0. The output is exactly the
+    uncollapsed path's pair set."""
+    from pyspark.sql import Window
+
     t = simhash_table(docs)
+    w = Window.partitionBy("simhash")
+    # materialized once: the collapsed table feeds the band join (twice),
+    # both member expansions and the within-cluster pairs — without the
+    # cut, the Python fingerprint kernel and the window re-run per
+    # reference (~6 evaluations)
+    keyed = (
+        t.withColumn("__sid", F.min("doc_id").over(w))
+        .withColumn("__sz", F.count(F.lit(1)).over(w))
+        .localCheckpoint()
+    )
+    reps = keyed.where(F.col("doc_id") == F.col("__sid")).select(
+        "doc_id", "simhash"
+    )
     bt = simhash_band_table(
-        t.select("doc_id", "simhash"), n_blocks=n_blocks, max_hamming=max_hamming
+        reps, n_blocks=n_blocks, max_hamming=max_hamming
     )
     l = bt.select(
         F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "combo", "k"
@@ -460,18 +485,50 @@ def simhash_near_dup_pairs(
     r = bt.select(
         F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "combo", "k"
     )
-    cand = (
-        l.join(r, ["combo", "k"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
-        .distinct()
-    )
+    # shuffle-hash, not broadcast: the band table is ~20 rows per doc, so
+    # Catalyst's broadcast estimate would build a corpus-sized hashed
+    # relation on the driver; partition-local hash builds stay bounded.
+    # The bit_count verify runs BEFORE the cross-table dedup — hamming is
+    # a cheap codegen expression, and filtering first shrinks the distinct
+    # from every band collision (4.5M rows at sf1, correlated simhash
+    # bits make hot band keys) to just the true pair set (~50k rows);
+    # the surviving (a, b, hamming) set is unchanged.
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
+    rep_pairs = (
+        l.join(r.hint("shuffle_hash"), ["combo", "k"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
     )
+    dup_members = keyed.where(F.col("__sz") > 1).select("__sid", "doc_id")
+    ma = dup_members.select(F.col("__sid").alias("a"), F.col("doc_id").alias("ma"))
+    mb = dup_members.select(F.col("__sid").alias("b"), F.col("doc_id").alias("mb"))
+    cross = (
+        rep_pairs.join(ma, "a", "left")
+        .join(mb, "b", "left")
+        .select(
+            F.coalesce("ma", F.col("a")).alias("xa"),
+            F.coalesce("mb", F.col("b")).alias("xb"),
+            "hamming",
+        )
+        .select(
+            F.least("xa", "xb").alias("a"),
+            F.greatest("xa", "xb").alias("b"),
+            "hamming",
+        )
+    )
+    within = (
+        dup_members.select(F.col("__sid").alias("s"), F.col("doc_id").alias("a"))
+        .join(
+            dup_members.select(F.col("__sid").alias("s"), F.col("doc_id").alias("b")),
+            "s",
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(within)
 
 
 def duplicated_passages(
