@@ -446,7 +446,12 @@ def q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is 25 of 64 world tiles → nearly the full cross product reaches the
     # haversine filter (measured 124 s serial at sf1, BENCH_r06). Finer
     # tiles cut candidates ~10× while the exact ≤-ε filter keeps the
-    # result identical at any zoom (guide §2.3: shuffle fewer bytes).
+    # result identical at any zoom (guide §2.3). A count-only inner/
+    # boundary cell-classification plan (guide §8) was built and measured
+    # WORSE (295 s at sf1): at ε = 3000 km the candidate cell set (~18M
+    # facility-tile rows, high-latitude rings) approaches the pair count
+    # itself (~27M), so enumeration + map-side count aggregation is the
+    # better plan at this ε/density — see OPTIMIZATION_r07.md.
     pairs = topk_neighbors(
         pts, fac, k=2**31 - 1, max_distance_m=3_000_000.0,
         left_id="doc_id", zoom=6,
