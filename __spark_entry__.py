@@ -546,8 +546,12 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = self_range_edges(
         pts, max_distance_m=500_000.0, id_col="doc_id", zoom=7
     )
+    # components need the undirected edge set only — the self-join emits
+    # every pair in both directions, so src < dst halves what the CC
+    # canonicalization has to shuffle and ship (labels are identical)
     labels = connected_components(
-        edges.select("src", "dst"), nodes=pts, node_col="doc_id"
+        edges.where(F.col("src") < F.col("dst")).select("src", "dst"),
+        nodes=pts, node_col="doc_id",
     )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")

