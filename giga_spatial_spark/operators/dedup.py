@@ -571,7 +571,11 @@ def duplicated_passages(
     collision risk.
     """
     if key == "md5":
-        hasher = lambda c: F.md5(c.cast("binary"))  # noqa: E731
+        # shuffle the 16 RAW digest bytes, not the 32-char hex string
+        # (guide §2.3 "narrower types"): unhex(md5) has exactly md5's
+        # equality classes, the key never reaches the output, and the
+        # two window-key shuffles carry half the key bytes
+        hasher = lambda c: F.unhex(F.md5(c.cast("binary")))  # noqa: E731
     elif key == "xxhash64":
         hasher = F.xxhash64
     else:
